@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship interleaved-span pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
+(plus the training-data extensions); ``oracle_sql()`` gives the DuckDB
+equivalent where the op is SQL-expressible. Ray is initialised by the driver
+before import — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +14,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents → interleaved
+    spans → normalize (per-doc media dedup) → span stats → markdown render."""
+    from ptt_spider_go_ray.pipelines.flagship import flagship
+
+    ds = flagship("/root/testdata/sf0.001")
+    # spans is a list<struct> column; project to a stable flat schema for the
+    # driver's smoke check while keeping the full pipeline exercised.
+    return ds.select_columns(
+        ["doc_id", "n_spans", "n_media", "n_text", "n_text_chars", "markdown"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ptt_spider_go_ray.queries import SQL_QUERIES
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
+    }
+    out.update(EXTRA_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ptt_spider_go_ray.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -1,0 +1,532 @@
+"""Driver-checkable query registry: one entry per implemented operator or
+pipeline from SURVEY.md §2, each as a Ray Data pipeline over the sf parquet
+tables, plus (where SQL-expressible) a DuckDB oracle with IDENTICAL column
+names and value semantics.
+
+Design rules for oracle safety:
+- aggregate money/float columns as exact integers (``round(x * 10^k)`` of
+  values that are exact at k decimals) so numpy and DuckDB sums match bit-for-bit;
+- every computed column explicitly named on both sides;
+- deterministic tie-breaks on every sort/top-k/window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.parse import decode_push_rate
+from .functions.text import EN_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _md5_col(texts) -> list[str]:
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Q: push-threshold filter (P2, crawler/crawler.go:413-421)
+# ---------------------------------------------------------------------------
+
+
+def q_push_filter(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["value"], pa.scalar(50.0))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PUSH_FILTER = """
+SELECT event_id, user_id, value FROM events WHERE value >= 50.0
+"""
+
+# ---------------------------------------------------------------------------
+# Q: push-rate decode (scalar fn §2.8, ptt/parser_impl.go:48-60) — the real
+# reference decoder applied to a deterministically encoded string column.
+# ---------------------------------------------------------------------------
+
+
+def q_push_decode(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def enc_dec(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        fl = np.floor(v).astype(np.int64)
+        enc = ["爆" if x >= 300.0 else (f"X{f}" if x < 10.0 else str(f)) for x, f in zip(v, fl)]
+        dec = [decode_push_rate(e) for e in enc]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "nrec": pa.array(enc, pa.string()),
+                "push_rate": pa.array(dec, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(enc_dec, batch_format="pyarrow")
+
+
+SQL_PUSH_DECODE = """
+WITH enc AS (
+  SELECT event_id,
+         CASE WHEN value >= 300.0 THEN '爆'
+              WHEN value < 10.0 THEN 'X' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+              ELSE CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) END AS nrec
+  FROM events)
+SELECT event_id, nrec,
+       CASE WHEN nrec = '爆' THEN 100
+            WHEN starts_with(nrec, 'X') THEN -COALESCE(TRY_CAST(substr(nrec, 2) AS BIGINT), 0)
+            ELSE COALESCE(TRY_CAST(nrec AS BIGINT), 0) END AS push_rate
+FROM enc
+"""
+
+# ---------------------------------------------------------------------------
+# Q: grouped counters (A1, ui/live.go:156-174 analog)
+# ---------------------------------------------------------------------------
+
+
+def q_group_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+SQL_GROUP_COUNTS = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Q: exact dedup, first-wins (D2 oracle semantics, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_hash": pa.array(_md5_col(t["text"].to_pylist()), pa.string()),
+            }
+        )
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    return ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: collision suffixing as window rank (T4/D4, crawler/crawler.go:562-585)
+# ---------------------------------------------------------------------------
+
+
+def q_collision_rank(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        base = g["source"] + "_" + g["lang"]
+        g["dir_name"] = np.where(g["rn"] == 1, base, base + "_" + g["rn"].astype(str))
+        return g
+
+    return ds.groupby(["lang", "source"]).map_groups(rank_group, batch_format="pandas")
+
+
+SQL_COLLISION_RANK = """
+SELECT doc_id, lang, source,
+       CAST(row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) AS rn,
+       CASE WHEN row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+            THEN source || '_' || lang
+            ELSE source || '_' || lang || '_' ||
+                 CAST(row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS VARCHAR)
+       END AS dir_name
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q: top-k with deterministic tie-break (O1 ordering analog)
+# ---------------------------------------------------------------------------
+
+
+def q_top_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# Q: token counting + MD5 fingerprint (text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": toks.str.len().astype("int64"),
+                "fp": _md5_col(df["text"].fillna("").tolist()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens,
+       md5(text) AS fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q: quality signals (length/punct/stopword counts — integer-exact)
+# ---------------------------------------------------------------------------
+
+_SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def q_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sw = set(EN_STOPWORDS)
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len().astype("int64")
+        n_punct = text.str.count(r"[.,;:!?]").astype("int64")
+        toks = text.str.lower().str.split().explode()
+        hits = toks[toks.isin(sw)].groupby(level=0).size()
+        n_stop = (
+            hits.reindex(df.index, fill_value=0).astype("int64")
+            if len(hits)
+            else pd.Series(0, index=df.index, dtype="int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_calc": n_chars,
+                "n_punct": n_punct,
+                "n_stopwords": n_stop,
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+SQL_QUALITY = rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> list_contains([{_SW_LIST}], x))) AS BIGINT) AS n_stopwords
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q: TPC-H Q1-style grouped aggregate with partial pre-aggregation
+# (exact-integer money columns; A1-style wide aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pa.array(np.rint(qty).astype(np.int64)),
+                "price_e2": pa.array(np.rint(price * 100).astype(np.int64)),
+                "disc_price_e4": pa.array(np.rint(price * (1 - disc) * 10000).astype(np.int64)),
+                "disc_e2": pa.array(np.rint(disc * 100).astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_e2", alias_name="sum_base_price_e2"),
+        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+        Sum("disc_e2", alias_name="sum_disc_e2"),
+        Count(alias_name="count_order"),
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_e2,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q: broadcast join (small side via ray.put, SURVEY §2.4 mapping)
+# ---------------------------------------------------------------------------
+
+
+def q_region_rollup(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    r_by_key = {r["r_regionkey"]: r["r_name"] for r in region}
+    nation_to_region = {n["n_nationkey"]: r_by_key[n["n_regionkey"]] for n in nation}
+    lookup_ref = ray.put(nation_to_region)  # broadcast once, read per task
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def enrich(t: pa.Table, lookup=lookup_ref) -> pa.Table:
+        m = ray.get(lookup) if isinstance(lookup, ray.ObjectRef) else lookup
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array([m[int(k)] for k in keys], pa.string()),
+                "acctbal_e2": pa.array(np.rint(bal * 100).astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(enrich, batch_format="pyarrow")
+    return ds.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("acctbal_e2", alias_name="sum_acctbal_e2")
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_e2
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# Q: list-length projection (A2 analog on a real list column)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dims(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_dims": pc.cast(pc.list_value_length(t["embedding"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMBEDDING_DIMS = """
+SELECT vec_id, CAST(array_length(embedding) AS BIGINT) AS n_dims FROM embeddings
+"""
+
+# ---------------------------------------------------------------------------
+# Q: distinct (set op)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = ds.unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q: sessionization (gap > 30 min) — windowed per-key stateful op
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": np.array([n_sessions], dtype=np.int64),
+                "n_events": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: prefix filter (S2 file-mode seed filter analog, crawler.go:812)
+# ---------------------------------------------------------------------------
+
+
+def q_prefix_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t["source"], "src1")),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PREFIX_FILTER = """
+SELECT doc_id, source FROM documents WHERE starts_with(source, 'src1')
+"""
+
+# ---------------------------------------------------------------------------
+# Q: brute-force cosine ANN top-k (similarity search baseline) — the query
+# matrix is broadcast once via ray.put; per batch one float64 matmul.
+# ---------------------------------------------------------------------------
+
+ANN_N_QUERIES = 5
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    q_ids = qdf["vec_id"].to_numpy()
+    q_mat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table, qref=q_ref) -> pa.Table:
+        ids, qn = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms) @ qn.T  # (batch, n_queries)
+        n_b, n_q = cos.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids, n_b), pa.int64()),
+                "neighbor_id": pa.array(np.tile(vids, n_q), pa.int64()),
+                "cos_e4": pa.array(np.rint(cos.T.reshape(-1) * 10000).astype(np.int64)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    scored = scored.filter(expr="query_id != neighbor_id")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_e4", "neighbor_id"], ascending=[False, True]).head(ANN_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+SQL_ANN_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id < {ANN_N_QUERIES} AND e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cos_e4,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e4 DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SQL_QUERIES: dict[str, tuple] = {
+    "push_filter": (q_push_filter, SQL_PUSH_FILTER),
+    "push_decode": (q_push_decode, SQL_PUSH_DECODE),
+    "group_counts": (q_group_counts, SQL_GROUP_COUNTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "collision_rank": (q_collision_rank, SQL_COLLISION_RANK),
+    "top_events": (q_top_events, SQL_TOP_EVENTS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality": (q_quality, SQL_QUALITY),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "region_rollup": (q_region_rollup, SQL_REGION_ROLLUP),
+    "embedding_dims": (q_embedding_dims, SQL_EMBEDDING_DIMS),
+    "distinct_event_types": (q_distinct_event_types, SQL_DISTINCT_EVENT_TYPES),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "prefix_filter": (q_prefix_filter, SQL_PREFIX_FILTER),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+}
