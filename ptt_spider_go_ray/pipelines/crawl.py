@@ -1,0 +1,304 @@
+"""The crawl loop: frontier actor shards feeding streaming Ray Data rounds.
+
+Per round (SURVEY §3.1 Ray-Data shape):
+
+    take_global(shards, B)                       # B globally-smallest (priority, seq)
+    → ray.data.from_arrow(frontier batch)
+    → map_batches(Fetcher, concurrency=pool)     # actor pool, T1/T2/T3/S4
+    → map_batches(ParseStage)                    # P1-P9, union output
+    → split: candidates → offer back to shards (sorted by (priority, seq),
+             first-wins dedup D2); docs/media → per-round partitioned
+             Parquet (resumable output) or in-memory tables (tests).
+
+Crawl-ordering contract (O2, well-posed version of the reference's racy
+per-kind FIFO): each round dispatches the globally smallest (priority, seq)
+pending rows; the ledger records them round by round. A plain-Python oracle
+(tests/test_crawl_e2e.py) replays the same rule and must produce the
+identical ledger and final URL-seen set.
+
+Checkpoint/resume (north rule): after every round each shard's heap + cuckoo
+segment + lineage/metrics are written to Parquet together with the driver
+ledger; ``run_crawl(resume=True)`` reloads the latest epoch and continues
+without refetching or duplicating URLs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import Config
+from ..functions.parse import (
+    board_page_urls,
+    is_seed_line,
+    parse_max_page,
+    validate_board,
+)
+from ..schemas import CHECKPOINT_SCHEMA, FRONTIER_SCHEMA
+from ..stages.fetch import Fetcher, fetch_with_retry
+from ..stages.parse_stages import ParseStage
+from ..state.frontier import FrontierShard, frontier_row, shard_for
+
+
+@dataclass
+class CrawlResult:
+    ledger: list[tuple] = field(default_factory=list)  # (priority, seq, url) per round order
+    docs: pa.Table | None = None
+    media: pa.Table | None = None
+    seen_set: list[str] = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+    rounds: int = 0
+    finished: bool = True
+    out_dir: str = ""
+
+
+def _no_sleep(_s: float) -> None:
+    return None
+
+
+def seed_rows_board(transport, board: str, pages: int, seed_offset: int = 0) -> list[dict]:
+    """S1: one driver-side fetch for max page, then newest-first page URLs."""
+    validate_board(board)
+    from ..functions.parse import PTT_BASE_URL
+
+    status, body, _, err = fetch_with_retry(transport, f"{PTT_BASE_URL}/bbs/{board}/index.html",
+                                            sleep=_no_sleep)
+    if status != 200:
+        raise RuntimeError(f"cannot fetch board index for {board}: {status} {err}")
+    max_page = parse_max_page(body.decode("utf-8", "replace"))
+    urls = board_page_urls(board, max_page, pages)
+    return [
+        frontier_row(u, "index", 0, seed_offset + i, depth=0, board=board)
+        for i, u in enumerate(urls)
+    ]
+
+
+def seed_rows_file(lines: list[str], board: str = "beauty") -> list[dict]:
+    """S2: file-mode seeds; prefix filter, push_rate=0, article priority."""
+    out = []
+    i = 0
+    for line in lines:
+        if not is_seed_line(line):
+            continue
+        out.append(
+            frontier_row(line.strip(), "article", 1, i, depth=1, board=board, push_rate=0)
+        )
+        i += 1
+    return out
+
+
+def _offer_sorted(shards, rows: list[dict], n_shards: int) -> None:
+    import ray
+
+    rows = sorted(rows, key=lambda r: (r["priority"], r["seq"]))
+    by_shard: dict[int, list[dict]] = {}
+    for r in rows:
+        by_shard.setdefault(shard_for(r, n_shards), []).append(r)
+    ray.get([shards[i].offer.remote(rs) for i, rs in by_shard.items()])
+
+
+def _take_global(shards, n: int, n_shards: int) -> list[dict]:
+    import ray
+
+    taken = ray.get([s.take.remote(n) for s in shards])
+    merged = sorted((r for lst in taken for r in lst), key=lambda r: (r["priority"], r["seq"]))
+    keep, rest = merged[:n], merged[n:]
+    if rest:
+        by_shard: dict[int, list[dict]] = {}
+        for r in rest:
+            by_shard.setdefault(shard_for(r, n_shards), []).append(r)
+        ray.get([shards[i].push_back.remote(rs) for i, rs in by_shard.items()])
+    return keep
+
+
+def run_crawl(
+    cfg: Config | None = None,
+    *,
+    transport_factory,
+    board: str = "",
+    pages: int = 2,
+    push_threshold: int = 0,
+    file_lines: list[str] | None = None,
+    out_dir: str = "",
+    resume: bool = False,
+    max_rounds: int | None = None,
+    fetch_media: bool = True,
+    deterministic: bool = True,
+) -> CrawlResult:
+    """Run (or resume) a crawl. ``transport_factory`` must be a picklable
+    zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
+    for kill/resume tests. ``deterministic=True`` disables real politeness
+    sleeping (rate 0) so ordering tests are exact."""
+    import ray
+
+    cfg = cfg or Config()
+    cc = cfg.crawler
+    n_shards = cc.frontier_shards
+    ckpt_dir = cc.checkpoint_dir
+    file_mode = file_lines is not None
+
+    RemoteShard = ray.remote(FrontierShard)
+    shards = [
+        RemoteShard.remote(
+            i,
+            seen_capacity=cc.seen_capacity,
+            politeness_rate=0.0 if deterministic else cc.politeness_tokens_per_round,
+        )
+        for i in range(n_shards)
+    ]
+
+    ledger: list[tuple] = []
+    epoch = 0
+    if resume:
+        if not ckpt_dir:
+            raise ValueError("resume=True requires cfg.crawler.checkpoint_dir")
+        epoch, ledger = _restore(shards, ckpt_dir)
+    else:
+        if file_mode:
+            seeds = seed_rows_file(file_lines, board or "beauty")
+        else:
+            seeds = seed_rows_board(transport_factory(), board, pages)
+        _offer_sorted(shards, seeds, n_shards)
+
+    parse_stage = ParseStage(
+        push_threshold=0 if file_mode else push_threshold,
+        file_mode=file_mode,
+        fetch_media=fetch_media,
+    )
+    fetch_kwargs = {
+        "transport_factory": transport_factory,
+        "check_robots": cc.robots,
+        "sleep": _no_sleep if deterministic else None,
+    }
+    if fetch_kwargs["sleep"] is None:
+        del fetch_kwargs["sleep"]
+
+    docs_tables: list[pa.Table] = []
+    media_tables: list[pa.Table] = []
+    fetch_errors = 0
+    rounds_this_run = 0
+    finished = True
+
+    while True:
+        if max_rounds is not None and rounds_this_run >= max_rounds:
+            finished = False
+            break
+        rows = _take_global(shards, cc.batch_urls, n_shards)
+        if not rows:
+            break
+        ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
+
+        tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+        ds = ray.data.from_arrow(tbl)
+        fetched = ds.map_batches(
+            Fetcher,
+            fn_constructor_kwargs=fetch_kwargs,
+            concurrency=(1, max(1, cc.parser_count)),
+            batch_size=cc.fetch_batch_size,
+            batch_format="pyarrow",
+        )
+        union = fetched.map_batches(parse_stage, batch_format="pyarrow").materialize()
+
+        def _split(rt: str, drop: list[str]) -> pa.Table | None:
+            """Collect one row_type slice of the (bounded, materialized)
+            round union into a single Arrow table."""
+            sliced = union.map_batches(
+                lambda t, rt=rt: t.filter(pc.equal(t["row_type"], rt)).drop_columns(drop),
+                batch_format="pyarrow",
+            )
+            refs = sliced.to_arrow_refs()
+            tbls = [t for t in ray.get(refs) if t.num_rows]
+            return pa.concat_tables(tbls) if tbls else None
+
+        cand_tbl = _split("cand", ["body", "spans", "row_type"])
+        if cand_tbl is not None:
+            cand_rows = [
+                {k: c[k] for k in FRONTIER_SCHEMA.names} for c in cand_tbl.to_pylist()
+            ]
+            _offer_sorted(shards, cand_rows, n_shards)
+
+        doc_tbl = _split("doc", ["body"])
+        media_tbl = _split("media_result", ["spans"])
+        err_tbl = _split("fetch_err", ["body", "spans"])
+        fetch_errors += err_tbl.num_rows if err_tbl is not None else 0
+
+        if doc_tbl is not None and doc_tbl.num_rows:
+            doc_out = doc_tbl.select(
+                ["doc_id", "title", "url", "board", "author", "push_rate", "seq", "spans"]
+            )
+            if out_dir:
+                d = f"{out_dir}/docs/round={epoch}"
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(doc_out, f"{d}/part-0.parquet")
+            docs_tables.append(doc_out)
+        if media_tbl is not None and media_tbl.num_rows:
+            media_out = media_tbl.select(
+                ["doc_id", "span_idx", "url", "board", "n_bytes", "media_ok", "body", "seq"]
+            )
+            if out_dir:
+                d = f"{out_dir}/media/round={epoch}"
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(media_out, f"{d}/part-0.parquet")
+            media_tables.append(media_out)
+
+        epoch += 1
+        rounds_this_run += 1
+        if ckpt_dir:
+            _checkpoint(shards, ckpt_dir, epoch, ledger)
+
+    shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
+    seen: list[str] = sorted(set().union(*ray.get([s.seen_set.remote() for s in shards])))
+    metrics = {
+        "fetch_errors": fetch_errors,
+        "shards": shard_metrics,
+        "total_accepted": sum(m["accepted"] for m in shard_metrics),
+        "total_duplicates": sum(m["duplicates"] for m in shard_metrics),
+        "cuckoo_false_positives": sum(m["false_positives"] for m in shard_metrics),
+    }
+    for s in shards:
+        ray.kill(s)
+    return CrawlResult(
+        ledger=ledger,
+        docs=pa.concat_tables(docs_tables) if docs_tables else None,
+        media=pa.concat_tables(media_tables) if media_tables else None,
+        seen_set=seen,
+        metrics=metrics,
+        rounds=epoch,
+        finished=finished,
+        out_dir=out_dir,
+    )
+
+
+# -- checkpoint plumbing ----------------------------------------------------
+
+
+def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger: list[tuple]) -> None:
+    import ray
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    states = ray.get([s.checkpoint_state.remote(epoch) for s in shards])
+    tbl = pa.Table.from_pylist(states, schema=CHECKPOINT_SCHEMA)
+    pq.write_table(tbl, f"{ckpt_dir}/shards_epoch{epoch}.parquet")
+    with open(f"{ckpt_dir}/driver_epoch{epoch}.json", "w") as f:
+        json.dump({"epoch": epoch, "ledger": ledger}, f)
+    with open(f"{ckpt_dir}/LATEST", "w") as f:
+        f.write(str(epoch))
+
+
+def _restore(shards, ckpt_dir: str) -> tuple[int, list[tuple]]:
+    import ray
+
+    with open(f"{ckpt_dir}/LATEST") as f:
+        epoch = int(f.read().strip())
+    tbl = pq.read_table(f"{ckpt_dir}/shards_epoch{epoch}.parquet")
+    states = {s["shard_id"]: s for s in tbl.to_pylist()}
+    ray.get([s.restore_state.remote(states[i]) for i, s in enumerate(shards)])
+    with open(f"{ckpt_dir}/driver_epoch{epoch}.json") as f:
+        driver = json.load(f)
+    ledger = [tuple(e) for e in driver["ledger"]]
+    return epoch, ledger

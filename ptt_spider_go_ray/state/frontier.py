@@ -1,0 +1,191 @@
+"""Partitioned priority URL frontier held in stateful actor shards
+(north rule). Each shard owns:
+
+- a priority heap ordered by ``(priority, seq)`` — priority lanes
+  index(0) > article(1) > media(2), seq a deterministic lineage-encoded
+  sequence number (SURVEY §2.6 O2: the reference's dataflow IS the priority
+  queue; here it is explicit and reproducible);
+- a cuckoo-filter URL-seen segment keyed by canonicalized URL hash
+  (D2 at scale; crawler/crawler.go:562-585 idempotency analog);
+- per-host politeness budget for its URL slice (T3; the host's global
+  budget is split across the salt shards that own the host, SURVEY §7.5.2);
+- lineage + metrics counters, checkpointable to Parquet (north rule).
+
+Routing: ``shard_for(url)`` = hash(host | salt) where salt =
+url_hash % salt_k — every URL maps to exactly one shard (seen-set
+correctness) while a hot host/board is spread over ``salt_k`` shards (skew
+handling: salted repartition of hot boards).
+
+Shards are plain Python objects wrapped in ``ray.remote`` by the pipeline —
+keeping the class testable without Ray.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+
+import pyarrow as pa
+
+from ..functions.parse import canonicalize_url, url_host
+from .cuckoo import CuckooFilter, hash64
+from .politeness import HostPoliteness
+
+# Frontier row tuple layout kept in the heap (matches FRONTIER_SCHEMA order).
+FIELDS = (
+    "url", "url_hash", "host", "board", "kind", "priority", "seq", "depth",
+    "title", "author", "push_rate", "meta",
+)
+SEQ_BITS_PER_LEVEL = 12  # child_seq = parent_seq << 12 | child_idx
+
+
+def child_seq(parent_seq: int, idx: int) -> int:
+    if idx >= (1 << SEQ_BITS_PER_LEVEL):
+        raise ValueError(f"child index {idx} exceeds seq encoding width")
+    return (parent_seq << SEQ_BITS_PER_LEVEL) | idx
+
+
+def frontier_row(url: str, kind: str, priority: int, seq: int, depth: int,
+                 board: str = "", title: str = "", author: str = "",
+                 push_rate: int = 0, meta: str = "") -> dict:
+    canon = canonicalize_url(url)
+    return {
+        "url": url,
+        "url_hash": hash64(canon),
+        "host": url_host(canon),
+        "board": board,
+        "kind": kind,
+        "priority": priority,
+        "seq": seq,
+        "depth": depth,
+        "title": title,
+        "author": author,
+        "push_rate": push_rate,
+        "meta": meta,
+    }
+
+
+def shard_for(row: dict, n_shards: int, salt_k: int = 4) -> int:
+    salt = row["url_hash"] % salt_k
+    return hash64(f"{row['host']}|{salt}") % n_shards
+
+
+class FrontierShard:
+    """Single shard; wrap with ray.remote(FrontierShard) for the actor form."""
+
+    def __init__(self, shard_id: int, seen_capacity: int = 1 << 16,
+                 politeness_rate: float = 0.0, exact_seen: bool = True,
+                 clock=None):
+        self.shard_id = shard_id
+        self.heap: list[tuple] = []  # (priority, seq, row_dict)
+        self.filter = CuckooFilter(capacity=seen_capacity, seed=shard_id)
+        kwargs = {"rate": politeness_rate}
+        if clock is not None:
+            kwargs["clock"] = clock
+        self.politeness = HostPoliteness(**kwargs)
+        # exact side-set: lineage record + cuckoo FP detector at test scale.
+        # At 10^10-frontier scale disable (exact_seen=False) — the cuckoo
+        # filter alone is the seen set.
+        self.exact_seen = exact_seen
+        self.seen_urls: set[str] | None = set() if exact_seen else None
+        self.metrics = {
+            "offered": 0, "accepted": 0, "duplicates": 0, "taken": 0,
+            "pushed_back": 0, "false_positives": 0,
+        }
+
+    # -- offer / take -------------------------------------------------------
+
+    def offer(self, rows: list[dict]) -> int:
+        """Dedup against the seen set and enqueue new URLs. Returns accepted
+        count. First-wins within the batch (D2)."""
+        accepted = 0
+        self.metrics["offered"] += len(rows)
+        for row in rows:
+            h = row["url_hash"]
+            if self.filter.contains_hash(h):
+                canon = canonicalize_url(row["url"])
+                if self.seen_urls is not None and canon not in self.seen_urls:
+                    self.metrics["false_positives"] += 1
+                self.metrics["duplicates"] += 1
+                continue
+            if not self.filter.add_hash(h):
+                raise RuntimeError(
+                    f"shard {self.shard_id}: cuckoo filter saturated "
+                    f"({self.filter.count} items); raise seen_capacity"
+                )
+            if self.seen_urls is not None:
+                self.seen_urls.add(canonicalize_url(row["url"]))
+            heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+            accepted += 1
+        self.metrics["accepted"] += accepted
+        return accepted
+
+    def push_back(self, rows: list[dict]) -> None:
+        """Re-enqueue rows the driver pulled but did not dispatch (global
+        merge leftovers). No seen-set check — they are already seen."""
+        for row in rows:
+            heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+        self.metrics["pushed_back"] += len(rows)
+
+    def take(self, n: int) -> list[dict]:
+        """Pop up to n rows in (priority, seq) order, respecting this shard's
+        per-host politeness budget (rows beyond a host's budget stay queued)."""
+        out: list[dict] = []
+        deferred: list[tuple] = []
+        while self.heap and len(out) < n:
+            prio, seq, row = heapq.heappop(self.heap)
+            if self.politeness.allow(row["host"], 1) < 1:
+                deferred.append((prio, seq, row))
+                continue
+            out.append(row)
+        for item in deferred:
+            heapq.heappush(self.heap, item)
+        self.metrics["taken"] += len(out)
+        return out
+
+    def size(self) -> int:
+        return len(self.heap)
+
+    def seen_set(self) -> list[str]:
+        if self.seen_urls is None:
+            raise RuntimeError("exact seen tracking disabled on this shard")
+        return sorted(self.seen_urls)
+
+    def get_metrics(self) -> dict:
+        return dict(self.metrics)
+
+    # -- checkpoint (north rule: head + filter segment + lineage/metrics) ---
+
+    def checkpoint_state(self, epoch: int) -> dict:
+        from ..schemas import FRONTIER_SCHEMA
+
+        rows = [row for _, _, row in sorted(self.heap)]
+        heap_tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA) if rows else None
+        sink = pa.BufferOutputStream()
+        if heap_tbl is not None:
+            with pa.ipc.new_stream(sink, heap_tbl.schema) as w:
+                w.write_table(heap_tbl)
+        heap_bytes = sink.getvalue().to_pybytes()
+        return {
+            "shard_id": self.shard_id,
+            "epoch": epoch,
+            "heap": heap_bytes,
+            "filter": self.filter.to_bytes(),
+            "next_seq": 0,
+            "metrics": json.dumps(
+                {**self.metrics, "seen_urls": sorted(self.seen_urls) if self.seen_urls is not None else None}
+            ),
+        }
+
+    def restore_state(self, state: dict) -> None:
+        self.filter = CuckooFilter.from_bytes(state["filter"])
+        self.heap = []
+        if state["heap"]:
+            tbl = pa.ipc.open_stream(pa.BufferReader(state["heap"])).read_all()
+            for row in tbl.to_pylist():
+                heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+        m = json.loads(state["metrics"])
+        seen = m.pop("seen_urls", None)
+        self.metrics = m
+        if seen is not None and self.seen_urls is not None:
+            self.seen_urls = set(seen)

@@ -1,0 +1,74 @@
+"""Per-host politeness token buckets (T3 generalization).
+
+The reference sleeps U(minMs, maxMs) before every article fetch and every
+image download per worker (crawler/crawler.go:59-65,485-498,763-774) — on a
+single host that is a global rate cap of ``workers / mean_delay`` req/s. At
+engine scale politeness must be per-host and shared across the fetch pool,
+so the budget lives in the frontier shards (a shard owns a host partition —
+hash-by-host keeps each host's URLs in exactly one shard, making its token
+bucket globally correct without cross-actor coordination, SURVEY §7.5.2).
+
+The clock is injectable so tests and the deterministic bench can run with a
+virtual clock (no real sleeping) while preserving release ordering.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TokenBucket:
+    rate: float           # tokens per second
+    burst: float          # bucket capacity
+    clock: object = time.monotonic
+    tokens: float = field(default=0.0)
+    _last: float | None = None
+
+    def __post_init__(self) -> None:
+        self.tokens = self.burst
+
+    def try_take(self, n: float = 1.0) -> bool:
+        now = self.clock()
+        if self._last is None:
+            self._last = now
+        self.tokens = min(self.burst, self.tokens + (now - self._last) * self.rate)
+        self._last = now
+        if self.tokens >= n:
+            self.tokens -= n
+            return True
+        return False
+
+
+class HostPoliteness:
+    """Per-host bucket map. rate==0 disables limiting (test/bench mode where
+    determinism matters more than pacing)."""
+
+    def __init__(self, rate: float = 0.0, burst: float | None = None, clock=time.monotonic):
+        self.rate = rate
+        self.burst = burst if burst is not None else max(1.0, rate)
+        self.clock = clock
+        self._buckets: dict[str, TokenBucket] = {}
+
+    def allow(self, host: str, n: int = 1) -> int:
+        """How many of n requests to `host` may proceed now (0..n)."""
+        if self.rate <= 0:
+            return n
+        b = self._buckets.get(host)
+        if b is None:
+            b = self._buckets[host] = TokenBucket(self.rate, self.burst, self.clock)
+        granted = 0
+        for _ in range(n):
+            if not b.try_take():
+                break
+            granted += 1
+        return granted
+
+    @classmethod
+    def from_delay_range(cls, min_ms: int, max_ms: int, workers: int, clock=time.monotonic):
+        """Map the reference's delay config onto an equivalent aggregate rate:
+        workers / mean_delay (config/config.go:89-92 defaults → 10/1.25s = 8/s)."""
+        mean_s = ((min_ms + max_ms) / 2.0) / 1000.0
+        rate = workers / mean_s if mean_s > 0 else 0.0
+        return cls(rate=rate, burst=float(workers), clock=clock)

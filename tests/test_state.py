@@ -1,0 +1,232 @@
+"""Unit tests: cuckoo filter, retry semantics (crawler/retry_test.go matrix),
+politeness buckets, robots gating, frontier shard behavior. No Ray."""
+
+import numpy as np
+import pytest
+
+from ptt_spider_go_ray.state.cuckoo import CuckooFilter, hash64
+from ptt_spider_go_ray.state.frontier import (
+    FrontierShard,
+    child_seq,
+    frontier_row,
+    shard_for,
+)
+from ptt_spider_go_ray.state.politeness import HostPoliteness
+from ptt_spider_go_ray.state.robots import RobotsCache, RobotsRules
+from ptt_spider_go_ray.stages.fetch import (
+    MockTransport,
+    TransportError,
+    calc_retry_delay_s,
+    fetch_with_retry,
+)
+from ptt_spider_go_ray.sources.synthetic import SiteSpec, SyntheticSite
+
+
+# --- cuckoo ----------------------------------------------------------------
+
+def test_cuckoo_basic_membership():
+    f = CuckooFilter(capacity=4096, seed=1)
+    hs = [hash64(f"url{i}") for i in range(1000)]
+    for h in hs:
+        assert f.add_hash(h)
+    assert all(f.contains_hash(h) for h in hs)
+    absent = [hash64(f"other{i}") for i in range(1000)]
+    fp = sum(f.contains_hash(h) for h in absent)
+    assert fp <= 2  # 16-bit fingerprints → ~0.001% FP rate
+
+
+def test_cuckoo_batch_add_first_wins():
+    f = CuckooFilter(capacity=1024)
+    hs = np.array([hash64("a"), hash64("b"), hash64("a"), hash64("c")], dtype=np.uint64)
+    mask = f.add_new_hashes(hs)
+    assert mask.tolist() == [True, True, False, True]
+    assert f.add_new_hashes(hs).tolist() == [False, False, False, False]
+
+
+def test_cuckoo_serialization_roundtrip():
+    f = CuckooFilter(capacity=2048, seed=7)
+    hs = [hash64(f"u{i}") for i in range(500)]
+    for h in hs:
+        f.add_hash(h)
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.count == f.count
+    assert all(g.contains_hash(h) for h in hs)
+    assert g.add_new_hashes(np.array(hs[:10], dtype=np.uint64)).sum() == 0
+
+
+def test_cuckoo_saturation_detected():
+    f = CuckooFilter(capacity=64)
+    with pytest.raises(RuntimeError):
+        f.add_new_hashes(np.array([hash64(f"x{i}") for i in range(500)], dtype=np.uint64))
+
+
+# --- retry (crawler/retry_test.go matrix) ----------------------------------
+
+class ScriptedTransport:
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = 0
+
+    def __call__(self, url):
+        self.calls += 1
+        item = self.script.pop(0)
+        if item == "err":
+            raise TransportError("network down")
+        status, headers, body = item
+        return status, headers, body
+
+
+def test_retry_immediate_success():
+    t = ScriptedTransport([(200, {}, b"ok")])
+    status, body, attempts, err = fetch_with_retry(t, "u", sleep=lambda s: None)
+    assert (status, body, attempts, err) == (200, b"ok", 1, "")
+
+
+def test_retry_429_then_ok():
+    sleeps = []
+    t = ScriptedTransport([(429, {}, b""), (200, {}, b"ok")])
+    status, body, attempts, err = fetch_with_retry(t, "u", sleep=sleeps.append)
+    assert status == 200 and attempts == 2 and body == b"ok"
+    assert sleeps == [1.0]  # 1s initial backoff
+
+
+def test_retry_exhausted():
+    t = ScriptedTransport([(429, {}, b"")] * 3)
+    status, body, attempts, err = fetch_with_retry(t, "u", sleep=lambda s: None)
+    assert status == 429 and attempts == 3 and "429" in err
+    assert t.calls == 3
+
+
+def test_retry_non_429_not_retried():
+    t = ScriptedTransport([(500, {}, b"boom")])
+    status, _, attempts, err = fetch_with_retry(t, "u", sleep=lambda s: None)
+    assert status == 500 and attempts == 1 and err == ""
+
+
+def test_retry_transport_error_not_retried():
+    t = ScriptedTransport(["err"])
+    status, _, attempts, err = fetch_with_retry(t, "u", sleep=lambda s: None)
+    assert status == -1 and attempts == 1 and "network down" in err
+
+
+def test_retry_after_seconds_and_cap():
+    assert calc_retry_delay_s({"Retry-After": "5"}, 1) == 5.0
+    assert calc_retry_delay_s({"Retry-After": "120"}, 1) == 30.0  # cap
+    # exponential: 1s, 2s, 4s...
+    assert calc_retry_delay_s({}, 1) == 1.0
+    assert calc_retry_delay_s({}, 2) == 2.0
+    assert calc_retry_delay_s({}, 3) == 4.0
+    assert calc_retry_delay_s({}, 10) == 30.0  # cap
+
+
+def test_retry_after_http_date_past_uses_initial():
+    assert calc_retry_delay_s({"Retry-After": "Wed, 21 Oct 2015 07:28:00 GMT"}, 1) == 1.0
+
+
+# --- politeness ------------------------------------------------------------
+
+def test_politeness_budget():
+    clock = [0.0]
+    hp = HostPoliteness(rate=2.0, burst=2.0, clock=lambda: clock[0])
+    assert hp.allow("h", 5) == 2  # burst
+    assert hp.allow("h", 1) == 0
+    clock[0] += 1.0  # 1s → 2 tokens refill
+    assert hp.allow("h", 5) == 2
+    # independent host
+    assert hp.allow("h2", 1) == 1
+
+
+def test_politeness_from_delay_range():
+    hp = HostPoliteness.from_delay_range(500, 2000, workers=10, clock=lambda: 0.0)
+    assert hp.rate == pytest.approx(8.0)  # reference ceiling ≈8 req/s
+
+
+def test_politeness_disabled():
+    hp = HostPoliteness(rate=0.0)
+    assert hp.allow("h", 100) == 100
+
+
+# --- robots ----------------------------------------------------------------
+
+def test_robots_rules():
+    r = RobotsRules.parse("User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+    assert r.allowed("/public/x")
+    assert not r.allowed("/private/x")
+    assert r.allowed("/private/ok/y")  # longest match wins
+
+
+def test_robots_cache_fetch_failure_allows():
+    cache = RobotsCache(lambda url: (_ for _ in ()).throw(RuntimeError("no net")))
+    assert cache.allowed("https://h.example.com/x")
+
+
+def test_robots_cache_via_site():
+    site = SyntheticSite(SiteSpec(robots_disallow=["/bbs/Secret"]))
+    t = MockTransport(site)
+    cache = RobotsCache(lambda url: t(url)[0:3:2])
+    assert not cache.allowed("https://www.ptt.cc/bbs/Secret/index1.html")
+    assert cache.allowed("https://www.ptt.cc/bbs/Beauty/index1.html")
+    # cached: only one robots fetch
+    assert t.hits.get("https://www.ptt.cc/robots.txt") == 1
+
+
+# --- frontier shard --------------------------------------------------------
+
+def _row(url, prio, seq, kind="article"):
+    return frontier_row(url, kind, prio, seq, depth=1)
+
+
+def test_shard_priority_order_and_dedup():
+    s = FrontierShard(0, seen_capacity=4096)
+    rows = [
+        _row("https://www.ptt.cc/bbs/B/a1.html", 1, 10),
+        _row("https://www.ptt.cc/bbs/B/index5.html", 0, 99, "index"),
+        _row("https://www.ptt.cc/bbs/B/a1.html", 1, 11),  # dup URL
+        _row("https://i.imgur.com/x.jpg", 2, 1, "media"),
+    ]
+    assert s.offer(rows) == 3
+    taken = s.take(10)
+    assert [(r["priority"], r["seq"]) for r in taken] == [(0, 99), (1, 10), (2, 1)]
+    assert s.get_metrics()["duplicates"] == 1
+    assert s.get_metrics()["false_positives"] == 0
+
+
+def test_shard_push_back_no_dedup():
+    s = FrontierShard(0)
+    r = _row("https://www.ptt.cc/bbs/B/a1.html", 1, 10)
+    s.offer([r])
+    taken = s.take(10)
+    s.push_back(taken)
+    assert s.size() == 1
+    assert s.take(10) == taken
+
+
+def test_shard_checkpoint_restore_roundtrip():
+    s = FrontierShard(3, seen_capacity=4096)
+    rows = [_row(f"https://www.ptt.cc/bbs/B/a{i}.html", 1, i) for i in range(50)]
+    s.offer(rows)
+    s.take(10)
+    state = s.checkpoint_state(epoch=2)
+    s2 = FrontierShard(3, seen_capacity=4096)
+    s2.restore_state(state)
+    assert s2.size() == 40
+    assert s2.seen_set() == s.seen_set()
+    # previously-seen URLs stay deduped after restore
+    assert s2.offer(rows) == 0
+    # remaining order preserved
+    assert [r["seq"] for r in s2.take(40)] == list(range(10, 50))
+
+
+def test_shard_routing_consistent_and_spread():
+    n = 8
+    rows = [_row(f"https://www.ptt.cc/bbs/Gossiping/a{i}.html", 1, i) for i in range(200)]
+    shards = {shard_for(r, n) for r in rows}
+    assert len(shards) > 1, "hot board must be salted across shards"
+    for r in rows:
+        assert shard_for(r, n) == shard_for(r, n)
+
+
+def test_child_seq_encoding():
+    assert child_seq(5, 3) == (5 << 12) | 3
+    with pytest.raises(ValueError):
+        child_seq(1, 5000)
