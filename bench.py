@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Benchmark harness. Default: run the headline crawl bench (synthetic PTT
+frontier, MockTransport with simulated network latency — deterministic, no
+external network) plus the full query suite over $GRAFT_SF_DIR, and print ONE
+JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {...pages/s, verified...}}
+
+--scaling: run the crawl bench twice in FRESH processes at num_cpus=8 and 32
+(the sandbox stand-in for N and 4N cluster sizes; see BASELINE.md) and report
+both throughputs plus scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# crawl bench spec: enough URLs that simulated network latency dominates
+# scheduling overhead (the workload must be latency-bound, not CPU-bound, for
+# the two-parallelism scaling ratio to be meaningful on a 1-physical-CPU box).
+CRAWL_PAGES = 120
+CRAWL_ARTICLES_PER_PAGE = 10
+CRAWL_LATENCY_S = 0.10
+SCALING_PAGES = 250
+SCALING_LATENCY_S = 0.30
+SCALING_BATCH = 4
+
+
+def run_crawl_bench(pages: int, latency_s: float, num_cpus: int,
+                    batch_size: int = 8, verify: bool = True) -> dict:
+    from ptt_spider_go_ray.config import Config
+    from ptt_spider_go_ray.pipelines.crawl import run_crawl
+    from ptt_spider_go_ray.sources.synthetic import (
+        SiteSpec,
+        SyntheticSite,
+        mock_transport_factory,
+    )
+
+    spec = SiteSpec(boards={"Beauty": pages}, articles_per_page=CRAWL_ARTICLES_PER_PAGE)
+    cfg = Config()
+    cc = cfg.crawler
+    cc.frontier_shards = 8
+    cc.batch_urls = 1_000_000      # one round per BFS wave
+    cc.fetch_batch_size = batch_size
+    cc.parser_count = num_cpus
+    cc.robots = False
+    cc.seen_capacity = 1 << 20
+
+    factory = functools.partial(mock_transport_factory, spec, latency_s)
+    t0 = time.time()
+    res = run_crawl(
+        cfg,
+        transport_factory=factory,
+        board="Beauty",
+        pages=pages,
+        push_threshold=0,
+        fetch_media=False,          # headline metric: pages fetched+parsed/s
+        fetch_via="tasks",
+    )
+    elapsed = time.time() - t0
+    n_pages = len(res.ledger)
+    out = {
+        "pages": n_pages,
+        "docs": res.docs.num_rows if res.docs is not None else 0,
+        "seconds": round(elapsed, 2),
+        "pages_per_sec": round(n_pages / elapsed, 2),
+        "rounds": res.rounds,
+        "cuckoo_false_positives": res.metrics["cuckoo_false_positives"],
+    }
+    if verify:
+        # span-sequence verification vs the plain-Python oracle (not timed)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from crawl_oracle import oracle_crawl
+
+        want = oracle_crawl(
+            SyntheticSite(spec), "Beauty", pages, push_threshold=0,
+            batch_urls=cc.batch_urls, fetch_media=False,
+        )
+        got_docs = {r["doc_id"]: r for r in res.docs.to_pylist()}
+        ok = res.ledger == want["ledger"] and res.seen_set == want["seen"]
+        ok = ok and set(got_docs) == set(want["docs"])
+        if ok:
+            for doc_id, w in want["docs"].items():
+                media = [
+                    s["media_ref"] for s in got_docs[doc_id]["spans"] if s["kind"] == "media"
+                ]
+                if media != w["media_refs"]:
+                    ok = False
+                    break
+        out["verified"] = bool(ok)
+    return out
+
+
+def run_query_suite(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    times = {}
+    for name in sorted(qs):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume: Dataset → count via to_pandas (all results are small)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--pages", type=int, default=CRAWL_PAGES)
+    ap.add_argument("--latency", type=float, default=CRAWL_LATENCY_S)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            cmd = [
+                sys.executable, __file__, "--crawl-only",
+                "--cpus", str(cpus),
+                "--pages", str(SCALING_PAGES),
+                "--latency", str(SCALING_LATENCY_S),
+                "--batch", str(SCALING_BATCH),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        r8 = results[8]["crawl"]["pages_per_sec"]
+        r32 = results[32]["crawl"]["pages_per_sec"]
+        eff = r32 / (4.0 * r8)
+        print(json.dumps({
+            "metric": "crawl scaling: pages fetched+parsed/sec at num_cpus=8 vs 32 "
+                      "(N vs 4N stand-in, fresh processes, same input)",
+            "value": round(eff, 3),
+            "unit": "scaling_efficiency",
+            "num_cpus": [8, 32],
+            "pages_per_sec": {"8": r8, "32": r32},
+            "verified": [results[8]["crawl"].get("verified"),
+                         results[32]["crawl"].get("verified")],
+            "sf": SF_DIR,
+        }))
+        return
+
+    init_ray(args.cpus)
+    import ray
+
+    t_start = time.time()
+    crawl = run_crawl_bench(args.pages, args.latency, args.cpus, batch_size=args.batch)
+    payload = {"crawl": crawl}
+    if not args.crawl_only:
+        payload["queries"] = run_query_suite(SF_DIR)
+        payload["queries"]["crawl_bench"] = crawl["seconds"]
+    total = time.time() - t_start
+    print(json.dumps({
+        "metric": "end-to-end seconds: synthetic-frontier crawl bench "
+                  "(pages fetched+parsed, span-sequence-verified) + query suite",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": payload.get("queries", {}),
+        "sf": SF_DIR,
+        "num_cpus": args.cpus,
+        "crawl": crawl,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

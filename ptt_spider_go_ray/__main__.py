@@ -1,0 +1,100 @@
+"""CLI entry point mirroring the reference's flags (-board -pages -push
+-file -config; /root/reference/main.go:19-24). TUI mode is not ported —
+metrics go to stdout/logs (SURVEY §2.3 T5).
+
+Examples::
+
+    python -m ptt_spider_go_ray --board Beauty --pages 2 --push 10 \
+        --out /tmp/crawl_out --mock          # synthetic site, no network
+    python -m ptt_spider_go_ray --file urls.txt --out /tmp/crawl_out --mock
+
+Without --mock the real RequestsTransport is used (no network in this
+sandbox, so --mock is the default behavior when the network is absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def real_transport():
+    from .stages.fetch import RequestsTransport
+
+    return RequestsTransport()
+
+
+def mock_transport():
+    from .sources.synthetic import SiteSpec, SyntheticSite
+    from .stages.fetch import MockTransport
+
+    return MockTransport(SyntheticSite(SiteSpec(boards={"Beauty": 10, "Joke": 5})))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ptt_spider_go_ray")
+    ap.add_argument("--board", default="", help="board name (board mode)")
+    ap.add_argument("--pages", type=int, default=2, help="number of index pages")
+    ap.add_argument("--push", type=int, default=0, help="push-rate threshold")
+    ap.add_argument("--file", dest="file_url", default="", help="URL seed file (file mode)")
+    ap.add_argument("--config", default="config.yaml", help="YAML config path")
+    ap.add_argument("--out", default="/tmp/ptt_spider_out", help="output dir")
+    ap.add_argument("--checkpoint", default="", help="checkpoint dir (enables resume)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mock", action="store_true", help="use the synthetic site")
+    ap.add_argument("--no-media", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from .config import load
+    from .functions.parse import validate_board
+
+    cfg = load(args.config)
+    if args.checkpoint:
+        cfg.crawler.checkpoint_dir = args.checkpoint
+    validate_board(args.board, args.file_url)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.crawl import run_crawl
+
+    file_lines = None
+    if args.file_url:
+        with open(args.file_url) as f:
+            file_lines = f.readlines()
+
+    res = run_crawl(
+        cfg,
+        transport_factory=mock_transport if args.mock else real_transport,
+        board=args.board,
+        pages=args.pages,
+        push_threshold=args.push,
+        file_lines=file_lines,
+        out_dir=args.out,
+        resume=args.resume,
+        fetch_media=not args.no_media,
+    )
+    print(json.dumps({
+        "rounds": res.rounds,
+        "dispatched": len(res.ledger),
+        "docs": res.docs.num_rows if res.docs is not None else 0,
+        "media": res.media.num_rows if res.media is not None else 0,
+        "fetch_errors": res.metrics["fetch_errors"],
+        "duplicates_skipped": res.metrics["total_duplicates"],
+        "out_dir": res.out_dir,
+        "finished": res.finished,
+    }, ensure_ascii=False))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,25 +110,15 @@ _ROLL_BASE = 1_000_003
 _ROLL_MOD = (1 << 61) - 1
 
 
-def rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Deterministic document fingerprint: min of polynomial rolling hashes
-    over character windows (a Rabin-Karp / winnowing-style sketch)."""
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * _ROLL_BASE + b) % _ROLL_MOD
-        return h
-    power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
+def rolling_fingerprint(text: str) -> int:
+    """Deterministic whole-document fingerprint: Rabin-Karp polynomial hash
+    accumulated byte-by-byte (rolling update). Content-sensitive — any byte
+    change flips the fingerprint — unlike the MinHash sketches used for
+    near-dup detection in stages/dedup.py."""
     h = 0
-    best = None
-    for i, b in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * power) % _ROLL_MOD
+    for b in text.encode("utf-8"):
         h = (h * _ROLL_BASE + b) % _ROLL_MOD
-        if i >= window - 1:
-            best = h if best is None else min(best, h)
-    return best
+    return h
 
 
 def char_ngrams(text: str, n: int = 3) -> set[str]:

@@ -40,7 +40,7 @@ from ..functions.parse import (
     validate_board,
 )
 from ..schemas import CHECKPOINT_SCHEMA, FRONTIER_SCHEMA
-from ..stages.fetch import Fetcher, fetch_with_retry
+from ..stages.fetch import Fetcher, fetch_batch_task, fetch_with_retry
 from ..stages.parse_stages import ParseStage
 from ..state.frontier import FrontierShard, frontier_row, shard_for
 
@@ -129,6 +129,7 @@ def run_crawl(
     max_rounds: int | None = None,
     fetch_media: bool = True,
     deterministic: bool = True,
+    fetch_via: str = "actors",
 ) -> CrawlResult:
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
@@ -142,7 +143,9 @@ def run_crawl(
     ckpt_dir = cc.checkpoint_dir
     file_mode = file_lines is not None
 
-    RemoteShard = ray.remote(FrontierShard)
+    # num_cpus=0: shards are lightweight bookkeeping actors; they must never
+    # reserve scheduler slots away from the fetch/parse pools.
+    RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
         RemoteShard.remote(
             i,
@@ -195,13 +198,28 @@ def run_crawl(
 
         tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
         ds = ray.data.from_arrow(tbl)
-        fetched = ds.map_batches(
-            Fetcher,
-            fn_constructor_kwargs=fetch_kwargs,
-            concurrency=(1, max(1, cc.parser_count)),
-            batch_size=cc.fetch_batch_size,
-            batch_format="pyarrow",
-        )
+        if fetch_via == "tasks":
+            # Task-mode fast path: reuses warm Ray workers (per-process
+            # transport cache) instead of spinning an actor pool per round.
+            # Robots/politeness state lives in the frontier path here, so
+            # this is only used when check_robots is off (bench).
+            import functools
+            import pickle
+
+            factory_bytes = pickle.dumps(transport_factory)
+            fetched = ds.map_batches(
+                functools.partial(fetch_batch_task, factory_bytes=factory_bytes),
+                batch_size=cc.fetch_batch_size,
+                batch_format="pyarrow",
+            )
+        else:
+            fetched = ds.map_batches(
+                Fetcher,
+                fn_constructor_kwargs=fetch_kwargs,
+                concurrency=(1, max(1, cc.parser_count)),
+                batch_size=cc.fetch_batch_size,
+                batch_format="pyarrow",
+            )
         union = fetched.map_batches(parse_stage, batch_format="pyarrow").materialize()
 
         def _split(rt: str, drop: list[str]) -> pa.Table | None:

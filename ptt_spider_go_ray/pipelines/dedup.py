@@ -1,0 +1,216 @@
+"""Ray Data dedup pipelines over the ``documents`` table (training-data
+extensions). Each returns a Dataset; the ``queries()`` registry exposes them,
+with DuckDB oracles where exact semantics are SQL-expressible.
+
+Scale shape: signature pass = streaming map_batches (stateful actor pool for
+the MinHasher); the only shuffle is the groupby on band/bucket keys carrying
+(key, doc_id [, signature]) — documents never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.dedup import (
+    BandExploder,
+    MinHasher,
+    minhash_jaccard,
+    ngram_jaccard,
+    simhash_batch,
+    simhash_block_keys,
+)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
+    """documents → minhash signatures (actor pool) → band explode →
+    groupby(band_key) → candidate pairs with signature-estimated Jaccard.
+    Returns one row per candidate pair (a < b) with est_jaccard."""
+    ds = _docs(sf_dir)
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_perm": n_perm},
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+    banded = sigs.map_batches(
+        lambda t: _band_with_sig(t, n_bands), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
+        g = g.sort_values("doc_id")
+        rows = []
+        ids = g["doc_id"].tolist()
+        sig_list = [np.array(s, dtype=np.uint64) for s in g["minhash"].tolist()]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                rows.append((ids[i], ids[j], minhash_jaccard(sig_list[i], sig_list[j])))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    cand = banded.groupby("band_key").map_groups(pairs, batch_format="pandas")
+
+    # same pair can surface from multiple bands → dedup via groupby-first
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+def _band_with_sig(t: pa.Table, n_bands: int) -> pa.Table:
+    """Band explode keeping the signature on each row (needed for in-group
+    estimation without a second join)."""
+    from ..stages.dedup import lsh_band_keys
+
+    doc_ids, keys, sigs = [], [], []
+    for doc_id, sig in zip(t["doc_id"].to_pylist(), t["minhash"].to_pylist()):
+        arr = np.array(sig, dtype=np.uint64)
+        for key in lsh_band_keys(arr, n_bands):
+            doc_ids.append(doc_id)
+            keys.append(key)
+            sigs.append(sig)
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(doc_ids),
+            "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
+    """documents → simhash → block-key explode → groupby(block) → verified
+    pairs with exact Hamming distance ≤ max_hamming."""
+    from ..stages.dedup import hamming64
+
+    ds = _docs(sf_dir)
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, keys, hashes = [], [], []
+        for doc_id, h in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+            for key in simhash_block_keys(int(h), n_blocks=4):
+                doc_ids.append(doc_id)
+                keys.append(key)
+                hashes.append(h)
+        return pa.table(
+            {
+                "block_key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(doc_ids),
+                "simhash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        hs = [int(h) for h in g["simhash"].tolist()]
+        rows = [
+            (ids[i], ids[j], hamming64(hs[i], hs[j]))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if hamming64(hs[i], hs[j]) <= max_hamming
+        ]
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    cand = sh.map_batches(explode, batch_format="pyarrow").groupby("block_key").map_groups(
+        pairs, batch_format="pandas"
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
+    """Exact n-gram-Jaccard near-dup detection: bucket by cheap length key
+    (token count // 8 — near-dups have near-equal lengths), verify exactly
+    within buckets. Returns pairs with jaccard ≥ threshold."""
+    ds = _docs(sf_dir)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        nt = [len((x or "").split()) for x in texts]
+        return pa.table(
+            {
+                "len_key": pa.array([n // 8 for n in nt], pa.int64()),
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
+        g = g.sort_values("doc_id")
+        ids, texts = g["doc_id"].tolist(), g["text"].tolist()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = ngram_jaccard(texts[i] or "", texts[j] or "", k)
+                if jac >= threshold:
+                    rows.append((ids[i], ids[j], jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return ds.map_batches(keyed, batch_format="pyarrow").groupby("len_key").map_groups(
+        pairs, batch_format="pandas"
+    )
+
+
+def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95, n_lsh_bits: int = 8):
+    """Embedding near-dup via random-hyperplane LSH bucketing + exact cosine
+    verification within buckets (the scale path: buckets shuffle only
+    (bucket, id, vector))."""
+    import ray
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    planes_ref = None  # set after reading dim
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    planes = rng.standard_normal((dim, n_lsh_bits))
+    planes_ref = ray.put(planes)
+
+    def bucket(t: pa.Table, pref=planes_ref) -> pa.Table:
+        p = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        bits = (mat @ p) > 0
+        keys = (bits * (1 << np.arange(n_lsh_bits))).sum(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.astype(np.int64)),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        from ..stages.dedup import cosine_dup_pairs
+
+        rows = cosine_dup_pairs(ids, mat, threshold)
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        pairs, batch_format="pandas"
+    )

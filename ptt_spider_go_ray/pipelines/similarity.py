@@ -1,0 +1,142 @@
+"""Similarity search over the embedding column: brute-force cosine top-k
+(baseline — broadcast query matrix, one float64 matmul per batch, partial
+top-k per batch, final merge) and an IVF-bucketed variant (the scale path:
+coarse quantizer assigns each vector to a centroid bucket; queries probe
+only the nearest buckets, so the scan is 1/nlist of the data per probe)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n_queries].sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Partial top-k inside each batch (combiner), tiny final merge — the
+    groupby only moves n_batches × n_queries × k rows."""
+    import ray
+
+    ids, qmat = _query_matrix(sf_dir, n_queries)
+    qref = ray.put((ids, qmat))
+
+    def score_topk(t: pa.Table, qref=qref) -> pa.Table:
+        q_ids, qn = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms) @ qn.T  # (batch, nq)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(cos.shape[1]):
+            col = cos[:, qi]
+            mask = vids != q_ids[qi]
+            cand_idx = np.nonzero(mask)[0]
+            if not len(cand_idx):
+                continue
+            top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+            out_q.extend([q_ids[qi]] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_c.extend(col[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partial = _embeddings(sf_dir).map_batches(score_topk, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nlist: int = 8,
+             nprobe: int = 3, seed: int = 23):
+    """IVF: centroids from a deterministic sample (k-means-lite: one Lloyd
+    iteration over a sample — enough for bucketing), assign per batch,
+    probe-filter, exact rerank within probed buckets."""
+    import ray
+
+    ids, qmat = _query_matrix(sf_dir, n_queries)
+
+    # driver-side: sample → centroids (small, deterministic)
+    sample = _embeddings(sf_dir).random_sample(0.2, seed=seed).take(512)
+    smat = np.stack([r["embedding"] for r in sample]).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = smat[rng.choice(len(smat), size=min(nlist, len(smat)), replace=False)]
+    for _ in range(2):  # two Lloyd steps
+        d = ((smat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = smat[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    cent_ref = ray.put(cent)
+
+    q_probes = {}  # query → probed centroid ids
+    qd = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    for qi, q_id in enumerate(ids):
+        q_probes[int(q_id)] = set(np.argsort(qd[qi])[:nprobe].tolist())
+    probes_ref = ray.put((ids, qmat, q_probes))
+
+    def assign_and_score(t: pa.Table, cref=cent_ref, pref=probes_ref) -> pa.Table:
+        c = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        q_ids, qn, probes = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        cell = d.argmin(1)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms) @ qn.T
+        out_q, out_n, out_c = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            probe_mask = np.isin(cell, list(probes[int(q_id)])) & (vids != q_id)
+            idx = np.nonzero(probe_mask)[0]
+            top = idx[np.argsort(-cos[idx, qi], kind="stable")[:k]]
+            out_q.extend([q_id] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_c.extend(cos[top, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partial = _embeddings(sf_dir).map_batches(assign_and_score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -34,6 +34,20 @@ class SiteSpec:
     robots_disallow: list[str] = field(default_factory=list)  # path prefixes
 
 
+def mock_transport_factory(spec: "SiteSpec | None" = None, latency_s: float = 0.0,
+                           transport_error_urls: frozenset | None = None):
+    """Library-level factory for fetch stages: partial(mock_transport_factory,
+    spec, ...) is picklable BY REFERENCE into Ray workers (a factory defined
+    in a test module or script is not importable there)."""
+    from ..stages.fetch import MockTransport
+
+    return MockTransport(
+        SyntheticSite(spec),
+        transport_error_urls=set(transport_error_urls or ()),
+        latency_s=latency_s,
+    )
+
+
 class SyntheticSite:
     def __init__(self, spec: SiteSpec | None = None):
         self.spec = spec or SiteSpec()
@@ -64,7 +78,9 @@ class SyntheticSite:
             if url.startswith(prefix):
                 rest = url[len(prefix):]
                 if rest.startswith("index") and rest.endswith(".html"):
-                    page = int(rest[5:-5])
+                    # bare index.html = newest page (PTT behavior; its prev
+                    # button points at max_page-1 so ParseMaxPage → max_page)
+                    page = int(rest[5:-5]) if rest != "index.html" else max_page
                     if page < 1 or page > max_page:
                         return 404, b"no such page"
                     return 200, self._board_page(board, page, max_page).encode()

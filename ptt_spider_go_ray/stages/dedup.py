@@ -1,0 +1,189 @@
+"""Deduplication operators for the training-data pipeline extensions:
+exact (hash-partition + per-group first), MinHash+LSH, SimHash, n-gram
+Jaccard verification, and embedding-cosine near-dup. All are standard
+algorithms from the public dedup literature (Broder 1997 MinHash; Charikar
+2002 SimHash; Leskovec et al., Mining of Massive Datasets ch.3 for LSH
+banding).
+
+Shape at scale (the part that matters at 100 TB):
+- signatures are computed in a single streaming ``map_batches`` pass
+  (vectorized numpy per batch);
+- candidate generation is a ``groupby`` on the *band/bucket key* — the only
+  shuffle, and it moves just (key, doc_id, signature) rows, never documents;
+- verification (exact Jaccard / Hamming) runs per group on the small
+  candidate sets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (uint64)."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    if len(toks) < k:
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """Stateful signature computer — permutation params built once per actor
+    (__init__), applied vectorized per batch (__call__)."""
+
+    def __init__(self, n_perm: int = 128, shingle_k: int = 3, seed: int = 7):
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.n_perm = n_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_k).astype(np.object_)
+        # (a*h + b) mod p, outer over permutations; object dtype avoids
+        # uint64 overflow (python ints), still a single vectorized expression
+        vals = (self.a[:, None].astype(np.object_) * h[None, :] + self.b[:, None].astype(np.object_)) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+
+def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
+    """Split the signature into bands; each band hashes to a bucket key."""
+    rows = len(sig) // n_bands
+    keys = []
+    for band in range(n_bands):
+        chunk = sig[band * rows : (band + 1) * rows]
+        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"{band}:{digest}")
+    return keys
+
+
+class BandExploder:
+    def __init__(self, n_bands: int = 16):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, keys = [], []
+        for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist()):
+            for key in lsh_band_keys(np.array(sig, dtype=np.uint64), self.n_bands):
+                doc_ids.append(doc_id)
+                keys.append(key)
+        return pa.table(
+            {"band_key": pa.array(keys, pa.string()), "doc_id": pa.array(doc_ids)}
+        )
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (Charikar 2002)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in toks
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sh = [simhash64(t or "") for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(sh, pa.uint64()),
+        }
+    )
+
+
+def simhash_block_keys(h: int, n_blocks: int = 4) -> list[str]:
+    """Split the 64-bit hash into blocks; near-dups (Hamming ≤ n_blocks-1)
+    share at least one block key (pigeonhole — Manku et al., WWW'07)."""
+    bits = 64 // n_blocks
+    mask = (1 << bits) - 1
+    return [f"{i}:{(h >> (i * bits)) & mask:x}" for i in range(n_blocks)]
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    from ..functions.text import jaccard, word_shingles
+
+    return jaccard(word_shingles(a, k), word_shingles(b, k))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_dup_pairs(ids: np.ndarray, mat: np.ndarray, threshold: float) -> list[tuple]:
+    """Brute-force within-bucket pair scan (call on small groups only)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = mat / norms
+    cos = m @ m.T
+    out = []
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    for i, j in zip(*iu):
+        if cos[i, j] >= threshold:
+            out.append((ids[i], ids[j], float(cos[i, j])))
+    return out

@@ -136,6 +136,45 @@ def fetch_with_retry(transport, url: str, sleep=time.sleep) -> tuple[int, bytes,
     return -1, b"", RETRY_MAX_ATTEMPTS, "unreachable"
 
 
+# Per-worker-process transport cache for task-mode fetching: tasks reuse the
+# warm Ray worker processes, so caching by factory pickle gives each worker
+# one long-lived session without actor-pool spin-up (bench fast path; the
+# actor pool remains the default for stateful politeness/robots).
+_TASK_TRANSPORTS: dict[bytes, object] = {}
+
+
+def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
+                     max_body_bytes: int = MAX_IMAGE_BYTES) -> pa.Table:
+    import pickle
+
+    transport = _TASK_TRANSPORTS.get(factory_bytes)
+    if transport is None:
+        transport = pickle.loads(factory_bytes)()
+        _TASK_TRANSPORTS[factory_bytes] = transport
+    urls = batch["url"].to_pylist()
+    kinds = batch["kind"].to_pylist()
+    statuses, oks, errors, bodies, attempts_l = [], [], [], [], []
+    for url, kind in zip(urls, kinds):
+        status, body, attempts, err = fetch_with_retry(transport, url, sleep=lambda s: None)
+        ok = status == 200 and not err
+        if ok and kind == "media" and len(body) > max_body_bytes:
+            status, body, err, ok = status, b"", "oversize", False
+        if not ok and not err:
+            err = f"http {status}"
+        statuses.append(status)
+        oks.append(ok)
+        errors.append(err)
+        bodies.append(body if ok else b"")
+        attempts_l.append(attempts)
+    return (
+        batch.append_column("status", pa.array(statuses, pa.int32()))
+        .append_column("ok", pa.array(oks, pa.bool_()))
+        .append_column("error", pa.array(errors, pa.string()))
+        .append_column("body", pa.array(bodies, pa.large_binary()))
+        .append_column("attempts", pa.array(attempts_l, pa.int32()))
+    )
+
+
 class Fetcher:
     """Actor-pool batch fn: frontier rows in → rows + status/body columns out.
 

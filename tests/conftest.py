@@ -12,12 +12,18 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ray.init(
             address="local",
             num_cpus=4,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # workers must be able to import the library and test helpers
+            # (callables defined in test modules pickle by reference)
+            runtime_env={
+                "env_vars": {"PYTHONPATH": f"{repo}:{os.path.join(repo, 'tests')}"}
+            },
         )
     from ray.data import DataContext
 

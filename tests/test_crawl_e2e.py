@@ -1,0 +1,182 @@
+"""End-to-end crawl tests on a deterministic synthetic site (no network):
+crawl-ordering equality, final URL-seen-set equality, span-sequence
+equality per doc, push filter, failure skip-and-continue, and
+kill → checkpoint → resume without refetch or duplication (north rule)."""
+
+import functools
+
+import pytest
+
+from crawl_oracle import oracle_crawl
+from ptt_spider_go_ray.config import Config
+from ptt_spider_go_ray.pipelines.crawl import run_crawl
+from ptt_spider_go_ray.sources.synthetic import (
+    SiteSpec,
+    SyntheticSite,
+    mock_transport_factory as make_transport,
+)
+
+
+def cfg_small(**over):
+    c = Config()
+    c.crawler.frontier_shards = 4
+    c.crawler.batch_urls = 16
+    c.crawler.fetch_batch_size = 8
+    c.crawler.parser_count = 2
+    for k, v in over.items():
+        setattr(c.crawler, k, v)
+    return c
+
+
+SPEC = SiteSpec(boards={"Beauty": 5, "Joke": 3}, articles_per_page=5)
+
+
+@pytest.fixture(scope="module")
+def board_crawl(ray_session):
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(),
+        transport_factory=factory,
+        board="Beauty",
+        pages=3,
+        push_threshold=10,
+    )
+    want = oracle_crawl(
+        SyntheticSite(SPEC), "Beauty", 3, push_threshold=10, batch_urls=16
+    )
+    return res, want
+
+
+def test_crawl_ordering_equality(board_crawl):
+    res, want = board_crawl
+    assert res.ledger == want["ledger"]
+
+
+def test_final_seen_set_equality(board_crawl):
+    res, want = board_crawl
+    assert res.seen_set == want["seen"]
+    assert res.metrics["cuckoo_false_positives"] == 0
+
+
+def test_docs_match_oracle_span_sequences(board_crawl):
+    res, want = board_crawl
+    assert res.docs is not None
+    got = {r["doc_id"]: r for r in res.docs.to_pylist()}
+    assert set(got) == set(want["docs"])
+    for doc_id, w in want["docs"].items():
+        g = got[doc_id]
+        media = [s["media_ref"] for s in g["spans"] if s["kind"] == "media"]
+        assert media == w["media_refs"], doc_id          # order + dedup (D1/O3)
+        assert g["title"] == w["title"]
+        assert g["push_rate"] == w["push"]
+        offs = [s["offset"] for s in g["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_media_results_match(board_crawl):
+    res, want = board_crawl
+    got_media = sorted(r["url"] for r in res.media.to_pylist() if r["media_ok"])
+    assert got_media == want["media_fetched"]
+    for r in res.media.to_pylist():
+        assert r["media_ok"] and r["n_bytes"] > 0 and r["doc_id"].startswith("bbs/")
+
+
+def test_push_threshold_respected(board_crawl):
+    res, _ = board_crawl
+    pushes = [r["push_rate"] for r in res.docs.to_pylist()]
+    assert all(p >= 10 for p in pushes)
+
+
+def test_file_mode(ray_session):
+    site = SyntheticSite(SPEC)
+    lines = [
+        "  " + site.article_url("Beauty", 2, 2) + "  ",
+        "# comment",
+        site.article_url("Joke", 1, 3),
+        "https://other.host/bbs/Beauty/x.html",
+        "",
+    ]
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(),
+        transport_factory=factory,
+        file_lines=lines,
+        board="beauty",
+    )
+    want = oracle_crawl(site, "", 0, batch_urls=16, file_lines=lines)
+    assert res.ledger == want["ledger"]
+    assert res.seen_set == want["seen"]
+    got = {r["doc_id"]: r for r in res.docs.to_pylist()}
+    assert set(got) == set(want["docs"])
+    # file mode: push 0, title from article content (P8)
+    for doc_id, w in want["docs"].items():
+        assert got[doc_id]["title"] == w["title"]
+        assert got[doc_id]["push_rate"] == 0
+
+
+def test_fetch_failures_skip_and_continue(ray_session):
+    spec = SiteSpec(boards={"Beauty": 3}, articles_per_page=4)
+    # every article on page 2 404s; one article always-429s
+    site = SyntheticSite(spec)
+    bad_article = site.article_url("Beauty", 3, 2)
+    spec.not_found = {site.article_id("Beauty", 2, 0)}
+    spec.always_429 = {site.article_id("Beauty", 3, 2)}
+    factory = functools.partial(make_transport, spec)
+    res = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3
+    )
+    assert res.metrics["fetch_errors"] >= 1
+    doc_urls = {r["url"] for r in res.docs.to_pylist()}
+    assert bad_article not in doc_urls
+    assert res.finished
+
+
+def test_resume_from_checkpoint_no_refetch(ray_session, tmp_path):
+    factory = functools.partial(make_transport, SPEC)
+    ck = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+
+    # uninterrupted reference run
+    full = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10,
+    )
+
+    # killed run: stop after 2 rounds
+    part = run_crawl(
+        cfg_small(checkpoint_dir=ck), transport_factory=factory,
+        board="Beauty", pages=3, push_threshold=10, max_rounds=2, out_dir=out1,
+    )
+    assert not part.finished and part.rounds == 2
+
+    # resume and finish
+    rest = run_crawl(
+        cfg_small(checkpoint_dir=ck), transport_factory=factory,
+        board="Beauty", pages=3, push_threshold=10, resume=True, out_dir=out1,
+    )
+    assert rest.finished
+
+    # ledger continues exactly — no URL dispatched (fetched) twice
+    assert rest.ledger == full.ledger
+    urls = [u for _, _, u in rest.ledger]
+    assert len(urls) == len(set(urls))
+    assert rest.seen_set == full.seen_set
+
+    # docs across both runs equal the uninterrupted run's docs (idempotent output)
+    import pyarrow as pa
+
+    combined = pa.concat_tables(t for t in (part.docs, rest.docs) if t is not None)
+    got_ids = sorted(combined["doc_id"].to_pylist())
+    assert got_ids == sorted(full.docs["doc_id"].to_pylist())
+    assert len(got_ids) == len(set(got_ids))
+
+
+def test_robots_gating(ray_session):
+    spec = SiteSpec(boards={"Beauty": 2}, articles_per_page=4,
+                    robots_disallow=["/bbs/Beauty/M.170000020"])
+    factory = functools.partial(make_transport, spec)
+    res = run_crawl(cfg_small(), transport_factory=factory, board="Beauty", pages=2)
+    # denied articles produce fetch_err rows, not docs
+    doc_urls = {r["url"] for r in res.docs.to_pylist()}
+    assert all("/M.170000020" not in u for u in doc_urls)
+    assert res.metrics["fetch_errors"] >= 1

@@ -1,0 +1,207 @@
+"""Tests for the training-data pipeline extensions: dedup family, similarity
+search, text analysis, multimodal stubs. Pure-function tests first; Ray
+pipeline tests use sf0.001 with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ptt_spider_go_ray.functions import text as T
+from ptt_spider_go_ray.stages.dedup import (
+    MinHasher,
+    hamming64,
+    lsh_band_keys,
+    minhash_jaccard,
+    ngram_jaccard,
+    simhash64,
+    simhash_block_keys,
+)
+from ptt_spider_go_ray.stages.multimodal import ImageDecoder, MEDIA_META_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- text analysis scalar fns ----------------------------------------------
+
+def test_token_counts():
+    assert T.token_count("  a  b\tc\n") == 3
+    assert T.token_count("") == 0
+    assert T.bpe_token_count("hello, world 42!") == 5  # hello , world 42 !
+
+
+def test_detect_lang():
+    assert T.detect_lang("the cat sat on the mat and it is fine") == "en"
+    assert T.detect_lang("der hund ist nicht da und die katze") == "de"
+    assert T.detect_lang("這是一段中文的測試文字") == "zh"
+    assert T.detect_lang("xyzzy qwerty") == "und"
+
+
+def test_quality_score_fields():
+    q = T.quality_score("The quick brown fox jumps over the lazy dog. It is fast!")
+    assert q["n_tokens"] == 12
+    assert q["punct_ratio"] > 0
+    assert 0 <= q["quality"] <= 1.0
+
+
+def test_rolling_fingerprint_deterministic():
+    a = T.rolling_fingerprint("some document text here")
+    assert a == T.rolling_fingerprint("some document text here")
+    assert a != T.rolling_fingerprint("some document text hers")
+
+
+# --- minhash / simhash -----------------------------------------------------
+
+def test_minhash_similar_docs_agree():
+    mh = MinHasher(n_perm=64)
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about databases and queries " * 10
+    s1, s2, s3 = mh.signature(base), mh.signature(near), mh.signature(far)
+    # repeated base text has ~12 distinct shingles; the one-word edit adds 3
+    # → true Jaccard ≈ 0.6; the estimate must sit near it
+    assert minhash_jaccard(s1, s2) > 0.45
+    assert minhash_jaccard(s1, s3) < 0.2
+
+
+def test_minhash_lsh_bands_collide_for_dups():
+    mh = MinHasher(n_perm=64)
+    s = mh.signature("identical text " * 20)
+    assert lsh_band_keys(s, 16) == lsh_band_keys(s, 16)
+    s2 = mh.signature("identical text " * 20)
+    assert (s == s2).all()
+
+
+def test_simhash_near_dup_small_hamming():
+    base = "ray data streaming execution with arrow batches " * 8
+    near = base + "extra"
+    far = "unrelated words entirely about cooking recipes and food " * 8
+    h1, h2, h3 = simhash64(base), simhash64(near), simhash64(far)
+    assert hamming64(h1, h2) <= 6
+    assert hamming64(h1, h3) > 10
+    # identical hash shares all block keys
+    assert simhash_block_keys(h1) == simhash_block_keys(h1)
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+# --- multimodal stub -------------------------------------------------------
+
+def test_image_decoder_fake_backend():
+    dec = ImageDecoder(backend="fake")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2"]),
+            "span_idx": pa.array([0, 3], pa.int32()),
+            "media_ref": pa.array(["u1", "u2"]),
+            "body": pa.array([b"imagebytes1", b"imagebytes2"], pa.large_binary()),
+        }
+    )
+    out = dec(batch)
+    assert out.schema.equals(MEDIA_META_SCHEMA)
+    rows = out.to_pylist()
+    assert rows[0]["n_bytes"] == 11
+    assert rows[0]["format"] in ("jpeg", "png", "gif")
+    assert len(rows[0]["feature"]) == 16
+    # deterministic
+    assert dec(batch).to_pylist() == rows
+
+
+def test_pillow_backend_stubbed():
+    with pytest.raises((NotImplementedError, ValueError)):
+        ImageDecoder(backend="pillow")
+
+
+# --- Ray pipelines (planted duplicates) ------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs_dir(tmp_path_factory):
+    """sf0.001 documents with planted near/exact duplicates."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("dupdata")
+    t = pq.read_table(f"{SF}/documents.parquet")
+    df = t.to_pandas()
+    base = df.iloc[0]["text"]
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002, 9003],
+            "text": [base, base + " tail", "zzz unique " * 30],
+            "lang": ["en"] * 3,
+            "source": ["dup"] * 3,
+            "n_chars": [len(base), len(base) + 5, 330],
+        }
+    )
+    out = pd.concat([df, extra], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{d}/documents.parquet")
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    dup_vec = emb.iloc[0]["embedding"]
+    emb_extra = pd.DataFrame(
+        {"vec_id": [9001], "embedding": [dup_vec], "label": [emb.iloc[0]["label"]]}
+    )
+    emb_out = pd.concat([emb, emb_extra], ignore_index=True)
+    tbl = pa.Table.from_pandas(emb_out, preserve_index=False)
+    tbl = tbl.cast(pq.read_schema(f"{SF}/embeddings.parquet"))
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_minhash_lsh_pipeline_finds_planted_dup(ray_session, dup_docs_dir):
+    from ptt_spider_go_ray.pipelines.dedup import minhash_lsh_candidates
+
+    got = minhash_lsh_candidates(dup_docs_dir, n_perm=64, n_bands=16).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert (0, 9001) in pairs  # exact dup
+    exact = got[(got["doc_a"] == 0) & (got["doc_b"] == 9001)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+
+def test_simhash_pipeline_finds_planted_dup(ray_session, dup_docs_dir):
+    from ptt_spider_go_ray.pipelines.dedup import simhash_near_dups
+
+    got = simhash_near_dups(dup_docs_dir, max_hamming=3).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert (0, 9001) in pairs
+
+
+def test_ngram_jaccard_pipeline(ray_session, dup_docs_dir):
+    from ptt_spider_go_ray.pipelines.dedup import ngram_jaccard_dups
+
+    got = ngram_jaccard_dups(dup_docs_dir, threshold=0.8).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert (0, 9001) in pairs
+
+
+def test_embedding_cosine_dups(ray_session, dup_docs_dir):
+    from ptt_spider_go_ray.pipelines.dedup import embedding_cosine_dups
+
+    got = embedding_cosine_dups(dup_docs_dir, threshold=0.999).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])}
+    assert (0, 9001) in pairs  # planted identical vector shares every LSH bit
+
+
+def test_brute_force_vs_ivf_topk(ray_session):
+    from ptt_spider_go_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    bf = brute_force_topk(SF, n_queries=3, k=5).to_pandas()
+    assert set(bf["query_id"]) == {0, 1, 2}
+    assert (bf.groupby("query_id").size() == 5).all()
+    # brute force matches the q_ann_topk oracle ordering per query
+    ivf = ivf_topk(SF, n_queries=3, k=5, nlist=4, nprobe=4).to_pandas()
+    # nprobe == nlist ⇒ IVF probes everything ⇒ identical to brute force
+    for q in (0, 1, 2):
+        b = bf[bf["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        v = ivf[ivf["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert b == v
+
+
+def test_lang_id_pipeline(ray_session):
+    from ptt_spider_go_ray.pipelines.textanalysis import lang_id
+
+    got = lang_id(SF).to_pandas()
+    assert len(got) == 500
+    assert set(got.columns) == {"doc_id", "lang", "pred_lang", "agree"}
