@@ -55,6 +55,8 @@ class CrawlResult:
     rounds: int = 0
     finished: bool = True
     out_dir: str = ""
+    setup_seconds: float = 0.0   # shard-actor spawn + seeding
+    loop_seconds: float = 0.0    # fetch/parse/offer rounds only
 
 
 def _no_sleep(_s: float) -> None:
@@ -137,12 +139,15 @@ def run_crawl(
     sleeping (rate 0) so ordering tests are exact."""
     import ray
 
+    import time as _time
+
     cfg = cfg or Config()
     cc = cfg.crawler
     n_shards = cc.frontier_shards
     ckpt_dir = cc.checkpoint_dir
     file_mode = file_lines is not None
 
+    t_setup = _time.time()
     # num_cpus=0: shards are lightweight bookkeeping actors; they must never
     # reserve scheduler slots away from the fetch/parse pools.
     RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
@@ -154,6 +159,7 @@ def run_crawl(
         )
         for i in range(n_shards)
     ]
+    ray.get([s.size.remote() for s in shards])  # force actor spawn (setup cost)
 
     ledger: list[tuple] = []
     epoch = 0
@@ -186,6 +192,8 @@ def run_crawl(
     fetch_errors = 0
     rounds_this_run = 0
     finished = True
+    setup_seconds = _time.time() - t_setup
+    t_loop = _time.time()
 
     while True:
         if max_rounds is not None and rounds_this_run >= max_rounds:
@@ -197,7 +205,11 @@ def run_crawl(
         ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
 
         tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
-        ds = ray.data.from_arrow(tbl)
+        # one block per fetch batch: from_arrow(single table) would give ONE
+        # block = one task = a serial round; zero-copy slices parallelize it
+        bs = max(1, cc.fetch_batch_size)
+        slices = [tbl.slice(i, bs) for i in range(0, tbl.num_rows, bs)]
+        ds = ray.data.from_arrow(slices)
         if fetch_via == "tasks":
             # Task-mode fast path: reuses warm Ray workers (per-process
             # transport cache) instead of spinning an actor pool per round.
@@ -220,18 +232,19 @@ def run_crawl(
                 batch_size=cc.fetch_batch_size,
                 batch_format="pyarrow",
             )
-        union = fetched.map_batches(parse_stage, batch_format="pyarrow").materialize()
+        union = fetched.map_batches(parse_stage, batch_format="pyarrow")
+
+        # ONE pass over the round's (bounded) output: pull blocks and split by
+        # row_type driver-side with vectorized Arrow filters — re-executing a
+        # filter Dataset per slice would pay fixed execution overhead 3-4×.
+        blocks = [t for t in ray.get(union.to_arrow_refs()) if t.num_rows]
+        union_tbl = pa.concat_tables(blocks) if blocks else None
 
         def _split(rt: str, drop: list[str]) -> pa.Table | None:
-            """Collect one row_type slice of the (bounded, materialized)
-            round union into a single Arrow table."""
-            sliced = union.map_batches(
-                lambda t, rt=rt: t.filter(pc.equal(t["row_type"], rt)).drop_columns(drop),
-                batch_format="pyarrow",
-            )
-            refs = sliced.to_arrow_refs()
-            tbls = [t for t in ray.get(refs) if t.num_rows]
-            return pa.concat_tables(tbls) if tbls else None
+            if union_tbl is None:
+                return None
+            t = union_tbl.filter(pc.equal(union_tbl["row_type"], rt))
+            return t.drop_columns(drop) if t.num_rows else None
 
         cand_tbl = _split("cand", ["body", "spans", "row_type"])
         if cand_tbl is not None:
@@ -269,6 +282,7 @@ def run_crawl(
         if ckpt_dir:
             _checkpoint(shards, ckpt_dir, epoch, ledger)
 
+    loop_seconds = _time.time() - t_loop
     shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
     seen: list[str] = sorted(set().union(*ray.get([s.seen_set.remote() for s in shards])))
     metrics = {
@@ -289,6 +303,8 @@ def run_crawl(
         rounds=epoch,
         finished=finished,
         out_dir=out_dir,
+        setup_seconds=setup_seconds,
+        loop_seconds=loop_seconds,
     )
 
 

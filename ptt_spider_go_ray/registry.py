@@ -38,12 +38,14 @@ def _crawl_board(sf_dir: str):
     cfg.crawler.frontier_shards = 4
     cfg.crawler.batch_urls = 4096
     cfg.crawler.parser_count = 4
+    cfg.crawler.robots = False
     res = run_crawl(
         cfg,
         transport_factory=functools.partial(mock_transport_factory, spec),
         board="Beauty",
         pages=3,
         push_threshold=10,
+        fetch_via="tasks",
     )
     return res.docs
 
@@ -62,12 +64,14 @@ def _crawl_media_decode(sf_dir: str):
     cfg.crawler.frontier_shards = 4
     cfg.crawler.batch_urls = 4096
     cfg.crawler.parser_count = 4
+    cfg.crawler.robots = False
     res = run_crawl(
         cfg,
         transport_factory=functools.partial(mock_transport_factory, spec),
         board="Beauty",
         pages=2,
         push_threshold=0,
+        fetch_via="tasks",
     )
     media = ray.data.from_arrow(res.media.rename_columns(
         [c if c != "url" else "media_ref" for c in res.media.column_names]
