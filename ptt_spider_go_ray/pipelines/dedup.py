@@ -44,25 +44,35 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
         lambda t: _band_with_sig(t, n_bands), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
-        g = g.sort_values("doc_id")
+    # Shuffle on a COARSE bucket (hash(band_key) % 256) instead of the raw
+    # band_key: band keys are mostly singletons, and map_groups pays ~1 ms of
+    # Python per group — 80k tiny groups would dominate wall time. Within a
+    # bucket, pandas' C-level groupby walks the per-key runs.
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        ids = g["doc_id"].tolist()
-        sig_list = [np.array(s, dtype=np.uint64) for s in g["minhash"].tolist()]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                rows.append((ids[i], ids[j], minhash_jaccard(sig_list[i], sig_list[j])))
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            sig_list = [np.array(s, dtype=np.uint64) for s in grp["minhash"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows.append((ids[i], ids[j], minhash_jaccard(sig_list[i], sig_list[j])))
+        if not rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
 
-    cand = banded.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = banded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
 
-    # same pair can surface from multiple bands → dedup via groupby-first
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # same pair can surface from multiple bands → exact dedup (tiny result)
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
 def _band_with_sig(t: pa.Table, n_bands: int) -> pa.Table:
@@ -77,8 +87,11 @@ def _band_with_sig(t: pa.Table, n_bands: int) -> pa.Table:
             doc_ids.append(doc_id)
             keys.append(key)
             sigs.append(sig)
+    keys_arr = np.asarray(keys, dtype=object)
+    buckets = (pd.util.hash_array(keys_arr) % 256).astype(np.int64)
     return pa.table(
         {
+            "bucket": pa.array(buckets),
             "band_key": pa.array(keys, pa.string()),
             "doc_id": pa.array(doc_ids),
             "minhash": pa.array(sigs, pa.list_(pa.uint64())),
@@ -101,36 +114,46 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
                 doc_ids.append(doc_id)
                 keys.append(key)
                 hashes.append(h)
+        buckets = (pd.util.hash_array(np.asarray(keys, dtype=object)) % 256).astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array(buckets),
                 "block_key": pa.array(keys, pa.string()),
                 "doc_id": pa.array(doc_ids),
                 "simhash": pa.array(hashes, pa.uint64()),
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = [int(h) for h in g["simhash"].tolist()]
-        rows = [
-            (ids[i], ids[j], hamming64(hs[i], hs[j]))
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-            if hamming64(hs[i], hs[j]) <= max_hamming
-        ]
+    # coarse-bucket shuffle + in-bucket pandas groupby (see minhash pipeline)
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("block_key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            hs = [int(h) for h in grp["simhash"].tolist()]
+            rows.extend(
+                (ids[i], ids[j], hamming64(hs[i], hs[j]))
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+                if hamming64(hs[i], hs[j]) <= max_hamming
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
 
-    cand = sh.map_batches(explode, batch_format="pyarrow").groupby("block_key").map_groups(
-        pairs, batch_format="pandas"
+    cand = sh.map_batches(explode, batch_format="pyarrow").groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):

@@ -26,18 +26,21 @@ import pyarrow as pa
 # MinHash
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    # odd multipliers for multiply-shift hashing over Z_2^64 (Dietzfelbinger
+    # et al.): h' = a*h + b with native uint64 wrap-around — fully vectorized,
+    # no object-dtype bigint modmul
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=n_perm, dtype=np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64)."""
+    """Hashes of word k-shingles (uint64), vectorized via pandas' siphash
+    (deterministic: fixed default hash key)."""
+    import pandas as pd
+
     toks = text.split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
@@ -45,13 +48,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(toks)]
     else:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in shingles
-        ],
-        dtype=np.uint64,
-    )
+    return pd.util.hash_array(np.asarray(shingles, dtype=object))
 
 
 class MinHasher:
@@ -64,11 +61,12 @@ class MinHasher:
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_k).astype(np.object_)
-        # (a*h + b) mod p, outer over permutations; object dtype avoids
-        # uint64 overflow (python ints), still a single vectorized expression
-        vals = (self.a[:, None].astype(np.object_) * h[None, :] + self.b[:, None].astype(np.object_)) % _MERSENNE
-        return vals.min(axis=1).astype(np.uint64)
+        h = _shingle_hashes(text, self.shingle_k)
+        # (a*h + b) over Z_2^64 (wrap-around), outer over permutations —
+        # one vectorized uint64 expression, min per permutation
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]

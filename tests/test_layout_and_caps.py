@@ -1,0 +1,97 @@
+"""Layout (T4/D4) distributed assignment vs the pure-fn oracle, plus the
+S4 size cap and F6 429-then-200 retry behavior through the Fetcher."""
+
+import pyarrow as pa
+import pytest
+
+from ptt_spider_go_ray.functions.parse import unique_dir_names
+from ptt_spider_go_ray.sources.synthetic import SiteSpec, SyntheticSite
+from ptt_spider_go_ray.stages.fetch import Fetcher, MockTransport
+from ptt_spider_go_ray.stages.layout import assign_layout
+
+
+def docs_table():
+    rows = [
+        # three articles with the same clean-title+push on one board
+        ("bbs/B/M.1.A.X", "T:1", "https://p/1", "B", 10, 5),
+        ("bbs/B/M.2.A.Y", "T1", "https://p/2", "B", 10, 7),
+        ("bbs/B/M.3.A.Z", "T1", "https://p/3", "B", 10, 6),
+        # same key on ANOTHER board — independent namespace
+        ("bbs/C/M.4.A.W", "T1", "https://p/4", "C", 10, 1),
+        # unique key
+        ("bbs/B/M.5.A.V", "Other", "https://p/5", "B", 3, 9),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "title": pa.array([r[1] for r in rows]),
+            "url": pa.array([r[2] for r in rows]),
+            "board": pa.array([r[3] for r in rows]),
+            "push_rate": pa.array([r[4] for r in rows], pa.int32()),
+            "seq": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_assign_layout_matches_pure_oracle(ray_session):
+    import ray.data
+
+    out = assign_layout(ray.data.from_arrow(docs_table())).to_pandas()
+    got = dict(zip(out["doc_id"], out["save_dir"]))
+    # T:1 cleans to T1 → all three B-board docs collide; seq order 5,6,7
+    # oracle: ordered by seq within (B, T1_10)
+    oracle = unique_dir_names(
+        [("T1_10", "https://p/1"), ("T1_10", "https://p/3"), ("T1_10", "https://p/2")]
+    )
+    assert got["bbs/B/M.1.A.X"] == f"B/{oracle[0]}"   # seq 5 → T1_10
+    assert got["bbs/B/M.3.A.Z"] == f"B/{oracle[1]}"   # seq 6 → T1_10_2
+    assert got["bbs/B/M.2.A.Y"] == f"B/{oracle[2]}"   # seq 7 → T1_10_3
+    assert got["bbs/C/M.4.A.W"] == "C/T1_10"          # other board independent
+    assert got["bbs/B/M.5.A.V"] == "B/Other_3"
+
+
+def test_assign_layout_idempotent_same_url(ray_session):
+    import ray.data
+
+    t = docs_table()
+    # same URL appearing twice (re-processed article) keeps the same dir
+    t2 = pa.concat_tables([t, t.slice(0, 1)])
+    out = assign_layout(ray.data.from_arrow(t2)).to_pandas()
+    dirs = out[out["url"] == "https://p/1"]["save_dir"].tolist()
+    assert len(dirs) == 2 and len(set(dirs)) == 1
+
+
+# --- S4 size cap + F6 retry scenarios through the Fetcher ------------------
+
+def test_fetcher_oversize_row_not_emitted():
+    spec = SiteSpec(boards={"B": 2}, oversize={"big"})
+    site = SyntheticSite(spec)
+    transport = MockTransport(site)
+    f = Fetcher.__new__(Fetcher)
+    f.transport = transport
+    f.sleep = lambda s: None
+    f.robots = None
+    f.max_body_bytes = 1000
+    status, body, attempts, err, ok = f.fetch_one("https://x.com/big_image.jpg", True)
+    assert not ok and err == "oversize" and body == b""
+    # non-media (html) bodies are not size-capped
+    status, body, attempts, err, ok = f.fetch_one(
+        "https://www.ptt.cc/bbs/B/index1.html", False
+    )
+    assert ok
+
+
+def test_fetcher_429_then_200_retries():
+    spec = SiteSpec(boards={"B": 2}, status_429_then_200={"index1"})
+    transport = MockTransport(SyntheticSite(spec))
+    slept = []
+    f = Fetcher.__new__(Fetcher)
+    f.transport = transport
+    f.sleep = slept.append
+    f.robots = None
+    f.max_body_bytes = 10**9
+    status, body, attempts, err, ok = f.fetch_one(
+        "https://www.ptt.cc/bbs/B/index1.html", False
+    )
+    assert ok and status == 200 and attempts == 2
+    assert slept == [1.0]  # honored Retry-After: 1
