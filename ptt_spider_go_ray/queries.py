@@ -510,6 +510,96 @@ QUALIFY rank <= {ANN_K}
 
 
 # ---------------------------------------------------------------------------
+# Q: union (set op) — low-push ∪ high-push event slices
+# ---------------------------------------------------------------------------
+
+
+def q_union_slices(sf_dir: str):
+    ds_lo = _read(sf_dir, "events", columns=["event_id", "value"]).map_batches(
+        lambda t: t.filter(pc.less(t["value"], pa.scalar(10.0))), batch_format="pyarrow"
+    )
+    ds_hi = _read(sf_dir, "events", columns=["event_id", "value"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["value"], pa.scalar(300.0))),
+        batch_format="pyarrow",
+    )
+    return ds_lo.union(ds_hi)
+
+
+SQL_UNION_SLICES = """
+SELECT event_id, value FROM events WHERE value < 10.0
+UNION ALL
+SELECT event_id, value FROM events WHERE value >= 300.0
+"""
+
+# ---------------------------------------------------------------------------
+# Q: grouped aggregate + HAVING-style post-filter
+# ---------------------------------------------------------------------------
+
+
+def q_active_users(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_events"], pa.scalar(5))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ACTIVE_USERS = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id HAVING count(*) > 5
+"""
+
+# ---------------------------------------------------------------------------
+# Q: top-k per group (windowed rank)
+# ---------------------------------------------------------------------------
+
+
+def q_top3_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+
+
+SQL_TOP3_PER_USER = """
+SELECT user_id, event_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+FROM events
+QUALIFY rk <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# Q: exact distinct count per group
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": np.array([g["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(nunique, batch_format="pandas")
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -529,4 +619,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "prefix_filter": (q_prefix_filter, SQL_PREFIX_FILTER),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "union_slices": (q_union_slices, SQL_UNION_SLICES),
+    "active_users": (q_active_users, SQL_ACTIVE_USERS),
+    "top3_per_user": (q_top3_per_user, SQL_TOP3_PER_USER),
+    "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS_PER_TYPE),
 }

@@ -85,6 +85,16 @@ def _crawl_media_decode(sf_dir: str):
     )
 
 
+def _crawl_layout(sf_dir: str):
+    """Crawl docs → dir-collision layout assignment (T4/D4 groupby)."""
+    import ray.data
+
+    from .stages.layout import assign_layout
+
+    docs = _crawl_board(sf_dir).drop_columns(["spans"])
+    return assign_layout(ray.data.from_arrow(docs))
+
+
 def _dedup_minhash(sf_dir: str):
     from .pipelines.dedup import minhash_lsh_candidates
 
@@ -150,6 +160,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "explode_media": _explode_media,
     "crawl_board": _crawl_board,
     "crawl_media_decode": _crawl_media_decode,
+    "crawl_layout": _crawl_layout,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
     "dedup_ngram_jaccard": _dedup_ngram,
