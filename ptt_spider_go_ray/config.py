@@ -58,7 +58,10 @@ class CrawlerConfig:
     max_depth: int = 3               # index(0) → article(1) → media(2)
     seen_capacity: int = 1 << 16     # per-shard cuckoo filter slots
     checkpoint_dir: str = ""         # empty = no checkpointing
-    politeness_tokens_per_round: int = 0  # 0 = unlimited (tests); else per-host cap
+    politeness_rate: float = 0.0     # per-host req/s budget; 0 = unlimited.
+    # Reference default budget ≈ workers/mean-delay = 10/1.25 s = 8 req/s
+    # (config/config.go:89-92); set via politeness_rate=8.0 when pacing a
+    # real host. The budget is split across the salt shards owning the host.
     robots: bool = True
 
 
@@ -98,9 +101,11 @@ def load(config_path: str) -> Config:
         h.get("idleConnTimeout", "90s"), 90.0, "http.idleConnTimeout"
     )
     for k in ("frontier_shards", "batch_urls", "fetch_batch_size", "max_depth",
-              "seen_capacity", "politeness_tokens_per_round"):
+              "seen_capacity"):
         if k in c:
             setattr(cc, k, int(c[k]))
+    if "politeness_rate" in c:
+        cc.politeness_rate = float(c["politeness_rate"])
     if "checkpoint_dir" in c:
         cc.checkpoint_dir = str(c["checkpoint_dir"])
     if "robots" in c:

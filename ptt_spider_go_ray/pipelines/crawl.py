@@ -42,7 +42,7 @@ from ..functions.parse import (
 from ..schemas import CHECKPOINT_SCHEMA, FRONTIER_SCHEMA
 from ..stages.fetch import Fetcher, fetch_batch_task, fetch_with_retry
 from ..stages.parse_stages import ParseStage
-from ..state.frontier import FrontierShard, frontier_row, shard_for
+from ..state.frontier import SALT_K, FrontierShard, frontier_row, shard_for
 
 
 @dataclass
@@ -155,7 +155,8 @@ def run_crawl(
         RemoteShard.remote(
             i,
             seen_capacity=cc.seen_capacity,
-            politeness_rate=0.0 if deterministic else cc.politeness_tokens_per_round,
+            # a host's URLs land on at most SALT_K shards → split its budget that way
+            politeness_rate=0.0 if deterministic else cc.politeness_rate / min(SALT_K, n_shards),
         )
         for i in range(n_shards)
     ]

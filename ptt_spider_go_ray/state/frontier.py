@@ -37,6 +37,7 @@ FIELDS = (
     "title", "author", "push_rate", "meta",
 )
 SEQ_BITS_PER_LEVEL = 12  # child_seq = parent_seq << 12 | child_idx
+SALT_K = 4  # salt shards per host (skew spread; politeness budget divisor)
 
 
 def child_seq(parent_seq: int, idx: int) -> int:
@@ -65,7 +66,7 @@ def frontier_row(url: str, kind: str, priority: int, seq: int, depth: int,
     }
 
 
-def shard_for(row: dict, n_shards: int, salt_k: int = 4) -> int:
+def shard_for(row: dict, n_shards: int, salt_k: int = SALT_K) -> int:
     salt = row["url_hash"] % salt_k
     return hash64(f"{row['host']}|{salt}") % n_shards
 

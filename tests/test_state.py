@@ -230,3 +230,16 @@ def test_child_seq_encoding():
     assert child_seq(5, 3) == (5 << 12) | 3
     with pytest.raises(ValueError):
         child_seq(1, 5000)
+
+
+def test_shard_politeness_defers_beyond_budget():
+    clock = [0.0]
+    s = FrontierShard(0, politeness_rate=2.0, clock=lambda: clock[0])
+    rows = [_row(f"https://www.ptt.cc/bbs/B/a{i}.html", 1, i) for i in range(6)]
+    s.offer(rows)
+    first = s.take(10)
+    assert [r["seq"] for r in first] == [0, 1]   # burst = rate = 2 tokens
+    assert s.size() == 4                          # rest deferred, still queued
+    clock[0] += 1.0                               # +1 s → 2 more tokens
+    second = s.take(10)
+    assert [r["seq"] for r in second] == [2, 3]   # (priority, seq) order kept
