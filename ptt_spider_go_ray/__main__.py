@@ -53,7 +53,8 @@ def main(argv=None) -> int:
     cfg = load(args.config)
     if args.checkpoint:
         cfg.crawler.checkpoint_dir = args.checkpoint
-    validate_board(args.board, args.file_url)
+    for b in args.board.split(","):  # comma-separated seed board list
+        validate_board(b.strip(), args.file_url)
 
     import ray
 

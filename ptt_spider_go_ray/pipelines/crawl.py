@@ -80,6 +80,21 @@ def seed_rows_board(transport, board: str, pages: int, seed_offset: int = 0) -> 
     ]
 
 
+def seed_rows_boards(transport, boards: list[str], pages: int) -> list[dict]:
+    """Seed board LIST (north star): boards seeded in list order, seq offsets
+    stride-separated so (priority, seq) ordering interleaves deterministically
+    board-major (board i's page k before board i+1's page k? No — strictly
+    list order: all of board 0's pages first, matching one-producer-per-board
+    FIFO intent)."""
+    seeds: list[dict] = []
+    offset = 0
+    for board in boards:
+        rows = seed_rows_board(transport, board, pages, seed_offset=offset)
+        seeds.extend(rows)
+        offset += len(rows)
+    return seeds
+
+
 def seed_rows_file(lines: list[str], board: str = "beauty") -> list[dict]:
     """S2: file-mode seeds; prefix filter, push_rate=0, article priority."""
     out = []
@@ -172,7 +187,8 @@ def run_crawl(
         if file_mode:
             seeds = seed_rows_file(file_lines, board or "beauty")
         else:
-            seeds = seed_rows_board(transport_factory(), board, pages)
+            boards = [b.strip() for b in board.split(",") if b.strip()]
+            seeds = seed_rows_boards(transport_factory(), boards, pages)
         _offer_sorted(shards, seeds, n_shards)
 
     parse_stage = ParseStage(
@@ -202,7 +218,12 @@ def run_crawl(
             break
         rows = _take_global(shards, cc.batch_urls, n_shards)
         if not rows:
-            break
+            # Empty take ≠ empty frontier: politeness may have deferred every
+            # queued row. Terminate only when the shards are truly drained.
+            if sum(ray.get([s.size.remote() for s in shards])) == 0:
+                break
+            _time.sleep(0.05)  # wait for token refill
+            continue
         ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
 
         tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)

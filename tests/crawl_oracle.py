@@ -43,10 +43,16 @@ def oracle_crawl(site, board, pages, push_threshold=0, batch_urls=256,
         offer(seeds)
         file_mode = True
     else:
-        _, body = site.html_for(f"{PTT_BASE_URL}/bbs/{board}/index.html")
-        max_page = parse_max_page(body.decode())
-        urls = board_page_urls(board, max_page, pages)
-        offer([(0, i, u, "index", "", 0) for i, u in enumerate(urls)])
+        boards = board.split(",") if isinstance(board, str) else list(board)
+        seeds = []
+        offset = 0
+        for b in boards:
+            _, body = site.html_for(f"{PTT_BASE_URL}/bbs/{b}/index.html")
+            max_page = parse_max_page(body.decode())
+            urls = board_page_urls(b, max_page, pages)
+            seeds.extend((0, offset + i, u, "index", "", 0) for i, u in enumerate(urls))
+            offset += len(urls)
+        offer(seeds)
         file_mode = False
 
     ledger = []

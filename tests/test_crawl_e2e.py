@@ -180,3 +180,40 @@ def test_robots_gating(ray_session):
     doc_urls = {r["url"] for r in res.docs.to_pylist()}
     assert all("/M.170000020" not in u for u in doc_urls)
     assert res.metrics["fetch_errors"] >= 1
+
+
+def test_multi_board_seed_list(ray_session):
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty,Joke",
+        pages=2, push_threshold=10,
+    )
+    want = oracle_crawl(
+        SyntheticSite(SPEC), "Beauty,Joke", 2, push_threshold=10, batch_urls=16
+    )
+    assert res.ledger == want["ledger"]
+    assert res.seen_set == want["seen"]
+    boards = {r["board"] for r in res.docs.to_pylist()}
+    assert boards == {"Beauty", "Joke"}
+
+
+def test_politeness_paced_crawl_completes(ray_session):
+    from ptt_spider_go_ray.config import Config
+
+    factory = functools.partial(make_transport, SPEC)
+    base = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=2,
+        push_threshold=10,
+    )
+    cfg = cfg_small()
+    cfg.crawler.politeness_rate = 40.0  # real pacing, small site → finishes fast
+    paced = run_crawl(
+        cfg, transport_factory=factory, board="Beauty", pages=2,
+        push_threshold=10, deterministic=False,
+    )
+    assert paced.finished
+    # pacing must not change WHAT is crawled (set equality; order may differ)
+    assert paced.seen_set == base.seen_set
+    assert sorted(paced.docs["doc_id"].to_pylist()) == sorted(
+        base.docs["doc_id"].to_pylist()
+    )
