@@ -600,6 +600,79 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 """
 
 # ---------------------------------------------------------------------------
+# Q: as-of join — a custom operator Ray Data lacks (SURVEY custom-op bullet):
+# side-tagged union co-partitioned by key → per-key pandas merge_asof.
+# Partitioning assumption: both sides of one key fit in a worker (true per
+# user/customer; salt the key if a single entity's history outgrows a worker).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(sf_dir: str):
+    import ray.data
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["user_id"],
+                "side": pa.array(["e"] * t.num_rows),
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "order_key": pa.nulls(t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # right side pre-deduped to one row per (key, ts): max order key — makes
+    # the as-of pick deterministic under date ties on both engines
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
+        # Arrow out so the union has uniform block types
+        return pa.table(
+            {
+                "key": pa.array(g["o_custkey"], pa.int64()),
+                "side": pa.array(["o"] * len(g)),
+                "event_id": pa.array(np.full(len(g), -1, dtype=np.int64)),
+                "ts": pa.array(g["o_orderdate"], pa.timestamp("us")),
+                "order_key": pa.array(g["o_orderkey"], pa.int64()),
+            }
+        )
+
+    od = od.repartition(1).map_batches(prep_orders, batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values("ts")
+        right = g[g["side"] == "o"][["ts", "order_key"]].sort_values("ts")
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"), "event_id": pd.Series(dtype="int64"),
+                 "order_key": pd.Series(dtype="int64")}
+            )
+        if len(right) == 0:
+            merged = left.assign(order_key=np.nan)
+        else:
+            merged = pd.merge_asof(left, right, on="ts", direction="backward")
+        return pd.DataFrame(
+            {
+                "user_id": merged["key"].astype("int64"),
+                "event_id": merged["event_id"].astype("int64"),
+                "order_key": merged["order_key"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return ev.union(od).groupby("key").map_groups(asof, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+SELECT e.user_id, e.event_id, COALESCE(o.ok, -1) AS order_key
+FROM events e ASOF LEFT JOIN
+  (SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok FROM orders GROUP BY 1, 2) o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -623,4 +696,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "top3_per_user": (q_top3_per_user, SQL_TOP3_PER_USER),
     "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS_PER_TYPE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
 }

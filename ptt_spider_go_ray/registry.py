@@ -149,6 +149,19 @@ def _fingerprints(sf_dir: str):
     return fingerprints(sf_dir)
 
 
+def _approx_distinct_users(sf_dir: str):
+    """HLL sketch COUNT(DISTINCT) — approximate, so rows-only (pytest asserts
+    <10% error vs exact)."""
+    import pandas as pd
+    import ray.data
+
+    from .stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"n_users_approx": [int(round(est))]})
+
+
 def _render_markdown(sf_dir: str):
     from .pipelines.flagship import flagship
 
@@ -170,5 +183,6 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_scores": _quality_scores,
     "token_counts_bpe": _token_counts,
     "fingerprints": _fingerprints,
+    "approx_distinct_users": _approx_distinct_users,
     "render_markdown": _render_markdown,
 }

@@ -205,3 +205,34 @@ def test_lang_id_pipeline(ray_session):
     got = lang_id(SF).to_pandas()
     assert len(got) == 500
     assert set(got.columns) == {"doc_id", "lang", "pred_lang", "agree"}
+
+
+# --- HLL sketch ------------------------------------------------------------
+
+def test_hll_accuracy_and_merge():
+    from ptt_spider_go_ray.stages.sketch import HLL
+
+    a, b = HLL(p=12), HLL(p=12)
+    a.add_many([f"u{i}" for i in range(6000)])
+    b.add_many([f"u{i}" for i in range(3000, 9000)])  # overlap 3000..5999
+    a.merge(b)
+    est = a.estimate()
+    assert abs(est - 9000) / 9000 < 0.05  # ~1.6% stderr at p=12
+    # serialization roundtrip preserves the estimate
+    c = HLL.from_bytes(a.to_bytes())
+    assert c.estimate() == est
+
+
+def test_approx_distinct_pipeline(ray_session):
+    import ray.data
+
+    from ptt_spider_go_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - exact) / max(exact, 1) < 0.1
