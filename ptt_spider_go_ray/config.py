@@ -63,6 +63,7 @@ class CrawlerConfig:
     # (config/config.go:89-92); set via politeness_rate=8.0 when pacing a
     # real host. The budget is split across the salt shards owning the host.
     robots: bool = True
+    exact_seen: bool = True  # keep exact URL side-set (FP detector / lineage); disable at 10^10 scale
 
 
 @dataclass
@@ -110,6 +111,8 @@ def load(config_path: str) -> Config:
         cc.checkpoint_dir = str(c["checkpoint_dir"])
     if "robots" in c:
         cc.robots = bool(c["robots"])
+    if "exact_seen" in c:
+        cc.exact_seen = bool(c["exact_seen"])
     return cfg
 
 

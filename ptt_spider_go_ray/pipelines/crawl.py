@@ -24,7 +24,6 @@ without refetching or duplicating URLs.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 
@@ -172,6 +171,7 @@ def run_crawl(
             seen_capacity=cc.seen_capacity,
             # a host's URLs land on at most SALT_K shards → split its budget that way
             politeness_rate=0.0 if deterministic else cc.politeness_rate / min(SALT_K, n_shards),
+            exact_seen=cc.exact_seen,
         )
         for i in range(n_shards)
     ]
@@ -190,6 +190,8 @@ def run_crawl(
             boards = [b.strip() for b in board.split(",") if b.strip()]
             seeds = seed_rows_boards(transport_factory(), boards, pages)
         _offer_sorted(shards, seeds, n_shards)
+
+    ledger_ckpt_from = len(ledger)
 
     parse_stage = ParseStage(
         push_threshold=0 if file_mode else push_threshold,
@@ -302,11 +304,16 @@ def run_crawl(
         epoch += 1
         rounds_this_run += 1
         if ckpt_dir:
-            _checkpoint(shards, ckpt_dir, epoch, ledger)
+            _checkpoint(shards, ckpt_dir, epoch, ledger[ledger_ckpt_from:])
+            ledger_ckpt_from = len(ledger)
 
     loop_seconds = _time.time() - t_loop
     shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
-    seen: list[str] = sorted(set().union(*ray.get([s.seen_set.remote() for s in shards])))
+    seen: list[str] = (
+        sorted(set().union(*ray.get([s.seen_set.remote() for s in shards])))
+        if cc.exact_seen
+        else []
+    )
     metrics = {
         "fetch_errors": fetch_errors,
         "shards": shard_metrics,
@@ -333,15 +340,24 @@ def run_crawl(
 # -- checkpoint plumbing ----------------------------------------------------
 
 
-def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger: list[tuple]) -> None:
+def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) -> None:
+    """Per-epoch shard snapshots + APPEND-ONLY ledger increments: each epoch
+    writes only the rows dispatched since the last checkpoint, so checkpoint
+    cost stays O(round), not O(total crawl)."""
     import ray
 
     os.makedirs(ckpt_dir, exist_ok=True)
     states = ray.get([s.checkpoint_state.remote(epoch) for s in shards])
     tbl = pa.Table.from_pylist(states, schema=CHECKPOINT_SCHEMA)
     pq.write_table(tbl, f"{ckpt_dir}/shards_epoch{epoch}.parquet")
-    with open(f"{ckpt_dir}/driver_epoch{epoch}.json", "w") as f:
-        json.dump({"epoch": epoch, "ledger": ledger}, f)
+    ledger_tbl = pa.table(
+        {
+            "priority": pa.array([e[0] for e in ledger_delta], pa.int8()),
+            "seq": pa.array([e[1] for e in ledger_delta], pa.int64()),
+            "url": pa.array([e[2] for e in ledger_delta], pa.string()),
+        }
+    )
+    pq.write_table(ledger_tbl, f"{ckpt_dir}/ledger_epoch{epoch}.parquet")
     with open(f"{ckpt_dir}/LATEST", "w") as f:
         f.write(str(epoch))
 
@@ -354,7 +370,10 @@ def _restore(shards, ckpt_dir: str) -> tuple[int, list[tuple]]:
     tbl = pq.read_table(f"{ckpt_dir}/shards_epoch{epoch}.parquet")
     states = {s["shard_id"]: s for s in tbl.to_pylist()}
     ray.get([s.restore_state.remote(states[i]) for i, s in enumerate(shards)])
-    with open(f"{ckpt_dir}/driver_epoch{epoch}.json") as f:
-        driver = json.load(f)
-    ledger = [tuple(e) for e in driver["ledger"]]
+    ledger: list[tuple] = []
+    for e in range(1, epoch + 1):
+        lt = pq.read_table(f"{ckpt_dir}/ledger_epoch{e}.parquet")
+        ledger.extend(
+            zip(lt["priority"].to_pylist(), lt["seq"].to_pylist(), lt["url"].to_pylist())
+        )
     return epoch, ledger
