@@ -39,6 +39,7 @@ from ..functions.parse import (
     validate_board,
 )
 from ..schemas import CHECKPOINT_SCHEMA, FRONTIER_SCHEMA
+from ..sources import storage
 from ..stages.fetch import Fetcher, fetch_batch_task, fetch_with_retry
 from ..stages.parse_stages import ParseStage
 from ..state.frontier import SALT_K, FrontierShard, frontier_row, shard_for
@@ -287,18 +288,14 @@ def run_crawl(
                 ["doc_id", "title", "url", "board", "author", "push_rate", "seq", "spans"]
             )
             if out_dir:
-                d = f"{out_dir}/docs/round={epoch}"
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(doc_out, f"{d}/part-0.parquet")
+                storage.write_partition(doc_out, out_dir, "docs", f"round={epoch}")
             docs_tables.append(doc_out)
         if media_tbl is not None and media_tbl.num_rows:
             media_out = media_tbl.select(
                 ["doc_id", "span_idx", "url", "board", "n_bytes", "media_ok", "body", "seq"]
             )
             if out_dir:
-                d = f"{out_dir}/media/round={epoch}"
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(media_out, f"{d}/part-0.parquet")
+                storage.write_partition(media_out, out_dir, "media", f"round={epoch}")
             media_tables.append(media_out)
 
         epoch += 1

@@ -1,0 +1,61 @@
+"""Thin storage layer (SURVEY §7.1): the engine targets Lance tables of
+interleaved documents (north rule), but the sandbox has no ``lance`` wheel —
+so every sink goes through this interface with a Parquet backend, and a Lance
+backend drops in via ``pip install pylance`` with no caller changes.
+
+Layout contract (resumable output): one directory per partition
+(``<root>/<table>/round=<epoch>/part-*.parquet``) so a restarted run
+overwrites only its own partition — never one giant file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - lance absent in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def write_partition(table: pa.Table, root: str, name: str, partition: str) -> str:
+    """Write one partition of a logical table; returns the partition dir."""
+    d = os.path.join(root, name, partition)
+    os.makedirs(d, exist_ok=True)
+    if HAVE_LANCE:  # pragma: no cover
+        lance.write_dataset(table, os.path.join(d, "part.lance"), mode="overwrite")
+    else:
+        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def read_table(root: str, name: str) -> pa.Table | None:
+    """Read all partitions of a logical table back into one Arrow table."""
+    base = os.path.join(root, name)
+    if not os.path.isdir(base):
+        return None
+    tables = []
+    for part in sorted(os.listdir(base)):
+        d = os.path.join(base, part)
+        if HAVE_LANCE:  # pragma: no cover
+            p = os.path.join(d, "part.lance")
+            if os.path.exists(p):
+                tables.append(lance.dataset(p).to_table())
+                continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(d, f)))
+    return pa.concat_tables(tables) if tables else None
+
+
+def read_dataset(root: str, name: str):
+    """Streaming read of a logical table as a Ray Dataset."""
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(root, name))

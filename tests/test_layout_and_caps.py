@@ -95,3 +95,22 @@ def test_fetcher_429_then_200_retries():
     )
     assert ok and status == 200 and attempts == 2
     assert slept == [1.0]  # honored Retry-After: 1
+
+
+def test_storage_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from ptt_spider_go_ray.sources import storage
+
+    t1 = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    t2 = pa.table({"a": [3], "b": ["z"]})
+    storage.write_partition(t1, str(tmp_path), "docs", "round=0")
+    storage.write_partition(t2, str(tmp_path), "docs", "round=1")
+    back = storage.read_table(str(tmp_path), "docs")
+    assert back.num_rows == 3
+    assert sorted(back["a"].to_pylist()) == [1, 2, 3]
+    # overwriting a partition replaces only that partition (resumability)
+    storage.write_partition(t2, str(tmp_path), "docs", "round=0")
+    back = storage.read_table(str(tmp_path), "docs")
+    assert sorted(back["a"].to_pylist()) == [3, 3]
+    assert storage.read_table(str(tmp_path), "missing") is None
