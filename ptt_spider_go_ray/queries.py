@@ -673,6 +673,108 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 # ---------------------------------------------------------------------------
+# Q: time-bucketed aggregate (date_trunc groupby)
+# ---------------------------------------------------------------------------
+
+
+def q_events_per_day(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+
+    return ds.map_batches(day, batch_format="pandas").groupby("day").aggregate(
+        Count(alias_name="n_events")
+    )
+
+
+SQL_EVENTS_PER_DAY = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n_events FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: min/max extremes per group (exact float aggregates)
+# ---------------------------------------------------------------------------
+
+
+def q_value_extremes(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Min("value", alias_name="min_value"), Max("value", alias_name="max_value")
+    )
+
+
+SQL_VALUE_EXTREMES = """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: vectorized string kernels (pyarrow.compute projection)
+# ---------------------------------------------------------------------------
+
+
+def q_string_kernels(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang_up": pc.utf8_upper(t["lang"]),
+                "src_tag": pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(t["source"], 0, 3), t["lang"], "-"
+                ),
+                "lang_len": pc.cast(pc.utf8_length(t["lang"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STRING_KERNELS = """
+SELECT doc_id, upper(lang) AS lang_up,
+       substr(source, 1, 3) || '-' || lang AS src_tag,
+       CAST(length(lang) AS BIGINT) AS lang_len
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q: date-range predicate pushdown + projection
+# ---------------------------------------------------------------------------
+
+
+def q_recent_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01")))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "price_e2": pa.array(
+                    np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(recent, batch_format="pyarrow")
+
+
+SQL_RECENT_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -697,4 +799,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "top3_per_user": (q_top3_per_user, SQL_TOP3_PER_USER),
     "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS_PER_TYPE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "events_per_day": (q_events_per_day, SQL_EVENTS_PER_DAY),
+    "value_extremes": (q_value_extremes, SQL_VALUE_EXTREMES),
+    "string_kernels": (q_string_kernels, SQL_STRING_KERNELS),
+    "recent_orders": (q_recent_orders, SQL_RECENT_ORDERS),
 }
