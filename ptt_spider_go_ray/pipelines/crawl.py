@@ -250,10 +250,16 @@ def run_crawl(
                 batch_format="pyarrow",
             )
         else:
+            # kind-aware pool sizing (reference parity: `workers` download
+            # goroutines vs `parserCount` page fetch+parse goroutines,
+            # crawler/crawler.go:204-230); priority ordering makes rounds
+            # near-homogeneous in kind
+            is_media_round = all(r["kind"] == "media" for r in rows)
+            pool = cc.workers if is_media_round else cc.parser_count
             fetched = ds.map_batches(
                 Fetcher,
                 fn_constructor_kwargs=fetch_kwargs,
-                concurrency=(1, max(1, cc.parser_count)),
+                concurrency=(1, max(1, pool)),
                 batch_size=cc.fetch_batch_size,
                 batch_format="pyarrow",
             )

@@ -114,3 +114,26 @@ def test_storage_roundtrip(tmp_path):
     back = storage.read_table(str(tmp_path), "docs")
     assert sorted(back["a"].to_pylist()) == [3, 3]
     assert storage.read_table(str(tmp_path), "missing") is None
+
+
+def test_fetch_batch_task_oversize_and_cap():
+    import functools
+    import pickle
+
+    import pyarrow as pa
+
+    from ptt_spider_go_ray.schemas import FRONTIER_SCHEMA
+    from ptt_spider_go_ray.sources.synthetic import SiteSpec, mock_transport_factory
+    from ptt_spider_go_ray.stages.fetch import fetch_batch_task
+    from ptt_spider_go_ray.state.frontier import frontier_row
+
+    spec = SiteSpec(boards={"B": 2}, oversize={"bigpic"})
+    fb = pickle.dumps(functools.partial(mock_transport_factory, spec))
+    rows = [
+        frontier_row("https://x.com/bigpic_1.jpg", "media", 2, 1, depth=2),
+        frontier_row("https://x.com/ok_2.png", "media", 2, 2, depth=2),
+    ]
+    t = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+    out = fetch_batch_task(t, factory_bytes=fb, max_body_bytes=1000).to_pylist()
+    assert not out[0]["ok"] and out[0]["error"] == "oversize" and out[0]["body"] == b""
+    assert out[1]["ok"] and len(out[1]["body"]) > 0
