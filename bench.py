@@ -158,7 +158,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--pages", type=int, default=CRAWL_PAGES)
     ap.add_argument("--latency", type=float, default=CRAWL_LATENCY_S)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
 
     if args.scaling:

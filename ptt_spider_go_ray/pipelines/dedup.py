@@ -14,7 +14,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ..stages.dedup import (
-    BandExploder,
     MinHasher,
     minhash_jaccard,
     ngram_jaccard,

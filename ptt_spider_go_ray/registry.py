@@ -186,3 +186,37 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_users": _approx_distinct_users,
     "render_markdown": _render_markdown,
 }
+
+
+def _crawl_file_mode(sf_dir: str):
+    """File-mode crawl (S2): deterministic seed lines from the synthetic
+    site; titles resolved from article content (P8)."""
+    from .config import Config
+    from .pipelines.crawl import run_crawl
+    from .sources.synthetic import SiteSpec, SyntheticSite, mock_transport_factory
+
+    spec = SiteSpec(boards={"Beauty": 4, "Joke": 3}, articles_per_page=6)
+    site = SyntheticSite(spec)
+    lines = [
+        site.article_url("Beauty", 2, 1),
+        "# comment line",
+        site.article_url("Joke", 1, 2),
+        site.article_url("Beauty", 3, 4),
+        "https://other.host/bbs/Beauty/x.html",
+    ]
+    cfg = Config()
+    cfg.crawler.frontier_shards = 4
+    cfg.crawler.batch_urls = 4096
+    cfg.crawler.robots = False
+    res = run_crawl(
+        cfg,
+        transport_factory=functools.partial(mock_transport_factory, spec),
+        file_lines=lines,
+        board="beauty",
+        fetch_via="tasks",
+        fetch_media=False,
+    )
+    return res.docs
+
+
+EXTRA_QUERIES["crawl_file_mode"] = _crawl_file_mode
