@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure core — invariants the
+table-driven tests can't sweep."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ptt_spider_go_ray.functions.parse import (
+    canonicalize_url,
+    clean_file_name,
+    decode_push_rate,
+    image_file_names,
+    unique_dir_names,
+    unique_stable,
+)
+from ptt_spider_go_ray.state.cuckoo import CuckooFilter, hash64
+
+urls = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="/.:-_"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(st.lists(st.text(max_size=20)))
+def test_unique_stable_properties(items):
+    out = unique_stable(items)
+    assert len(out) == len(set(out))               # no dups
+    assert set(out) == set(items)                  # same elements
+    # first occurrence kept, order preserved
+    seen = set()
+    expect = [x for x in items if not (x in seen or seen.add(x))]
+    assert out == expect
+
+
+@given(st.lists(urls, max_size=30))
+def test_image_file_names_properties(img_urls):
+    names = image_file_names(img_urls)
+    assert len(names) == len(img_urls)             # 1:1 with input
+    assert len(names) == len(set(names))           # all distinct
+
+
+@given(st.text(max_size=60))
+def test_clean_file_name_strips_all_invalid(name):
+    cleaned = clean_file_name(name)
+    assert not any(c in cleaned for c in '\\/:*?"<>|')
+    assert clean_file_name(cleaned) == cleaned     # idempotent
+
+
+@given(st.text(max_size=20))
+def test_decode_push_rate_total(s):
+    r = decode_push_rate(s)
+    assert isinstance(r, int)
+    assert -10**18 < r < 10**18                    # never raises, bounded-ish
+
+
+@given(urls)
+def test_canonicalize_idempotent(u):
+    c = canonicalize_url("https://example.com/" + u)
+    assert canonicalize_url(c) == c
+
+
+@given(st.lists(st.tuples(st.sampled_from(["A_1", "B_2", "C_3"]), st.sampled_from(["u1", "u2", "u3", "u4"]))))
+def test_unique_dir_names_properties(rows):
+    out = unique_dir_names(rows)
+    assert len(out) == len(rows)
+    # same (name,url) pair always resolves to the same dir; distinct urls
+    # under one base name get distinct dirs
+    resolved = {}
+    for (name, url), dir_ in zip(rows, out):
+        key = (name, url)
+        assert resolved.setdefault(key, dir_) == dir_
+    by_base: dict[str, dict[str, str]] = {}
+    for (name, url), dir_ in zip(rows, out):
+        owners = by_base.setdefault(name, {})
+        owners.setdefault(dir_, url)
+        assert owners[dir_] == url                 # a dir has exactly one owner
+
+
+@settings(max_examples=25)
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=300, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    f = CuckooFilter(capacity=4096)
+    for k in keys:
+        assert f.add_hash(hash64(k))
+    for k in keys:
+        assert f.contains_hash(hash64(k))          # membership never lost
