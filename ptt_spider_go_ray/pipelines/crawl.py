@@ -120,6 +120,10 @@ def _offer_sorted(shards, rows: list[dict], n_shards: int) -> None:
 
 
 def _take_global(shards, n: int, n_shards: int) -> list[dict]:
+    """Global (priority, seq) merge: each shard yields its n smallest, the
+    driver keeps the global n and pushes the rest back. Note: politeness
+    tokens consumed by pushed-back rows are not refunded — the error is in
+    the MORE-polite direction, bounded by one round's overshoot."""
     import ray
 
     taken = ray.get([s.take.remote(n) for s in shards])
@@ -151,7 +155,11 @@ def run_crawl(
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
     for kill/resume tests. ``deterministic=True`` disables real politeness
-    sleeping (rate 0) so ordering tests are exact."""
+    sleeping (rate 0) so ordering tests are exact.
+
+    Resume contract: pass the SAME mode arguments (board/file_lines,
+    push_threshold, fetch_media, transport) as the original run — the
+    checkpoint stores frontier state, not job parameters."""
     import ray
 
     import time as _time
