@@ -19,10 +19,10 @@ import json
 import sys
 
 
-def real_transport():
+def real_transport(timeout: float = 30.0, pool_size: int = 20):
     from .stages.fetch import RequestsTransport
 
-    return RequestsTransport()
+    return RequestsTransport(timeout=timeout, pool_size=pool_size)
 
 
 def mock_transport():
@@ -53,8 +53,11 @@ def main(argv=None) -> int:
     cfg = load(args.config)
     if args.checkpoint:
         cfg.crawler.checkpoint_dir = args.checkpoint
-    for b in args.board.split(","):  # comma-separated seed board list
-        validate_board(b.strip(), args.file_url)
+    boards = [b.strip() for b in args.board.split(",") if b.strip()]
+    if not boards and not args.file_url:
+        validate_board("", "")  # raises: board mode requires a board
+    for b in boards:  # comma-separated seed board list; empty segments ignored
+        validate_board(b, args.file_url)
 
     import ray
 
@@ -72,9 +75,25 @@ def main(argv=None) -> int:
         with open(args.file_url) as f:
             file_lines = f.readlines()
 
+    if args.mock:
+        factory = mock_transport
+    else:
+        # real network: HTTP knobs come from config (S6 parity), politeness
+        # defaults to the reference budget workers/mean-delay ≈ 8 req/s
+        # (config.go:82-92) unless the config sets an explicit rate
+        import functools
+
+        cc = cfg.crawler
+        factory = functools.partial(
+            real_transport, cc.http.timeout, cc.http.max_idle_conns_per_host
+        )
+        if cc.politeness_rate <= 0:
+            mean_s = (cc.delays.min_ms + cc.delays.max_ms) / 2.0 / 1000.0
+            cc.politeness_rate = cc.workers / mean_s if mean_s > 0 else 8.0
+
     res = run_crawl(
         cfg,
-        transport_factory=mock_transport if args.mock else real_transport,
+        transport_factory=factory,
         board=args.board,
         pages=args.pages,
         push_threshold=args.push,
@@ -82,6 +101,9 @@ def main(argv=None) -> int:
         out_dir=args.out,
         resume=args.resume,
         fetch_media=not args.no_media,
+        # mock runs stay deterministic (tests/demos); real runs pace and
+        # honor Retry-After for real
+        deterministic=args.mock,
     )
     print(json.dumps({
         "rounds": res.rounds,

@@ -188,6 +188,7 @@ def run_crawl(
 
     ledger: list[tuple] = []
     epoch = 0
+    seeds_to_offer: list[dict] | None = None
     if resume:
         if not ckpt_dir:
             raise ValueError("resume=True requires cfg.crawler.checkpoint_dir")
@@ -198,9 +199,37 @@ def run_crawl(
         else:
             boards = [b.strip() for b in board.split(",") if b.strip()]
             seeds = seed_rows_boards(transport_factory(), boards, pages)
-        _offer_sorted(shards, seeds, n_shards)
+        seeds_to_offer = seeds
 
     ledger_ckpt_from = len(ledger)
+
+    # robots gating at OFFER time, cached on the driver (exactly one
+    # robots.txt fetch per host for the whole crawl) — the fetch actors skip
+    # their own per-actor robots cache when the driver already gates.
+    robots_cache = None
+    robots_denied = 0
+    if cc.robots:
+        from ..state.robots import RobotsCache
+
+        driver_transport = transport_factory()
+        robots_cache = RobotsCache(
+            lambda url: fetch_with_retry(driver_transport, url, sleep=_no_sleep)[0:2]
+        )
+
+    def _robots_filter(rows_in: list[dict]) -> list[dict]:
+        nonlocal robots_denied
+        if robots_cache is None:
+            return rows_in
+        kept = []
+        for r in rows_in:
+            if robots_cache.allowed(r["url"]):
+                kept.append(r)
+            else:
+                robots_denied += 1
+        return kept
+
+    if seeds_to_offer is not None:
+        _offer_sorted(shards, _robots_filter(seeds_to_offer), n_shards)
 
     parse_stage = ParseStage(
         push_threshold=0 if file_mode else push_threshold,
@@ -209,7 +238,7 @@ def run_crawl(
     )
     fetch_kwargs = {
         "transport_factory": transport_factory,
-        "check_robots": cc.robots,
+        "check_robots": False,  # gated at offer time above
         "sleep": _no_sleep if deterministic else None,
     }
     if fetch_kwargs["sleep"] is None:
@@ -246,8 +275,8 @@ def run_crawl(
         if fetch_via == "tasks":
             # Task-mode fast path: reuses warm Ray workers (per-process
             # transport cache) instead of spinning an actor pool per round.
-            # Robots/politeness state lives in the frontier path here, so
-            # this is only used when check_robots is off (bench).
+            # Robots gating already happened at offer time (driver cache), so
+            # both fetch paths honor cc.robots.
             import functools
             import pickle
 
@@ -290,7 +319,8 @@ def run_crawl(
             cand_rows = [
                 {k: c[k] for k in FRONTIER_SCHEMA.names} for c in cand_tbl.to_pylist()
             ]
-            _offer_sorted(shards, cand_rows, n_shards)
+            cand_rows = [r for r in cand_rows if r["depth"] <= cc.max_depth]
+            _offer_sorted(shards, _robots_filter(cand_rows), n_shards)
 
         doc_tbl = _split("doc", ["body"])
         media_tbl = _split("media_result", ["spans"])
@@ -310,7 +340,11 @@ def run_crawl(
             )
             if out_dir:
                 storage.write_partition(media_out, out_dir, "media", f"round={epoch}")
-            media_tables.append(media_out)
+                # bodies are persisted; keep only metadata in driver memory so
+                # RSS stays O(round), not O(crawl) (bodies cap at 50 MB each)
+                media_tables.append(media_out.drop_columns(["body"]))
+            else:
+                media_tables.append(media_out)
 
         epoch += 1
         rounds_this_run += 1
@@ -327,6 +361,7 @@ def run_crawl(
     )
     metrics = {
         "fetch_errors": fetch_errors,
+        "robots_denied": robots_denied,
         "shards": shard_metrics,
         "total_accepted": sum(m["accepted"] for m in shard_metrics),
         "total_duplicates": sum(m["duplicates"] for m in shard_metrics),

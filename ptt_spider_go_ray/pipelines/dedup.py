@@ -155,20 +155,34 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
-def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
-    """Exact n-gram-Jaccard near-dup detection: bucket by cheap length key
-    (token count // 8 — near-dups have near-equal lengths), verify exactly
-    within buckets. Returns pairs with jaccard ≥ threshold."""
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3,
+                       bucket_w: int = 16):
+    """Exact n-gram-Jaccard near-dup detection: bucket by token-count range,
+    verify exactly within buckets. Each doc lands in TWO half-shifted buckets
+    (n//W and (n+W//2)//W offset lane) so pairs straddling a bucket boundary
+    still meet when their token counts differ by ≤ W/2; pairs with a larger
+    length gap can be missed (at jaccard ≥ 0.8 and W=16 the token-count gap
+    of a reported pair is ≤ ~11% of length, so W/2=8 covers docs ≲ 70
+    tokens exactly and longer docs heuristically — widen W for longer docs).
+    Duplicate pair reports from the two lanes are deduped at the end."""
     ds = _docs(sf_dir)
 
     def keyed(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         nt = [len((x or "").split()) for x in texts]
+        keys, doc_ids, out_texts = [], [], []
+        for n, doc_id, text in zip(nt, t["doc_id"].to_pylist(), texts):
+            keys.append(f"a{n // bucket_w}")
+            doc_ids.append(doc_id)
+            out_texts.append(text)
+            keys.append(f"b{(n + bucket_w // 2) // bucket_w}")
+            doc_ids.append(doc_id)
+            out_texts.append(text)
         return pa.table(
             {
-                "len_key": pa.array([n // 8 for n in nt], pa.int64()),
-                "doc_id": t["doc_id"],
-                "text": t["text"],
+                "len_key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(doc_ids),
+                "text": pa.array(out_texts),
             }
         )
 
@@ -185,9 +199,14 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3):
                     rows.append((ids[i], ids[j], jac))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    return ds.map_batches(keyed, batch_format="pyarrow").groupby("len_key").map_groups(
+    cand = ds.map_batches(keyed, batch_format="pyarrow").groupby("len_key").map_groups(
         pairs, batch_format="pandas"
     )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
 
 
 def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95, n_lsh_bits: int = 8):

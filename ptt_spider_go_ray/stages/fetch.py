@@ -57,9 +57,12 @@ class RequestsTransport:
         import requests
 
         try:
-            r = self.session.get(url, timeout=self.timeout, stream=True)
-            body = r.raw.read(MAX_IMAGE_BYTES + 1, decode_content=True)
-            return r.status_code, dict(r.headers), body
+            with self.session.get(url, timeout=self.timeout, stream=True) as r:
+                # read one byte past the cap so the caller can DETECT oversize
+                # (fetch_one fails the row); `with` closes the response so a
+                # truncated read can't leak the pooled connection
+                body = r.raw.read(MAX_IMAGE_BYTES + 1, decode_content=True)
+                return r.status_code, dict(r.headers), body
         except requests.RequestException as e:
             raise TransportError(str(e)) from e
 
@@ -157,7 +160,7 @@ def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
     for url, kind in zip(urls, kinds):
         status, body, attempts, err = fetch_with_retry(transport, url, sleep=lambda s: None)
         ok = status == 200 and not err
-        if ok and kind == "media" and len(body) > max_body_bytes:
+        if ok and len(body) > max_body_bytes:
             status, body, err, ok = status, b"", "oversize", False
         if not ok and not err:
             err = f"http {status}"
@@ -205,8 +208,12 @@ class Fetcher:
             return -2, b"", 0, "robots disallowed", False
         status, body, attempts, err = fetch_with_retry(self.transport, url, self.sleep)
         ok = status == 200 and not err
-        if ok and is_media and len(body) > self.max_body_bytes:
-            # S4: oversize body ⇒ row not emitted (cleaner than partial-file delete)
+        if ok and len(body) > self.max_body_bytes:
+            # S4: oversize body ⇒ row not emitted (cleaner than partial-file
+            # delete). Applied to ALL kinds: a transport may truncate at the
+            # cap, and a silently truncated HTML page must not be parsed as
+            # if complete (the reference only caps images, but never
+            # truncates pages — we surface truncation as an error instead).
             return status, b"", attempts, "oversize", False
         if not ok and not err:
             err = f"http {status}"

@@ -106,7 +106,15 @@ class FrontierShard:
             if self.filter.contains_hash(h):
                 canon = canonicalize_url(row["url"])
                 if self.seen_urls is not None and canon not in self.seen_urls:
+                    # cuckoo false positive VETOED by the exact side-set: the
+                    # URL is genuinely new — count it and enqueue anyway
+                    # (with exact_seen off, FPs drop the URL: the accepted
+                    # approximate-membership trade-off at 10^10 scale)
                     self.metrics["false_positives"] += 1
+                    self.seen_urls.add(canon)
+                    heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+                    accepted += 1
+                    continue
                 self.metrics["duplicates"] += 1
                 continue
             if not self.filter.add_hash(h):

@@ -12,8 +12,9 @@ from urllib.parse import urlparse
 
 class RobotsRules:
     def __init__(self, rules: list[tuple[str, bool]]):
-        # rules: (path_prefix, allowed); longest prefix wins, default allow
-        self.rules = sorted(rules, key=lambda r: -len(r[0]))
+        # rules: (path_prefix, allowed); longest prefix wins; on equal-length
+        # ties Allow wins (RFC 9309 §2.2.2); default allow
+        self.rules = sorted(rules, key=lambda r: (-len(r[0]), not r[1]))
 
     def allowed(self, path: str) -> bool:
         for prefix, allow in self.rules:
@@ -23,9 +24,14 @@ class RobotsRules:
 
     @classmethod
     def parse(cls, text: str, agent: str = "*") -> "RobotsRules":
-        rules: list[tuple[str, bool]] = []
-        applies = False
-        saw_group = False
+        """RFC 9309 group semantics: rules are grouped under their
+        User-agent lines (consecutive UA lines share one group); ONLY the
+        most specific matching group applies — the longest UA token that is
+        a substring of ``agent``, falling back to the ``*`` group."""
+        groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+        cur_agents: list[str] = []
+        cur_rules: list[tuple[str, bool]] = []
+        in_ua_run = False
         for raw in (text or "").splitlines():
             line = raw.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -34,18 +40,32 @@ class RobotsRules:
             key = key.strip().lower()
             val = val.strip()
             if key == "user-agent":
-                if saw_group and applies and val != "*" and agent == "*":
-                    # new group after ours closed
-                    applies = False
-                applies = val == "*" or val.lower() in agent.lower()
-                saw_group = True
-            elif key == "disallow" and applies:
-                if val:
-                    rules.append((val, False))
-            elif key == "allow" and applies:
-                if val:
-                    rules.append((val, True))
-        return cls(rules)
+                if not in_ua_run:
+                    if cur_agents:
+                        groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                    in_ua_run = True
+                cur_agents.append(val.lower())
+            elif key in ("disallow", "allow"):
+                in_ua_run = False
+                if cur_agents and val:
+                    cur_rules.append((val, key == "allow"))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+
+        agent_l = agent.lower()
+        best: tuple[int, list[tuple[str, bool]]] | None = None
+        for agents, rules in groups:
+            for a in agents:
+                if a == "*":
+                    score = 0
+                elif a in agent_l:
+                    score = len(a)
+                else:
+                    continue
+                if best is None or score > best[0]:
+                    best = (score, rules)
+        return cls(best[1] if best else [])
 
     @classmethod
     def allow_all(cls) -> "RobotsRules":

@@ -176,10 +176,12 @@ def test_robots_gating(ray_session):
                     robots_disallow=["/bbs/Beauty/M.170000020"])
     factory = functools.partial(make_transport, spec)
     res = run_crawl(cfg_small(), transport_factory=factory, board="Beauty", pages=2)
-    # denied articles produce fetch_err rows, not docs
+    # denied articles are filtered at offer time (driver robots cache — one
+    # robots.txt fetch per host) and never fetched
     doc_urls = {r["url"] for r in res.docs.to_pylist()}
     assert all("/M.170000020" not in u for u in doc_urls)
-    assert res.metrics["fetch_errors"] >= 1
+    assert res.metrics["robots_denied"] >= 1
+    assert all("/M.170000020" not in u for _, _, u in res.ledger)
 
 
 def test_multi_board_seed_list(ray_session):

@@ -74,7 +74,13 @@ def test_fetcher_oversize_row_not_emitted():
     f.max_body_bytes = 1000
     status, body, attempts, err, ok = f.fetch_one("https://x.com/big_image.jpg", True)
     assert not ok and err == "oversize" and body == b""
-    # non-media (html) bodies are not size-capped
+    # over-cap bodies fail for ANY kind (a truncated HTML page must not be
+    # parsed as if complete); under-cap pages pass
+    status, body, attempts, err, ok = f.fetch_one(
+        "https://www.ptt.cc/bbs/B/index1.html", False
+    )
+    assert not ok and err == "oversize"
+    f.max_body_bytes = 10**6
     status, body, attempts, err, ok = f.fetch_one(
         "https://www.ptt.cc/bbs/B/index1.html", False
     )

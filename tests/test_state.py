@@ -243,3 +243,34 @@ def test_shard_politeness_defers_beyond_budget():
     clock[0] += 1.0                               # +1 s → 2 more tokens
     second = s.take(10)
     assert [r["seq"] for r in second] == [2, 3]   # (priority, seq) order kept
+
+
+def test_shard_cuckoo_fp_vetoed_by_exact_set():
+    s = FrontierShard(0, seen_capacity=1 << 16, exact_seen=True)
+    r1 = _row("https://www.ptt.cc/bbs/B/real1.html", 1, 1)
+    s.offer([r1])
+    # craft a guaranteed cuckoo false positive: same 16-bit fingerprint and
+    # same bucket index (bits 16..29 for 2^14 buckets), different high bits
+    r2 = _row("https://www.ptt.cc/bbs/B/other2.html", 1, 2)
+    r2["url_hash"] = r1["url_hash"] ^ (1 << 40)
+    accepted = s.offer([r2])
+    m = s.get_metrics()
+    assert m["false_positives"] == 1
+    assert accepted == 1          # vetoed by exact set → still enqueued
+    assert s.size() == 2
+
+
+def test_robots_rfc_group_precedence():
+    text = (
+        "User-agent: mybot\nAllow: /x\n"
+        "User-agent: *\nDisallow: /x\nDisallow: /y\n"
+    )
+    specific = RobotsRules.parse(text, agent="MyBot/1.0")
+    assert specific.allowed("/x/anything")   # only the mybot group applies
+    assert specific.allowed("/y")            # '*' group does NOT apply
+    star = RobotsRules.parse(text, agent="otherbot")
+    assert not star.allowed("/x/anything")
+    assert not star.allowed("/y")
+    # equal-length Allow/Disallow tie → Allow wins (RFC 9309)
+    tie = RobotsRules.parse("User-agent: *\nDisallow: /p\nAllow: /p\n")
+    assert tie.allowed("/p/q")
