@@ -775,6 +775,44 @@ FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 """
 
 # ---------------------------------------------------------------------------
+# Q: native hash join (Dataset.join — the shuffle join; contrast with the
+# broadcast lookup in q_region_rollup, which is the right call for small
+# sides; this is the path when BOTH sides are large)
+# ---------------------------------------------------------------------------
+
+
+def q_join_native(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pa.array(
+                    np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        od, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    return joined.groupby("o_orderstatus").aggregate(
+        Sum("qty", alias_name="sum_qty"), Count(alias_name="n_lines")
+    )
+
+
+SQL_JOIN_NATIVE = """
+SELECT o_orderstatus, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -803,4 +841,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "value_extremes": (q_value_extremes, SQL_VALUE_EXTREMES),
     "string_kernels": (q_string_kernels, SQL_STRING_KERNELS),
     "recent_orders": (q_recent_orders, SQL_RECENT_ORDERS),
+    "join_native": (q_join_native, SQL_JOIN_NATIVE),
 }
