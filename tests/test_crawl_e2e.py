@@ -219,3 +219,20 @@ def test_politeness_paced_crawl_completes(ray_session):
     assert sorted(paced.docs["doc_id"].to_pylist()) == sorted(
         base.docs["doc_id"].to_pylist()
     )
+
+
+def test_duplicate_board_in_seed_list_deduped(ray_session):
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty,Beauty",
+        pages=2, push_threshold=10,
+    )
+    single = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty",
+        pages=2, push_threshold=10,
+    )
+    # second copy's seeds are URL-duplicates → seen-set drops them;
+    # the crawl degenerates to the single-board run
+    assert res.seen_set == single.seen_set
+    urls = [u for _, _, u in res.ledger]
+    assert len(urls) == len(set(urls))

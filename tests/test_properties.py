@@ -84,3 +84,30 @@ def test_cuckoo_no_false_negatives(keys):
         assert f.add_hash(hash64(k))
     for k in keys:
         assert f.contains_hash(hash64(k))          # membership never lost
+
+
+@given(st.text(max_size=300))
+def test_robots_parse_never_raises(text):
+    from ptt_spider_go_ray.state.robots import RobotsRules
+
+    r = RobotsRules.parse(text)
+    assert isinstance(r.allowed("/any/path"), bool)
+
+
+@given(st.lists(st.text(min_size=1, max_size=12), max_size=200),
+       st.lists(st.text(min_size=1, max_size=12), max_size=200))
+@settings(max_examples=20, deadline=None)
+def test_hll_merge_commutative(xs, ys):
+    from ptt_spider_go_ray.stages.sketch import HLL
+
+    a1, b1 = HLL(p=8), HLL(p=8)
+    if xs:
+        a1.add_many(xs)
+    if ys:
+        b1.add_many(ys)
+    a2, b2 = HLL(p=8), HLL(p=8)
+    if xs:
+        a2.add_many(xs)
+    if ys:
+        b2.add_many(ys)
+    assert a1.merge(b1).estimate() == b2.merge(a2).estimate()
