@@ -458,7 +458,7 @@ def canonicalize_url(url: str) -> str:
     host = (p.netloc or "").lower()
     path = p.path or "/"
     if len(path) > 1 and path.endswith("/"):
-        path = path.rstrip("/")
+        path = path.rstrip("/") or "/"  # '//' must collapse to '/', not ''
     q = f"?{p.query}" if p.query else ""
     return f"https://{host}{path}{q}"
 
