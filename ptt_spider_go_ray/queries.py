@@ -108,7 +108,7 @@ def q_group_counts(sf_dir: str):
 
 
 SQL_GROUP_COUNTS = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -300,10 +300,10 @@ def q_lineitem_agg(sf_dir: str):
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_e2,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_e2,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -346,7 +346,7 @@ def q_region_rollup(sf_dir: str):
 
 SQL_REGION_ROLLUP = """
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_acctbal_e2
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_e2
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -806,7 +806,7 @@ def q_join_native(sf_dir: str):
 
 
 SQL_JOIN_NATIVE = """
-SELECT o_orderstatus, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+SELECT o_orderstatus, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
