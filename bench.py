@@ -84,7 +84,7 @@ def run_crawl_bench(pages: int, latency_s: float, num_cpus: int,
         fetch_via="tasks",
     )
     elapsed = time.time() - t0
-    n_pages = len(res.ledger)
+    n_pages = res.dispatched
     out = {
         "pages": n_pages,
         "docs": res.docs.num_rows if res.docs is not None else 0,

@@ -107,7 +107,7 @@ def main(argv=None) -> int:
     )
     print(json.dumps({
         "rounds": res.rounds,
-        "dispatched": len(res.ledger),
+        "dispatched": res.dispatched,
         "docs": res.docs.num_rows if res.docs is not None else 0,
         "media": res.media.num_rows if res.media is not None else 0,
         "fetch_errors": res.metrics["fetch_errors"],

@@ -47,7 +47,15 @@ from ..state.frontier import SALT_K, FrontierShard, frontier_row, shard_for
 
 @dataclass
 class CrawlResult:
+    """Crawl outcome. Memory contract: when ``out_dir`` is set, ``docs`` and
+    ``media`` hold METADATA ONLY (no spans / no bodies — the full rows were
+    written worker-side to ``out_dir``); when it is empty (test mode) they
+    hold the full tables. ``ledger`` is populated only when the run retained
+    it (see ``run_crawl(retain_ledger=...)``); ``dispatched`` always counts
+    dispatched URLs."""
+
     ledger: list[tuple] = field(default_factory=list)  # (priority, seq, url) per round order
+    dispatched: int = 0
     docs: pa.Table | None = None
     media: pa.Table | None = None
     seen_set: list[str] = field(default_factory=list)
@@ -61,6 +69,46 @@ class CrawlResult:
 
 def _no_sleep(_s: float) -> None:
     return None
+
+
+_DOC_COLS = ["doc_id", "title", "url", "board", "author", "push_rate", "seq", "spans"]
+_MEDIA_COLS = ["doc_id", "span_idx", "url", "board", "n_bytes", "media_ok", "body", "seq"]
+
+
+def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
+    """Worker-side round-output processing: split one union block by
+    row_type, write doc/media rows to ``out_dir`` (when set) from the worker,
+    and return only what the driver needs — candidate rows, doc/media
+    metadata (or full tables in test mode), and the error count. Runs as a
+    Ray task on the node holding the block, so span payloads and media
+    bodies never cross to the driver in production."""
+
+    def split(rt: str, drop: list[str]) -> pa.Table | None:
+        t = tbl.filter(pc.equal(tbl["row_type"], rt))
+        return t.drop_columns(drop) if t.num_rows else None
+
+    cand = split("cand", ["body", "spans", "row_type"])
+    doc = split("doc", ["body"])
+    media = split("media_result", ["spans"])
+    err = split("fetch_err", ["body", "spans"])
+
+    doc_out = media_out = None
+    if doc is not None:
+        doc_out = doc.select(_DOC_COLS)
+        if out_dir:
+            storage.write_partition(doc_out, out_dir, "docs", f"round={epoch}", part=part)
+            doc_out = doc_out.drop_columns(["spans"])
+    if media is not None:
+        media_out = media.select(_MEDIA_COLS)
+        if out_dir:
+            storage.write_partition(media_out, out_dir, "media", f"round={epoch}", part=part)
+            media_out = media_out.drop_columns(["body"])
+    return {
+        "cand": cand,
+        "doc": doc_out,
+        "media": media_out,
+        "n_err": err.num_rows if err is not None else 0,
+    }
 
 
 def seed_rows_board(transport, board: str, pages: int, seed_offset: int = 0) -> list[dict]:
@@ -151,11 +199,19 @@ def run_crawl(
     fetch_media: bool = True,
     deterministic: bool = True,
     fetch_via: str = "actors",
+    retain_ledger: bool | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
     for kill/resume tests. ``deterministic=True`` disables real politeness
     sleeping (rate 0) so ordering tests are exact.
+
+    ``retain_ledger``: keep the full in-memory (priority, seq, url) ledger in
+    ``CrawlResult.ledger``. Default: retained only when NO checkpoint_dir is
+    configured (ephemeral/test runs, where nothing else records it). With a
+    checkpoint_dir the ledger already lives append-only in the per-epoch
+    checkpoint parquet, so the production default keeps driver memory
+    O(round) — pass ``retain_ledger=True`` for ordering-equality tests.
 
     Resume contract: pass the SAME mode arguments (board/file_lines,
     push_threshold, fetch_media, transport) as the original run — the
@@ -186,13 +242,16 @@ def run_crawl(
     ]
     ray.get([s.size.remote() for s in shards])  # force actor spawn (setup cost)
 
-    ledger: list[tuple] = []
+    retain = retain_ledger if retain_ledger is not None else not ckpt_dir
+    ledger: list[tuple] = []       # retained only when `retain`
+    ledger_delta: list[tuple] = [] # current epoch's rows, for the checkpoint
+    dispatched = 0
     epoch = 0
     seeds_to_offer: list[dict] | None = None
     if resume:
         if not ckpt_dir:
             raise ValueError("resume=True requires cfg.crawler.checkpoint_dir")
-        epoch, ledger = _restore(shards, ckpt_dir)
+        epoch, ledger, dispatched = _restore(shards, ckpt_dir, retain)
     else:
         if file_mode:
             seeds = seed_rows_file(file_lines, board or "beauty")
@@ -200,8 +259,6 @@ def run_crawl(
             boards = [b.strip() for b in board.split(",") if b.strip()]
             seeds = seed_rows_boards(transport_factory(), boards, pages)
         seeds_to_offer = seeds
-
-    ledger_ckpt_from = len(ledger)
 
     # robots gating at OFFER time, cached on the driver (exactly one
     # robots.txt fetch per host for the whole crawl) — the fetch actors skip
@@ -249,6 +306,10 @@ def run_crawl(
     fetch_errors = 0
     rounds_this_run = 0
     finished = True
+    # per-block round-output processor (worker-side write/split — see
+    # _process_block); num_cpus=1: it runs after the round's fetch/parse
+    # stages have drained, so there is no pool to starve
+    process_block = ray.remote(num_cpus=1)(_process_block)
     setup_seconds = _time.time() - t_setup
     t_loop = _time.time()
 
@@ -264,7 +325,10 @@ def run_crawl(
                 break
             _time.sleep(0.05)  # wait for token refill
             continue
-        ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
+        ledger_delta.extend((r["priority"], r["seq"], r["url"]) for r in rows)
+        dispatched += len(rows)
+        if retain:
+            ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
 
         tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
         # one block per fetch batch: from_arrow(single table) would give ONE
@@ -302,55 +366,35 @@ def run_crawl(
             )
         union = fetched.map_batches(parse_stage, batch_format="pyarrow")
 
-        # ONE pass over the round's (bounded) output: pull blocks and split by
-        # row_type driver-side with vectorized Arrow filters — re-executing a
-        # filter Dataset per slice would pay fixed execution overhead 3-4×.
-        blocks = [t for t in ray.get(union.to_arrow_refs()) if t.num_rows]
-        union_tbl = pa.concat_tables(blocks) if blocks else None
+        # ONE pass over the round's (bounded) output: the union blocks stay in
+        # the object store; per-block _process_block tasks split by row_type,
+        # write doc/media partitions worker-side (when out_dir is set), and
+        # ship the driver only candidates + metadata. Span payloads and media
+        # bodies (≤50 MB each) cross to the driver ONLY in test mode
+        # (out_dir="") — production driver memory stays O(round metadata).
+        refs = union.to_arrow_refs()
+        outs = ray.get(
+            [process_block.remote(ref, out_dir, epoch, i) for i, ref in enumerate(refs)]
+        )
 
-        def _split(rt: str, drop: list[str]) -> pa.Table | None:
-            if union_tbl is None:
-                return None
-            t = union_tbl.filter(pc.equal(union_tbl["row_type"], rt))
-            return t.drop_columns(drop) if t.num_rows else None
-
-        cand_tbl = _split("cand", ["body", "spans", "row_type"])
-        if cand_tbl is not None:
+        cand_parts = [o["cand"] for o in outs if o["cand"] is not None]
+        if cand_parts:
+            cand_tbl = pa.concat_tables(cand_parts)
             cand_rows = [
                 {k: c[k] for k in FRONTIER_SCHEMA.names} for c in cand_tbl.to_pylist()
             ]
             cand_rows = [r for r in cand_rows if r["depth"] <= cc.max_depth]
             _offer_sorted(shards, _robots_filter(cand_rows), n_shards)
 
-        doc_tbl = _split("doc", ["body"])
-        media_tbl = _split("media_result", ["spans"])
-        err_tbl = _split("fetch_err", ["body", "spans"])
-        fetch_errors += err_tbl.num_rows if err_tbl is not None else 0
-
-        if doc_tbl is not None and doc_tbl.num_rows:
-            doc_out = doc_tbl.select(
-                ["doc_id", "title", "url", "board", "author", "push_rate", "seq", "spans"]
-            )
-            if out_dir:
-                storage.write_partition(doc_out, out_dir, "docs", f"round={epoch}")
-            docs_tables.append(doc_out)
-        if media_tbl is not None and media_tbl.num_rows:
-            media_out = media_tbl.select(
-                ["doc_id", "span_idx", "url", "board", "n_bytes", "media_ok", "body", "seq"]
-            )
-            if out_dir:
-                storage.write_partition(media_out, out_dir, "media", f"round={epoch}")
-                # bodies are persisted; keep only metadata in driver memory so
-                # RSS stays O(round), not O(crawl) (bodies cap at 50 MB each)
-                media_tables.append(media_out.drop_columns(["body"]))
-            else:
-                media_tables.append(media_out)
+        fetch_errors += sum(o["n_err"] for o in outs)
+        docs_tables.extend(o["doc"] for o in outs if o["doc"] is not None)
+        media_tables.extend(o["media"] for o in outs if o["media"] is not None)
 
         epoch += 1
         rounds_this_run += 1
         if ckpt_dir:
-            _checkpoint(shards, ckpt_dir, epoch, ledger[ledger_ckpt_from:])
-            ledger_ckpt_from = len(ledger)
+            _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
+        ledger_delta.clear()
 
     loop_seconds = _time.time() - t_loop
     shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
@@ -371,6 +415,7 @@ def run_crawl(
         ray.kill(s)
     return CrawlResult(
         ledger=ledger,
+        dispatched=dispatched,
         docs=pa.concat_tables(docs_tables) if docs_tables else None,
         media=pa.concat_tables(media_tables) if media_tables else None,
         seen_set=seen,
@@ -408,7 +453,9 @@ def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) ->
         f.write(str(epoch))
 
 
-def _restore(shards, ckpt_dir: str) -> tuple[int, list[tuple]]:
+def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int]:
+    """Restore shard state + dispatched count; materialize the full ledger in
+    memory only when ``retain`` (metadata-only row counts otherwise)."""
     import ray
 
     with open(f"{ckpt_dir}/LATEST") as f:
@@ -417,9 +464,15 @@ def _restore(shards, ckpt_dir: str) -> tuple[int, list[tuple]]:
     states = {s["shard_id"]: s for s in tbl.to_pylist()}
     ray.get([s.restore_state.remote(states[i]) for i, s in enumerate(shards)])
     ledger: list[tuple] = []
+    dispatched = 0
     for e in range(1, epoch + 1):
-        lt = pq.read_table(f"{ckpt_dir}/ledger_epoch{e}.parquet")
-        ledger.extend(
-            zip(lt["priority"].to_pylist(), lt["seq"].to_pylist(), lt["url"].to_pylist())
-        )
-    return epoch, ledger
+        path = f"{ckpt_dir}/ledger_epoch{e}.parquet"
+        if retain:
+            lt = pq.read_table(path)
+            ledger.extend(
+                zip(lt["priority"].to_pylist(), lt["seq"].to_pylist(), lt["url"].to_pylist())
+            )
+            dispatched += lt.num_rows
+        else:
+            dispatched += pq.ParquetFile(path).metadata.num_rows
+    return epoch, ledger, dispatched

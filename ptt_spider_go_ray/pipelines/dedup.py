@@ -3,8 +3,11 @@ extensions). Each returns a Dataset; the ``queries()`` registry exposes them,
 with DuckDB oracles where exact semantics are SQL-expressible.
 
 Scale shape: signature pass = streaming map_batches (stateful actor pool for
-the MinHasher); the only shuffle is the groupby on band/bucket keys carrying
-(key, doc_id [, signature]) — documents never move.
+the MinHasher); the only wide steps are (a) the groupby on band/bucket keys
+carrying (key, doc_id, signature-or-shingle-set) — documents never move —
+and (b) a bucketed groupby on the pair key for candidate-pair dedup. No
+stage funnels through a single task, and bucket counts scale with input
+size (``_coarse_buckets``) instead of being fixed constants.
 """
 
 from __future__ import annotations
@@ -15,11 +18,18 @@ import pyarrow as pa
 
 from ..stages.dedup import (
     MinHasher,
+    MinHashShingler,
+    hashed_set_jaccard,
     minhash_jaccard,
-    ngram_jaccard,
     simhash_batch,
     simhash_block_keys,
 )
+
+# target rows per coarse shuffle bucket; buckets = ceil(rows / target), so
+# bucket count grows linearly with input instead of being a fixed 256
+_TARGET_BUCKET_ROWS = 4096
+# target rows per pair-dedup partition
+_TARGET_PAIR_ROWS = 65536
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -28,11 +38,55 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _coarse_buckets(n_rows: int, target: int = _TARGET_BUCKET_ROWS) -> int:
+    return max(16, -(-n_rows // target))
+
+
+def _bucket_of(keys: list[str] | np.ndarray, n_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(np.asarray(keys, dtype=object)) % n_buckets).astype(
+        np.int64
+    )
+
+
+def _dedup_pairs(cand, pair_cols: tuple[str, str], n_buckets: int):
+    """Distributed candidate-pair dedup: bucket on the pair key, then
+    drop_duplicates per bucket. Duplicates of one pair always share a bucket,
+    and no task sees more than ~1/n_buckets of the pairs (replaces the old
+    single-task ``repartition(1)`` tail)."""
+    a, b = pair_cols
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[a].astype("int64") * np.int64(1_000_003) + df[b].astype("int64")
+        df = df.copy()
+        df["pair_bucket"] = (pd.util.hash_array(key.to_numpy()) % n_buckets).astype(
+            np.int64
+        )
+        return df
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[a, b]).drop(columns=["pair_bucket"])
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
 def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     """documents → minhash signatures (actor pool) → band explode →
     groupby(band_key) → candidate pairs with signature-estimated Jaccard.
     Returns one row per candidate pair (a < b) with est_jaccard."""
     ds = _docs(sf_dir)
+    n_docs = ds.count()
+    n_buckets = _coarse_buckets(n_docs * n_bands)
+    n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
+
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"n_perm": n_perm},
@@ -40,13 +94,14 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
         batch_format="pyarrow",
     )
     banded = sigs.map_batches(
-        lambda t: _band_with_sig(t, n_bands), batch_format="pyarrow"
+        lambda t: _band_with_payload(t, n_bands, n_buckets, "minhash"),
+        batch_format="pyarrow",
     )
 
-    # Shuffle on a COARSE bucket (hash(band_key) % 256) instead of the raw
-    # band_key: band keys are mostly singletons, and map_groups pays ~1 ms of
-    # Python per group — 80k tiny groups would dominate wall time. Within a
-    # bucket, pandas' C-level groupby walks the per-key runs.
+    # Shuffle on a COARSE bucket (hash(band_key) % n_buckets) instead of the
+    # raw band_key: band keys are mostly singletons, and map_groups pays ~1 ms
+    # of Python per group. Within a bucket, pandas' C-level groupby walks the
+    # per-key runs.
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, grp in g.groupby("band_key", sort=False):
@@ -66,36 +121,38 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
 
     cand = banded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-
-    # same pair can surface from multiple bands → exact dedup (tiny result)
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["doc_a", "doc_b"])
-
-    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
+    # same pair can surface from multiple bands → distributed pair dedup
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
 
 
-def _band_with_sig(t: pa.Table, n_bands: int) -> pa.Table:
-    """Band explode keeping the signature on each row (needed for in-group
-    estimation without a second join)."""
+def _band_with_payload(t: pa.Table, n_bands: int, n_buckets: int, payload: str) -> pa.Table:
+    """Band explode keeping a per-doc payload column (signature or shingle
+    set) on each banded row — needed for in-group estimation/verification
+    without a second join."""
     from ..stages.dedup import lsh_band_keys
 
-    doc_ids, keys, sigs = [], [], []
-    for doc_id, sig in zip(t["doc_id"].to_pylist(), t["minhash"].to_pylist()):
+    doc_ids, keys, payloads = [], [], []
+    for doc_id, sig, pl in zip(
+        t["doc_id"].to_pylist(), t["minhash"].to_pylist(), t[payload].to_pylist()
+    ):
         arr = np.array(sig, dtype=np.uint64)
         for key in lsh_band_keys(arr, n_bands):
             doc_ids.append(doc_id)
             keys.append(key)
-            sigs.append(sig)
-    keys_arr = np.asarray(keys, dtype=object)
-    buckets = (pd.util.hash_array(keys_arr) % 256).astype(np.int64)
+            payloads.append(pl)
     return pa.table(
         {
-            "bucket": pa.array(buckets),
+            "bucket": pa.array(_bucket_of(keys, n_buckets)),
             "band_key": pa.array(keys, pa.string()),
             "doc_id": pa.array(doc_ids),
-            "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+            payload: pa.array(payloads, pa.list_(pa.uint64())),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
@@ -104,6 +161,10 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     from ..stages.dedup import hamming64
 
     ds = _docs(sf_dir)
+    n_docs = ds.count()
+    n_buckets = _coarse_buckets(n_docs * 4)
+    n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
+
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
@@ -113,10 +174,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
                 doc_ids.append(doc_id)
                 keys.append(key)
                 hashes.append(h)
-        buckets = (pd.util.hash_array(np.asarray(keys, dtype=object)) % 256).astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(buckets),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "block_key": pa.array(keys, pa.string()),
                 "doc_id": pa.array(doc_ids),
                 "simhash": pa.array(hashes, pa.uint64()),
@@ -148,96 +208,122 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
     cand = sh.map_batches(explode, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["doc_a", "doc_b"])
 
-    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (MinHash-band candidates + exact verify)
+# ---------------------------------------------------------------------------
 
 
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3,
-                       bucket_w: int = 16):
-    """Exact n-gram-Jaccard near-dup detection: bucket by token-count range,
-    verify exactly within buckets. Each doc lands in TWO half-shifted buckets
-    (n//W and (n+W//2)//W offset lane) so pairs straddling a bucket boundary
-    still meet when their token counts differ by ≤ W/2; pairs with a larger
-    length gap can be missed (at jaccard ≥ 0.8 and W=16 the token-count gap
-    of a reported pair is ≤ ~11% of length, so W/2=8 covers docs ≲ 70
-    tokens exactly and longer docs heuristically — widen W for longer docs).
-    Duplicate pair reports from the two lanes are deduped at the end."""
+                       n_perm: int = 64, n_bands: int = 16):
+    """Exact n-gram-Jaccard near-dup detection with MinHash-band candidate
+    generation (replaces the earlier all-pairs-within-length-bucket design,
+    which was O(n²) per content-agnostic bucket).
+
+    One text pass computes the MinHash signature AND the unique 64-bit
+    shingle-hash set (``MinHashShingler``); the band groupby carries the
+    shingle set so verification is a sorted-array intersection inside the
+    band group — no join back to documents, no O(n²) stage. Candidate recall
+    follows the LSH band curve: P(candidate | J=t) = 1-(1-t^r)^b, ≈0.9998 at
+    J=0.8 with r=4, b=16. Jaccard is computed on 64-bit hashed shingle sets
+    (collision probability ~n²/2⁶⁴, negligible)."""
     ds = _docs(sf_dir)
+    n_docs = ds.count()
+    n_buckets = _coarse_buckets(n_docs * n_bands)
+    n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
 
-    def keyed(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        nt = [len((x or "").split()) for x in texts]
-        keys, doc_ids, out_texts = [], [], []
-        for n, doc_id, text in zip(nt, t["doc_id"].to_pylist(), texts):
-            keys.append(f"a{n // bucket_w}")
-            doc_ids.append(doc_id)
-            out_texts.append(text)
-            keys.append(f"b{(n + bucket_w // 2) // bucket_w}")
-            doc_ids.append(doc_id)
-            out_texts.append(text)
-        return pa.table(
-            {
-                "len_key": pa.array(keys, pa.string()),
-                "doc_id": pa.array(doc_ids),
-                "text": pa.array(out_texts),
-            }
-        )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")})
-        g = g.sort_values("doc_id")
-        ids, texts = g["doc_id"].tolist(), g["text"].tolist()
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = ngram_jaccard(texts[i] or "", texts[j] or "", k)
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
-
-    cand = ds.map_batches(keyed, batch_format="pyarrow").groupby("len_key").map_groups(
-        pairs, batch_format="pandas"
+    sigs = ds.map_batches(
+        MinHashShingler,
+        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": k},
+        concurrency=(1, 4),
+        batch_format="pyarrow",
+    )
+    banded = sigs.map_batches(
+        lambda t: _band_with_payload(t, n_bands, n_buckets, "shingles"),
+        batch_format="pyarrow",
     )
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["doc_a", "doc_b"])
+    def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            sets = [np.array(s, dtype=np.uint64) for s in grp["shingles"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jac = hashed_set_jaccard(sets[i], sets[j])
+                    if jac >= threshold:
+                        rows.append((ids[i], ids[j], jac))
+        if not rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    return cand.repartition(1).map_batches(dedup_pairs, batch_format="pandas")
+    cand = banded.groupby("bucket").map_groups(verify_in_bucket, batch_format="pandas")
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
 
 
-def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95, n_lsh_bits: int = 8):
-    """Embedding near-dup via random-hyperplane LSH bucketing + exact cosine
-    verification within buckets (the scale path: buckets shuffle only
-    (bucket, id, vector))."""
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95,
+                          n_lsh_bits: int | None = None, n_tables: int = 2,
+                          target_bucket: int = 128):
+    """Embedding near-dup via multi-table random-hyperplane LSH bucketing +
+    exact cosine verification within buckets.
+
+    ``n_lsh_bits`` scales with dataset size (log2(n / target_bucket)) so
+    expected bucket population stays ~target_bucket regardless of n — the
+    within-bucket pair scan is O(n · target_bucket), not O(n²/const).
+    ``n_tables`` independent hash tables recover the recall lost to more
+    bits (a near-dup pair missed by one table is caught by another);
+    cross-table duplicate pairs are removed by a distributed pair dedup."""
     import ray
     import ray.data
-
-    rng = np.random.default_rng(11)
-    planes_ref = None  # set after reading dim
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    n_vecs = ds.count()
+    if n_lsh_bits is None:
+        n_lsh_bits = max(4, int(np.ceil(np.log2(max(2.0, n_vecs / target_bucket)))))
+    n_pair_buckets = _coarse_buckets(n_vecs, _TARGET_PAIR_ROWS)
 
     first = ds.take(1)
     dim = len(first[0]["embedding"])
-    planes = rng.standard_normal((dim, n_lsh_bits))
+    rng = np.random.default_rng(11)
+    # (n_tables, dim, n_lsh_bits) — broadcast once via ray.put
+    planes = rng.standard_normal((n_tables, dim, n_lsh_bits))
     planes_ref = ray.put(planes)
 
     def bucket(t: pa.Table, pref=planes_ref) -> pa.Table:
         p = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        bits = (mat @ p) > 0
-        keys = (bits * (1 << np.arange(n_lsh_bits))).sum(axis=1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        weights = 1 << np.arange(n_lsh_bits)
+        out_bucket, out_ids = [], []
+        for ti in range(n_tables):
+            bits = (mat @ p[ti]) > 0
+            keys = (bits * weights).sum(axis=1).astype(np.int64)
+            # disjoint key space per table: table_id in the high bits
+            out_bucket.append(keys + np.int64(ti << (n_lsh_bits + 1)))
+            out_ids.append(vids)
+        emb = pa.concat_arrays(
+            [t["embedding"].combine_chunks() for _ in range(n_tables)]
+        )
         return pa.table(
             {
-                "bucket": pa.array(keys.astype(np.int64)),
-                "vec_id": t["vec_id"],
-                "embedding": t["embedding"],
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                "vec_id": pa.array(np.concatenate(out_ids)),
+                "embedding": emb,
             }
         )
 
@@ -252,6 +338,7 @@ def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95, n_lsh_bits: int 
         rows = cosine_dup_pairs(ids, mat, threshold)
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos"])
 
-    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+    cand = ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs, batch_format="pandas"
     )
+    return _dedup_pairs(cand, ("vec_a", "vec_b"), n_pair_buckets)

@@ -623,24 +623,30 @@ def q_asof_join(sf_dir: str):
         batch_format="pyarrow",
     )
     # right side pre-deduped to one row per (key, ts): max order key — makes
-    # the as-of pick deterministic under date ties on both engines
-    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    # the as-of pick deterministic under date ties on both engines. The dedup
+    # is a distributed hash-shuffle groupby (scales with the orders table);
+    # the tag projection after it is an ordinary streaming map_batches.
+    from ray.data.aggregate import Max
 
-    def prep_orders(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"].max()
+    od = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="order_key"))
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
         # Arrow out so the union has uniform block types
         return pa.table(
             {
-                "key": pa.array(g["o_custkey"], pa.int64()),
-                "side": pa.array(["o"] * len(g)),
-                "event_id": pa.array(np.full(len(g), -1, dtype=np.int64)),
-                "ts": pa.array(g["o_orderdate"], pa.timestamp("us")),
-                "order_key": pa.array(g["o_orderkey"], pa.int64()),
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "side": pa.array(["o"] * t.num_rows),
+                "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "order_key": pc.cast(t["order_key"], pa.int64()),
             }
         )
 
-    od = od.repartition(1).map_batches(prep_orders, batch_format="pyarrow")
+    od = od.map_batches(tag_orders, batch_format="pyarrow")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values("ts")

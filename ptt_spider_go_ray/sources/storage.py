@@ -24,14 +24,17 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def write_partition(table: pa.Table, root: str, name: str, partition: str) -> str:
-    """Write one partition of a logical table; returns the partition dir."""
+def write_partition(table: pa.Table, root: str, name: str, partition: str,
+                    part: int = 0) -> str:
+    """Write one part file of a logical table partition; returns the
+    partition dir. ``part`` distinguishes concurrent per-block writers
+    within one partition (worker-side sinks write part-<i> in parallel)."""
     d = os.path.join(root, name, partition)
     os.makedirs(d, exist_ok=True)
     if HAVE_LANCE:  # pragma: no cover
-        lance.write_dataset(table, os.path.join(d, "part.lance"), mode="overwrite")
+        lance.write_dataset(table, os.path.join(d, f"part-{part}.lance"), mode="overwrite")
     else:
-        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+        pq.write_table(table, os.path.join(d, f"part-{part}.parquet"))
     return d
 
 
@@ -43,13 +46,10 @@ def read_table(root: str, name: str) -> pa.Table | None:
     tables = []
     for part in sorted(os.listdir(base)):
         d = os.path.join(base, part)
-        if HAVE_LANCE:  # pragma: no cover
-            p = os.path.join(d, "part.lance")
-            if os.path.exists(p):
-                tables.append(lance.dataset(p).to_table())
-                continue
         for f in sorted(os.listdir(d)):
-            if f.endswith(".parquet"):
+            if HAVE_LANCE and f.endswith(".lance"):  # pragma: no cover
+                tables.append(lance.dataset(os.path.join(d, f)).to_table())
+            elif f.endswith(".parquet"):
                 tables.append(pq.read_table(os.path.join(d, f)))
     return pa.concat_tables(tables) if tables else None
 

@@ -78,6 +78,39 @@ class MinHasher:
         )
 
 
+class MinHashShingler(MinHasher):
+    """MinHash signature + unique 64-bit shingle-hash set in ONE text pass.
+
+    The shingle set rides along to the LSH band groups so the exact Jaccard
+    verification downstream never needs the raw text again (and never joins
+    back to the documents table). Jaccard over 64-bit hashed shingle sets
+    equals Jaccard over the shingle sets themselves up to negligible hash
+    collisions (~n^2/2^64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, shingle_sets = [], []
+        for t in batch["text"].to_pylist():
+            h = _shingle_hashes(t or "", self.shingle_k)
+            with np.errstate(over="ignore"):
+                vals = self.a[:, None] * h[None, :] + self.b[:, None]
+            sigs.append(vals.min(axis=1).tolist())
+            shingle_sets.append(np.unique(h).tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+                "shingles": pa.array(shingle_sets, pa.list_(pa.uint64())),
+            }
+        )
+
+
+def hashed_set_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 hash sets."""
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
 def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
     """Split the signature into bands; each band hashes to a bucket key."""
     rows = len(sig) // n_bands

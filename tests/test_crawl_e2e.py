@@ -142,10 +142,13 @@ def test_resume_from_checkpoint_no_refetch(ray_session, tmp_path):
         push_threshold=10,
     )
 
-    # killed run: stop after 2 rounds
+    # killed run: stop after 2 rounds (retain_ledger=True: with a
+    # checkpoint_dir the production default keeps only counts in memory —
+    # this ordering-equality test opts into full in-memory retention)
     part = run_crawl(
         cfg_small(checkpoint_dir=ck), transport_factory=factory,
         board="Beauty", pages=3, push_threshold=10, max_rounds=2, out_dir=out1,
+        retain_ledger=True,
     )
     assert not part.finished and part.rounds == 2
 
@@ -153,6 +156,7 @@ def test_resume_from_checkpoint_no_refetch(ray_session, tmp_path):
     rest = run_crawl(
         cfg_small(checkpoint_dir=ck), transport_factory=factory,
         board="Beauty", pages=3, push_threshold=10, resume=True, out_dir=out1,
+        retain_ledger=True,
     )
     assert rest.finished
 
@@ -169,6 +173,39 @@ def test_resume_from_checkpoint_no_refetch(ray_session, tmp_path):
     got_ids = sorted(combined["doc_id"].to_pylist())
     assert got_ids == sorted(full.docs["doc_id"].to_pylist())
     assert len(got_ids) == len(set(got_ids))
+
+
+def test_production_memory_contract(ray_session, tmp_path):
+    """With out_dir + checkpoint_dir set (production defaults), the driver
+    retains only metadata: no in-memory ledger, no spans, no media bodies.
+    Full rows are written worker-side to out_dir; the ledger lives in the
+    per-epoch checkpoint parquet and row-counts to `dispatched`."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.sources import storage
+
+    factory = functools.partial(make_transport, SPEC)
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    res = run_crawl(
+        cfg_small(checkpoint_dir=ck), transport_factory=factory,
+        board="Beauty", pages=3, push_threshold=10, out_dir=out,
+    )
+    assert res.ledger == [] and res.dispatched > 0
+    assert "spans" not in res.docs.column_names
+    assert "body" not in res.media.column_names
+
+    docs_full = storage.read_table(out, "docs")
+    assert "spans" in docs_full.column_names
+    assert sorted(docs_full["doc_id"].to_pylist()) == sorted(res.docs["doc_id"].to_pylist())
+    media_full = storage.read_table(out, "media")
+    assert "body" in media_full.column_names
+    assert all(len(b) > 0 for b in media_full["body"].to_pylist())
+
+    n = sum(pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(f"{ck}/ledger_epoch*.parquet"))
+    assert n == res.dispatched
 
 
 def test_robots_gating(ray_session):
