@@ -346,7 +346,8 @@ def run_crawl(
 
             factory_bytes = pickle.dumps(transport_factory)
             fetched = ds.map_batches(
-                functools.partial(fetch_batch_task, factory_bytes=factory_bytes),
+                functools.partial(fetch_batch_task, factory_bytes=factory_bytes,
+                                  deterministic=deterministic),
                 batch_size=cc.fetch_batch_size,
                 batch_format="pyarrow",
             )
@@ -458,11 +459,29 @@ def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int
     memory only when ``retain`` (metadata-only row counts otherwise)."""
     import ray
 
+    import json
+
     with open(f"{ckpt_dir}/LATEST") as f:
         epoch = int(f.read().strip())
     tbl = pq.read_table(f"{ckpt_dir}/shards_epoch{epoch}.parquet")
     states = {s["shard_id"]: s for s in tbl.to_pylist()}
-    ray.get([s.restore_state.remote(states[i]) for i, s in enumerate(shards)])
+    # exact seen set = union of every epoch's per-shard delta (checkpoints
+    # store deltas so each epoch's write stays O(round))
+    seen_by_shard: dict[int, set] = {}
+    for e in range(1, epoch + 1):
+        mt = pq.read_table(
+            f"{ckpt_dir}/shards_epoch{e}.parquet", columns=["shard_id", "metrics"]
+        )
+        for s in mt.to_pylist():
+            delta = json.loads(s["metrics"]).get("seen_urls_delta")
+            if delta:
+                seen_by_shard.setdefault(s["shard_id"], set()).update(delta)
+    ray.get(
+        [
+            s.restore_state.remote(states[i], sorted(seen_by_shard.get(i, set())))
+            for i, s in enumerate(shards)
+        ]
+    )
     ledger: list[tuple] = []
     dispatched = 0
     for e in range(1, epoch + 1):

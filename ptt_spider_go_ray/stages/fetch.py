@@ -147,9 +147,14 @@ _TASK_TRANSPORTS: dict[bytes, object] = {}
 
 
 def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
-                     max_body_bytes: int = MAX_IMAGE_BYTES) -> pa.Table:
+                     max_body_bytes: int = MAX_IMAGE_BYTES,
+                     deterministic: bool = True) -> pa.Table:
+    """``deterministic=True`` (ordering tests / bench): no real sleeping
+    between 429 retries. Non-deterministic runs honor Retry-After/backoff
+    pacing exactly like the actor path (crawler/retry.go doWithRetry)."""
     import pickle
 
+    sleep = (lambda s: None) if deterministic else time.sleep
     transport = _TASK_TRANSPORTS.get(factory_bytes)
     if transport is None:
         transport = pickle.loads(factory_bytes)()
@@ -158,7 +163,7 @@ def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
     kinds = batch["kind"].to_pylist()
     statuses, oks, errors, bodies, attempts_l = [], [], [], [], []
     for url, kind in zip(urls, kinds):
-        status, body, attempts, err = fetch_with_retry(transport, url, sleep=lambda s: None)
+        status, body, attempts, err = fetch_with_retry(transport, url, sleep=sleep)
         ok = status == 200 and not err
         if ok and len(body) > max_body_bytes:
             status, body, err, ok = status, b"", "oversize", False

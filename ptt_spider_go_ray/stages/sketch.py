@@ -11,6 +11,20 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _floor_log2_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized floor(log2(v)) for nonzero uint64, in pure integer space.
+    (float64 log2 rounds values whose top bits are all ones up to 2^64,
+    yielding k=64 → rank 0 → a silently skipped register update — a small
+    systematic bias in the estimator.)"""
+    k = np.zeros(v.shape, dtype=np.int64)
+    v = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v >= (np.uint64(1) << np.uint64(shift))
+        k[mask] += shift
+        v[mask] >>= np.uint64(shift)
+    return k
+
+
 class HLL:
     def __init__(self, p: int = 12):
         self.p = p
@@ -27,7 +41,7 @@ class HLL:
         # rank = leading zeros of the left-aligned suffix + 1, capped: the
         # |1 sentinel makes an all-zero suffix hit exactly the cap
         rest = (h << np.uint64(self.p)) | np.uint64(1)
-        k = np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)  # 0..63
+        k = _floor_log2_u64(rest)  # 0..63, exact integer arithmetic
         rank = np.minimum(64 - k, 64 - self.p + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
 

@@ -89,6 +89,10 @@ class FrontierShard:
         # filter alone is the seen set.
         self.exact_seen = exact_seen
         self.seen_urls: set[str] | None = set() if exact_seen else None
+        # URLs first seen since the last checkpoint — checkpoints embed only
+        # this delta (reconstructible by unioning all epochs on restore), so
+        # per-epoch checkpoint cost is O(round), not O(total crawl)
+        self.seen_delta: set[str] | None = set() if exact_seen else None
         self.metrics = {
             "offered": 0, "accepted": 0, "duplicates": 0, "taken": 0,
             "pushed_back": 0, "false_positives": 0,
@@ -112,6 +116,7 @@ class FrontierShard:
                     # approximate-membership trade-off at 10^10 scale)
                     self.metrics["false_positives"] += 1
                     self.seen_urls.add(canon)
+                    self.seen_delta.add(canon)
                     heapq.heappush(self.heap, (row["priority"], row["seq"], row))
                     accepted += 1
                     continue
@@ -123,7 +128,9 @@ class FrontierShard:
                     f"({self.filter.count} items); raise seen_capacity"
                 )
             if self.seen_urls is not None:
-                self.seen_urls.add(canonicalize_url(row["url"]))
+                canon = canonicalize_url(row["url"])
+                self.seen_urls.add(canon)
+                self.seen_delta.add(canon)
             heapq.heappush(self.heap, (row["priority"], row["seq"], row))
             accepted += 1
         self.metrics["accepted"] += accepted
@@ -166,6 +173,10 @@ class FrontierShard:
     # -- checkpoint (north rule: head + filter segment + lineage/metrics) ---
 
     def checkpoint_state(self, epoch: int) -> dict:
+        """Snapshot for the per-epoch checkpoint. The exact seen set is
+        embedded as the DELTA since the previous checkpoint (cleared here),
+        so a restore unions the deltas of all epochs — per-epoch cost stays
+        O(round). Call at most once per epoch (delta-clearing side effect)."""
         from ..schemas import FRONTIER_SCHEMA
 
         rows = [row for _, _, row in sorted(self.heap)]
@@ -175,18 +186,22 @@ class FrontierShard:
             with pa.ipc.new_stream(sink, heap_tbl.schema) as w:
                 w.write_table(heap_tbl)
         heap_bytes = sink.getvalue().to_pybytes()
+        delta = sorted(self.seen_delta) if self.seen_delta is not None else None
+        if self.seen_delta is not None:
+            self.seen_delta = set()
         return {
             "shard_id": self.shard_id,
             "epoch": epoch,
             "heap": heap_bytes,
             "filter": self.filter.to_bytes(),
             "next_seq": 0,
-            "metrics": json.dumps(
-                {**self.metrics, "seen_urls": sorted(self.seen_urls) if self.seen_urls is not None else None}
-            ),
+            "metrics": json.dumps({**self.metrics, "seen_urls_delta": delta}),
         }
 
-    def restore_state(self, state: dict) -> None:
+    def restore_state(self, state: dict, seen_union: list[str] | None = None) -> None:
+        """Restore from the LATEST epoch's snapshot; ``seen_union`` is the
+        union of all epochs' seen-URL deltas (computed by the caller from the
+        checkpoint files)."""
         self.filter = CuckooFilter.from_bytes(state["filter"])
         self.heap = []
         if state["heap"]:
@@ -194,7 +209,8 @@ class FrontierShard:
             for row in tbl.to_pylist():
                 heapq.heappush(self.heap, (row["priority"], row["seq"], row))
         m = json.loads(state["metrics"])
-        seen = m.pop("seen_urls", None)
+        m.pop("seen_urls_delta", None)
         self.metrics = m
-        if seen is not None and self.seen_urls is not None:
-            self.seen_urls = set(seen)
+        if seen_union is not None and self.seen_urls is not None:
+            self.seen_urls = set(seen_union)
+            self.seen_delta = set()

@@ -7,18 +7,35 @@ Fetcher actor or the frontier shard)."""
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlparse
+
+
+def _compile_rule(path: str) -> re.Pattern:
+    """Compile one Disallow/Allow value to a start-anchored regex with RFC
+    9309 §2.2.3 special characters: ``*`` matches any character sequence,
+    trailing ``$`` anchors at end-of-path; everything else is literal."""
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    pattern = ".*".join(re.escape(seg) for seg in body.split("*"))
+    if anchored:
+        pattern += "$"
+    return re.compile(pattern)
 
 
 class RobotsRules:
     def __init__(self, rules: list[tuple[str, bool]]):
-        # rules: (path_prefix, allowed); longest prefix wins; on equal-length
-        # ties Allow wins (RFC 9309 §2.2.2); default allow
-        self.rules = sorted(rules, key=lambda r: (-len(r[0]), not r[1]))
+        # rules: (path_pattern, allowed); most-specific (longest pattern)
+        # wins; on equal-length ties Allow wins (RFC 9309 §2.2.2); default
+        # allow. Patterns support '*' and trailing '$' (§2.2.3).
+        self.rules = [
+            (r[0], _compile_rule(r[0]), r[1])
+            for r in sorted(rules, key=lambda r: (-len(r[0]), not r[1]))
+        ]
 
     def allowed(self, path: str) -> bool:
-        for prefix, allow in self.rules:
-            if prefix and path.startswith(prefix):
+        for raw, rx, allow in self.rules:
+            if raw and rx.match(path):
                 return allow
         return True
 

@@ -155,6 +155,21 @@ def test_robots_rules():
     assert r.allowed("/private/ok/y")  # longest match wins
 
 
+def test_robots_wildcards_rfc9309():
+    # '*' matches any sequence; trailing '$' anchors end-of-path (§2.2.3)
+    r = RobotsRules.parse("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not r.allowed("/a/b/file.pdf")
+    assert r.allowed("/a/b/file.pdfx")  # $ anchors: no match past the suffix
+    assert r.allowed("/a/b/file.pd")
+    r2 = RobotsRules.parse("User-agent: *\nDisallow: /private*/data\n")
+    assert not r2.allowed("/private123/data/x")
+    assert r2.allowed("/private123/info")
+    # regex metacharacters in rule paths stay literal
+    r3 = RobotsRules.parse("User-agent: *\nDisallow: /a+b(c)\n")
+    assert not r3.allowed("/a+b(c)/x")
+    assert r3.allowed("/aab(c)/x")
+
+
 def test_robots_cache_fetch_failure_allows():
     cache = RobotsCache(lambda url: (_ for _ in ()).throw(RuntimeError("no net")))
     assert cache.allowed("https://h.example.com/x")
@@ -207,8 +222,16 @@ def test_shard_checkpoint_restore_roundtrip():
     s.offer(rows)
     s.take(10)
     state = s.checkpoint_state(epoch=2)
+    import json
+
+    # checkpoints carry the seen-set DELTA; the caller unions across epochs
+    delta = json.loads(state["metrics"])["seen_urls_delta"]
+    assert sorted(delta) == s.seen_set()
+    # delta is cleared after checkpointing → next epoch's write is O(round)
+    state2 = s.checkpoint_state(epoch=3)
+    assert json.loads(state2["metrics"])["seen_urls_delta"] == []
     s2 = FrontierShard(3, seen_capacity=4096)
-    s2.restore_state(state)
+    s2.restore_state(state, delta)
     assert s2.size() == 40
     assert s2.seen_set() == s.seen_set()
     # previously-seen URLs stay deduped after restore
