@@ -39,5 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from ptt_spider_go_ray.queries import SQL_QUERIES
+    from ptt_spider_go_ray.registry import EXTRA_ORACLES
 
-    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    out.update(EXTRA_ORACLES)
+    return out

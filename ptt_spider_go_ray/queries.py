@@ -688,12 +688,21 @@ def q_events_per_day(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["ts"])
 
-    def day(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": df["ts"].dt.floor("D")})
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
 
-    return ds.map_batches(day, batch_format="pandas").groupby("day").aggregate(
+    agg = ds.map_batches(day, batch_format="pyarrow").groupby("day").aggregate(
         Count(alias_name="n_events")
     )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # Ray's hash aggregate routes the day key through numpy, downcasting
+        # to timestamp[s]; restore timestamp[us] (the source unit and what
+        # DuckDB date_trunc emits) so the dtype-sensitive value hash matches
+        i = t.schema.get_field_index("day")
+        return t.set_column(i, "day", t["day"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(to_us, batch_format="pyarrow")
 
 
 SQL_EVENTS_PER_DAY = """

@@ -220,3 +220,160 @@ def _crawl_file_mode(sf_dir: str):
 
 
 EXTRA_QUERIES["crawl_file_mode"] = _crawl_file_mode
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the deterministic EXTRA queries. The span-table queries
+# re-derive the seed-free synthesis rule of sources/spans_source.py in pure
+# SQL (text chunked in 8-token spans; media after chunk j iff
+# (doc_id*31+j)%5==0 and doc_id%7!=0; planted duplicate refs — removed by the
+# engine's D1 normalize — are rows where rn>1 and (doc_id+j)%11==0).
+# ---------------------------------------------------------------------------
+
+# shared CTE prefix: per-doc token count and the kept (post-D1) media spans
+_SPAN_BASE_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS did,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS ntok,
+         CAST(length(regexp_replace(COALESCE(text, ''), '\s', '', 'g')) AS BIGINT) AS nows_chars
+  FROM documents
+),
+iters AS (
+  SELECT did, ntok,
+         unnest(range(0, CAST(ceil(greatest(ntok, 1) / 8.0) AS BIGINT))) AS j
+  FROM base
+),
+media AS (
+  SELECT did, ntok, j,
+         row_number() OVER (PARTITION BY did ORDER BY j) AS rn
+  FROM iters
+  WHERE did % 7 != 0 AND (did * 31 + j) % 5 = 0
+),
+kept AS (
+  SELECT did, ntok, j,
+         row_number() OVER (PARTITION BY did ORDER BY j) AS krn
+  FROM media
+  WHERE rn = 1 OR (did + j) % 11 != 0
+)
+"""
+
+SQL_EXPLODE_MEDIA = _SPAN_BASE_SQL + r"""
+SELECT 'doc' || did AS doc_id,
+       CAST(CASE WHEN ntok > 0 THEN j + 1 ELSE 0 END + krn - 1 AS INTEGER) AS span_idx,
+       'https://i.imgur.com/d' || did || 'x' || j || '.jpg' AS media_ref,
+       'd' || did || 'x' || j || '.jpg' AS file_name
+FROM kept
+"""
+
+SQL_FLAGSHIP_SPANS = _SPAN_BASE_SQL + r""",
+mcounts AS (SELECT did, count(*) AS n_media FROM kept GROUP BY did)
+SELECT 'doc' || b.did AS doc_id,
+       CAST(CASE WHEN b.ntok > 0 THEN ceil(b.ntok / 8.0) ELSE 0 END
+            + COALESCE(m.n_media, 0) AS INTEGER) AS n_spans,
+       CAST(COALESCE(m.n_media, 0) AS INTEGER) AS n_media,
+       CAST(CASE WHEN b.ntok > 0 THEN ceil(b.ntok / 8.0) ELSE 0 END AS INTEGER) AS n_text,
+       CAST(CASE WHEN b.ntok > 0
+                 THEN b.nows_chars + b.ntok - CAST(ceil(b.ntok / 8.0) AS BIGINT)
+                 ELSE 0 END AS BIGINT) AS n_text_chars
+FROM base b LEFT JOIN mcounts m ON b.did = m.did
+"""
+
+SQL_RENDER_MARKDOWN = _SPAN_BASE_SQL + r""",
+imgs AS (
+  SELECT did,
+         string_agg('![d' || did || 'x' || j || '.jpg](./d' || did || 'x' || j
+                    || '.jpg)' || chr(10), '' ORDER BY j) AS img_lines
+  FROM kept GROUP BY did
+)
+SELECT 'doc' || b.did AS doc_id,
+       '# doc' || b.did || chr(10) || chr(10) ||
+       '- **文章網址**: [https://www.ptt.cc/bbs/doc' || b.did ||
+       '](https://www.ptt.cc/bbs/doc' || b.did || ')' || chr(10) ||
+       '- **推文數量**: 0' || chr(10) || chr(10) ||
+       '## 圖片列表' || chr(10) || chr(10) ||
+       COALESCE(i.img_lines, '') AS markdown
+FROM base b LEFT JOIN imgs i ON b.did = i.did
+"""
+
+SQL_TOKEN_COUNTS_BPE = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_ws_tokens,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                   '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+# rolling Rabin-Karp fingerprint over UTF-8 bytes, mod 2^61-1, base 1000003 —
+# byte values recovered from the hex encoding (DuckDB v1.0 has no blob
+# subscripting); seeding list_reduce with the first byte equals starting at 0
+SQL_FINGERPRINTS = r"""
+WITH h AS (SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN length(hx) = 0 THEN 0
+            ELSE list_reduce(
+              list_transform(range(1, length(hx) // 2 + 1),
+                i -> CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1 AS HUGEINT) * 16
+                   + CAST(strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT)),
+              (acc, b) -> (acc * 1000003 + b) % 2305843009213693951)
+       END AS UBIGINT) AS rolling_fp
+FROM h
+"""
+
+
+def _lang_id_sql() -> str:
+    """Stopword-profile language ID replicated in SQL: integer scores doubled
+    (2·hits for word languages, cjk-count for zh ≡ 2·(cjk/2)) so the
+    (-score, lang) argmin is computable via a lpad-encoded string key."""
+    from .functions.text import STOPWORDS
+
+    score_exprs = []
+    for lang in ("de", "en", "es", "fr"):
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_exprs.append(
+            f"2 * len(list_filter(toks, x -> list_contains([{words}], x))) AS s_{lang}"
+        )
+    scores = ",\n         ".join(score_exprs)
+    # sort key: ascending in (-score) then lang → list_min = engine's argmin
+    cand_items = ", ".join(
+        f"CASE WHEN s_{lang} > 0 THEN "
+        f"lpad(CAST(10000000000 - s_{lang} AS VARCHAR), 11, '0') || '{lang}' "
+        "ELSE NULL END"
+        for lang in ("de", "en", "es", "fr", "zh")
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+         CAST(length(regexp_replace(COALESCE(text, ''), '[^\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS BIGINT) AS s_zh
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, s_zh,
+         {scores}
+  FROM t
+),
+k AS (
+  SELECT doc_id, lang,
+         list_filter([{cand_items}], x -> x IS NOT NULL) AS keys
+  FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN len(keys) = 0 THEN 'und' ELSE substr(list_min(keys), 12) END AS pred_lang,
+       (CASE WHEN len(keys) = 0 THEN 'und' ELSE substr(list_min(keys), 12) END) = lang AS agree
+FROM k
+"""
+
+
+EXTRA_ORACLES: dict[str, str] = {
+    "explode_media": SQL_EXPLODE_MEDIA,
+    "flagship_spans": SQL_FLAGSHIP_SPANS,
+    "render_markdown": SQL_RENDER_MARKDOWN,
+    "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
+    "fingerprints": SQL_FINGERPRINTS,
+    "lang_id": _lang_id_sql(),
+}

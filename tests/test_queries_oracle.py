@@ -7,6 +7,14 @@ import pandas as pd
 import pytest
 
 from ptt_spider_go_ray.queries import SQL_QUERIES
+from ptt_spider_go_ray.registry import EXTRA_ORACLES, EXTRA_QUERIES
+
+# every oracled pair: (fn, sql) from the SQL registry plus the deterministic
+# EXTRA queries that gained DuckDB oracles (span synthesis, text analysis)
+ALL_ORACLED = {
+    **{name: (fn, sql) for name, (fn, sql) in SQL_QUERIES.items()},
+    **{name: (EXTRA_QUERIES[name], sql) for name, sql in EXTRA_ORACLES.items()},
+}
 
 SF = "/root/testdata/sf0.001"
 TABLES = [
@@ -41,20 +49,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("name", sorted(SQL_QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLED))
 def test_query_matches_oracle(name, ray_session):
-    fn, sql = SQL_QUERIES[name]
+    fn, sql = ALL_ORACLED[name]
     got = canon(to_pandas(fn(SF)))
     want = canon(duck_result(sql))
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
     for col in want.columns:
-        g, w = got[col], want[col]
-        if g.dtype != w.dtype:
-            try:
-                g = g.astype(w.dtype)
-            except (TypeError, ValueError):
-                pass
+        # STRICT dtype equality: the driver's value hash is dtype-sensitive,
+        # so a dtype mismatch here would be a red hash row in CORRECTNESS
+        assert got[col].dtype == want[col].dtype, (
+            f"{name}.{col}: dtype {got[col].dtype} != oracle {want[col].dtype}"
+        )
         pd.testing.assert_series_equal(
-            g, w, check_names=False, check_dtype=False, obj=f"{name}.{col}"
+            got[col], want[col], check_names=False, obj=f"{name}.{col}"
         )
