@@ -91,6 +91,18 @@ def main(argv=None) -> int:
             mean_s = (cc.delays.min_ms + cc.delays.max_ms) / 2.0 / 1000.0
             cc.politeness_rate = cc.workers / mean_s if mean_s > 0 else 8.0
 
+    def print_progress(p: dict) -> None:
+        # per-round progress line (T5 metrics surface; ui/live.go analog)
+        print(
+            f"round {p['round']}: dispatched={p['dispatched']} "
+            f"(total {p['total_dispatched']}) docs={p['docs']} "
+            f"media={p['media']} errors={p['fetch_errors']} "
+            f"pending={p['pending']} dup_rate={p['dup_rate']} "
+            f"cuckoo_fp={p['cuckoo_false_positives']}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     res = run_crawl(
         cfg,
         transport_factory=factory,
@@ -104,6 +116,7 @@ def main(argv=None) -> int:
         # mock runs stay deterministic (tests/demos); real runs pace and
         # honor Retry-After for real
         deterministic=args.mock,
+        progress=print_progress,
     )
     print(json.dumps({
         "rounds": res.rounds,

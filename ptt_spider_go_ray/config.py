@@ -78,12 +78,14 @@ def load(config_path: str) -> Config:
         return Config()
     import yaml
 
+    from .errors import ConfigError
+
     with open(config_path) as f:
         data = yaml.safe_load(f.read())
     if data is None:
         return Config()
     if not isinstance(data, dict):
-        raise ValueError(f"config {config_path}: top level must be a mapping")
+        raise ConfigError(f"config {config_path}: top level must be a mapping")
     cfg = Config()
     c = data.get("crawler", {}) or {}
     cc = cfg.crawler

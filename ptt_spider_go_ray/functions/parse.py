@@ -37,8 +37,7 @@ _INDEX_PAGE = re.compile(r"index(\d+)\.html$")
 _IMG_EXTS = (".jpg", ".jpeg", ".png", ".gif")  # ptt/parser_impl.go:99
 
 
-class ParseError(ValueError):
-    """Structured parse failure (errors.NewParseError analog)."""
+from ..errors import ParseError, ValidationError  # noqa: E402 — typed taxonomy (errors.py, errors.go analog)
 
 
 # ---------------------------------------------------------------------------
@@ -107,10 +106,10 @@ def validate_board(board: str, file_url: str = "") -> None:
     must match ``^[A-Za-z0-9_-]+$`` (path-traversal defense)."""
     if board == "":
         if file_url == "":
-            raise ValueError("board mode requires a board name")
+            raise ValidationError("board mode requires a board name")
         return
     if not _VALID_BOARD.fullmatch(board):
-        raise ValueError(f"invalid board name {board!r}: only [A-Za-z0-9_-] allowed")
+        raise ValidationError(f"invalid board name {board!r}: only [A-Za-z0-9_-] allowed")
 
 
 def image_file_name(img_url: str) -> str:

@@ -103,11 +103,17 @@ def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
         if out_dir:
             storage.write_partition(media_out, out_dir, "media", f"round={epoch}", part=part)
             media_out = media_out.drop_columns(["body"])
+    err_by_kind: dict[str, int] = {}
+    if err is not None:
+        for k in err["error_kind"].to_pylist():
+            k = k or "UnknownError"
+            err_by_kind[k] = err_by_kind.get(k, 0) + 1
     return {
         "cand": cand,
         "doc": doc_out,
         "media": media_out,
         "n_err": err.num_rows if err is not None else 0,
+        "err_by_kind": err_by_kind,
     }
 
 
@@ -200,11 +206,17 @@ def run_crawl(
     deterministic: bool = True,
     fetch_via: str = "actors",
     retain_ledger: bool | None = None,
+    progress=None,
 ) -> CrawlResult:
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
     for kill/resume tests. ``deterministic=True`` disables real politeness
     sleeping (rate 0) so ordering tests are exact.
+
+    ``progress``: optional callable receiving one summary dict per round
+    (round number, dispatched/docs/media/error counts, duplicate rate,
+    cuckoo FPs) — the T5 metrics surface without a TUI. Costs one shard
+    metrics round-trip per round; None (default) costs nothing.
 
     ``retain_ledger``: keep the full in-memory (priority, seq, url) ledger in
     ``CrawlResult.ledger``. Default: retained only when NO checkpoint_dir is
@@ -304,6 +316,7 @@ def run_crawl(
     docs_tables: list[pa.Table] = []
     media_tables: list[pa.Table] = []
     fetch_errors = 0
+    fetch_errors_by_kind: dict[str, int] = {}
     rounds_this_run = 0
     finished = True
     # per-block round-output processor (worker-side write/split — see
@@ -373,7 +386,13 @@ def run_crawl(
         # ship the driver only candidates + metadata. Span payloads and media
         # bodies (≤50 MB each) cross to the driver ONLY in test mode
         # (out_dir="") — production driver memory stays O(round metadata).
-        refs = union.to_arrow_refs()
+        # NOTE: deliberately NOT Dataset.to_arrow_refs() — its schema probe
+        # re-executes the plan with limit=1, re-fetching a batch of URLs
+        # every round; our blocks are already Arrow (map_batches pyarrow).
+        refs = [
+            br for bundle in union.iter_internal_ref_bundles()
+            for br in bundle.block_refs
+        ]
         outs = ray.get(
             [process_block.remote(ref, out_dir, epoch, i) for i, ref in enumerate(refs)]
         )
@@ -388,6 +407,9 @@ def run_crawl(
             _offer_sorted(shards, _robots_filter(cand_rows), n_shards)
 
         fetch_errors += sum(o["n_err"] for o in outs)
+        for o in outs:
+            for k, v in o["err_by_kind"].items():
+                fetch_errors_by_kind[k] = fetch_errors_by_kind.get(k, 0) + v
         docs_tables.extend(o["doc"] for o in outs if o["doc"] is not None)
         media_tables.extend(o["media"] for o in outs if o["media"] is not None)
 
@@ -396,6 +418,26 @@ def run_crawl(
         if ckpt_dir:
             _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
         ledger_delta.clear()
+        if progress is not None:
+            sm = ray.get([s.get_metrics.remote() for s in shards])
+            offered = sum(m["offered"] for m in sm)
+            progress(
+                {
+                    "round": epoch,
+                    "dispatched": len(rows),
+                    "total_dispatched": dispatched,
+                    "docs": sum(o["doc"].num_rows for o in outs if o["doc"] is not None),
+                    "media": sum(
+                        o["media"].num_rows for o in outs if o["media"] is not None
+                    ),
+                    "fetch_errors": sum(o["n_err"] for o in outs),
+                    "pending": sum(ray.get([s.size.remote() for s in shards])),
+                    "dup_rate": round(
+                        sum(m["duplicates"] for m in sm) / offered, 4
+                    ) if offered else 0.0,
+                    "cuckoo_false_positives": sum(m["false_positives"] for m in sm),
+                }
+            )
 
     loop_seconds = _time.time() - t_loop
     shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
@@ -406,6 +448,7 @@ def run_crawl(
     )
     metrics = {
         "fetch_errors": fetch_errors,
+        "fetch_errors_by_kind": fetch_errors_by_kind,
         "robots_denied": robots_denied,
         "shards": shard_metrics,
         "total_accepted": sum(m["accepted"] for m in shard_metrics),

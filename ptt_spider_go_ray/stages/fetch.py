@@ -27,6 +27,7 @@ from ..config import (
     RETRY_MAX_DELAY_MS,
     USER_AGENT,
 )
+from ..errors import classify_fetch
 from ..state.robots import RobotsCache
 
 
@@ -174,10 +175,16 @@ def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
         errors.append(err)
         bodies.append(body if ok else b"")
         attempts_l.append(attempts)
+    return _append_fetch_columns(batch, statuses, oks, errors, bodies, attempts_l)
+
+
+def _append_fetch_columns(batch, statuses, oks, errors, bodies, attempts_l):
+    kinds = [classify_fetch(s, e) for s, e in zip(statuses, errors)]
     return (
         batch.append_column("status", pa.array(statuses, pa.int32()))
         .append_column("ok", pa.array(oks, pa.bool_()))
         .append_column("error", pa.array(errors, pa.string()))
+        .append_column("error_kind", pa.array(kinds, pa.string()))
         .append_column("body", pa.array(bodies, pa.large_binary()))
         .append_column("attempts", pa.array(attempts_l, pa.int32()))
     )
@@ -235,10 +242,4 @@ class Fetcher:
             errors.append(err)
             bodies.append(body)
             attempts_l.append(attempts)
-        return (
-            batch.append_column("status", pa.array(statuses, pa.int32()))
-            .append_column("ok", pa.array(oks, pa.bool_()))
-            .append_column("error", pa.array(errors, pa.string()))
-            .append_column("body", pa.array(bodies, pa.large_binary()))
-            .append_column("attempts", pa.array(attempts_l, pa.int32()))
-        )
+        return _append_fetch_columns(batch, statuses, oks, errors, bodies, attempts_l)

@@ -53,6 +53,8 @@ UNION_SCHEMA = pa.schema(
         pa.field("n_bytes", pa.int64()),
         pa.field("media_ok", pa.bool_()),
         pa.field("body", pa.large_binary()),
+        # typed failure class for fetch_err rows (errors.go taxonomy)
+        pa.field("error_kind", pa.string()),
     ]
 )
 
@@ -91,6 +93,7 @@ class ParseStage:
                         "seq": row["seq"],
                         "priority": row["priority"],
                         "meta": row["error"],
+                        "error_kind": row.get("error_kind", ""),
                     }
                 )
                 continue

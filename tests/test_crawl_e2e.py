@@ -126,6 +126,8 @@ def test_fetch_failures_skip_and_continue(ray_session):
         cfg_small(), transport_factory=factory, board="Beauty", pages=3
     )
     assert res.metrics["fetch_errors"] >= 1
+    # failure classes survive the dataflow as error_kind (errors.go taxonomy)
+    assert res.metrics["fetch_errors_by_kind"].get("NetworkError", 0) >= 1
     doc_urls = {r["url"] for r in res.docs.to_pylist()}
     assert bad_article not in doc_urls
     assert res.finished
