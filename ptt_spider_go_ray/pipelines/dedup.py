@@ -94,22 +94,21 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
         batch_format="pyarrow",
     )
     banded = sigs.map_batches(
-        lambda t: _band_with_payload(t, n_bands, n_buckets, "minhash"),
+        lambda t: _band_explode(t, n_bands, n_buckets, "minhash"),
         batch_format="pyarrow",
     )
 
-    # Shuffle on a COARSE bucket (hash(band_key) % n_buckets) instead of the
-    # raw band_key: band keys are mostly singletons, and map_groups pays ~1 ms
-    # of Python per group. Within a bucket, pandas' C-level groupby walks the
-    # per-key runs.
+    # Shuffle on a COARSE bucket (band_key % n_buckets) instead of the raw
+    # band_key: band keys are mostly singletons, and map_groups pays ~1 ms
+    # of Python per group. Within a bucket, the vectorized duplicated()
+    # pre-filter keeps the Python loop on collided keys only.
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("band_key", keep=False)]
         rows = []
         for _, grp in g.groupby("band_key", sort=False):
-            if len(grp) < 2:
-                continue
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].tolist()
-            sig_list = [np.array(s, dtype=np.uint64) for s in grp["minhash"].tolist()]
+            sig_list = [np.frombuffer(s, dtype=np.uint64) for s in grp["minhash"]]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     rows.append((ids[i], ids[j], minhash_jaccard(sig_list[i], sig_list[j])))
@@ -125,27 +124,38 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
 
 
-def _band_with_payload(t: pa.Table, n_bands: int, n_buckets: int, payload: str) -> pa.Table:
-    """Band explode keeping a per-doc payload column (signature or shingle
-    set) on each banded row — needed for in-group estimation/verification
-    without a second join."""
-    from ..stages.dedup import lsh_band_keys
+def _band_explode(t: pa.Table, n_bands: int, n_buckets: int, payload: str) -> pa.Table:
+    """Vectorized band explode keeping a per-doc binary payload column
+    (signature or shingle set) on each banded row — needed for in-group
+    estimation/verification without a second join. Band keys come from the
+    numpy :func:`band_key_matrix`, not per-row hashing."""
+    from ..stages.dedup import band_key_matrix
 
-    doc_ids, keys, payloads = [], [], []
-    for doc_id, sig, pl in zip(
-        t["doc_id"].to_pylist(), t["minhash"].to_pylist(), t[payload].to_pylist()
-    ):
-        arr = np.array(sig, dtype=np.uint64)
-        for key in lsh_band_keys(arr, n_bands):
-            doc_ids.append(doc_id)
-            keys.append(key)
-            payloads.append(pl)
+    sig_bytes = t["minhash"].to_pylist()
+    if not sig_bytes:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], t["doc_id"].type),
+                payload: pa.array([], pa.large_binary()),
+            }
+        )
+    sigs = np.frombuffer(b"".join(sig_bytes), dtype=np.uint64).reshape(
+        len(sig_bytes), -1
+    )
+    keys = band_key_matrix(sigs, n_bands).reshape(-1)
+    payloads = t[payload].to_pylist()
     return pa.table(
         {
-            "bucket": pa.array(_bucket_of(keys, n_buckets)),
-            "band_key": pa.array(keys, pa.string()),
-            "doc_id": pa.array(doc_ids),
-            payload: pa.array(payloads, pa.list_(pa.uint64())),
+            "bucket": pa.array((keys % np.uint64(n_buckets)).astype(np.int64)),
+            "band_key": pa.array(keys),
+            "doc_id": t["doc_id"].take(
+                pa.array(np.repeat(np.arange(t.num_rows), n_bands))
+            ),
+            payload: pa.array(
+                [p for p in payloads for _ in range(n_bands)], pa.large_binary()
+            ),
         }
     )
 
@@ -185,10 +195,9 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3):
 
     # coarse-bucket shuffle + in-bucket pandas groupby (see minhash pipeline)
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("block_key", keep=False)]
         rows = []
         for _, grp in g.groupby("block_key", sort=False):
-            if len(grp) < 2:
-                continue
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].tolist()
             hs = [int(h) for h in grp["simhash"].tolist()]
@@ -241,18 +250,17 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3,
         batch_format="pyarrow",
     )
     banded = sigs.map_batches(
-        lambda t: _band_with_payload(t, n_bands, n_buckets, "shingles"),
+        lambda t: _band_explode(t, n_bands, n_buckets, "shingles"),
         batch_format="pyarrow",
     )
 
     def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("band_key", keep=False)]
         rows = []
         for _, grp in g.groupby("band_key", sort=False):
-            if len(grp) < 2:
-                continue
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].tolist()
-            sets = [np.array(s, dtype=np.uint64) for s in grp["shingles"].tolist()]
+            sets = [np.frombuffer(s, dtype=np.uint64) for s in grp["shingles"]]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     jac = hashed_set_jaccard(sets[i], sets[j])

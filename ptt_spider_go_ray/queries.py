@@ -601,26 +601,35 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 
 # ---------------------------------------------------------------------------
 # Q: as-of join — a custom operator Ray Data lacks (SURVEY custom-op bullet):
-# side-tagged union co-partitioned by key → per-key pandas merge_asof.
-# Partitioning assumption: both sides of one key fit in a worker (true per
-# user/customer; salt the key if a single entity's history outgrows a worker).
+# side-tagged union co-partitioned by a COARSE key bucket → per-bucket
+# vectorized pandas merge_asof(by=key). Bucketing (not per-key groups) keeps
+# the Python-per-group cost at n_buckets invocations while merge_asof's C
+# kernel handles the per-key as-of matching inside each bucket.
+# Partitioning assumption: one bucket's rows fit in a worker (buckets are
+# hash-uniform over keys; raise ASOF_BUCKETS for bigger key spaces).
 # ---------------------------------------------------------------------------
+
+ASOF_BUCKETS = 64
 
 
 def q_asof_join(sf_dir: str):
     import ray.data
 
-    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
-        lambda t: pa.table(
+    def tag_events(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
+                "bucket": pa.array((keys % ASOF_BUCKETS).astype(np.int64)),
                 "key": t["user_id"],
                 "side": pa.array(["e"] * t.num_rows),
                 "event_id": t["event_id"],
                 "ts": t["ts"],
                 "order_key": pa.nulls(t.num_rows, pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
     )
     # right side pre-deduped to one row per (key, ts): max order key — makes
     # the as-of pick deterministic under date ties on both engines. The dedup
@@ -636,8 +645,10 @@ def q_asof_join(sf_dir: str):
 
     def tag_orders(t: pa.Table) -> pa.Table:
         # Arrow out so the union has uniform block types
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
+                "bucket": pa.array((keys % ASOF_BUCKETS).astype(np.int64)),
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "side": pa.array(["o"] * t.num_rows),
                 "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
@@ -648,9 +659,15 @@ def q_asof_join(sf_dir: str):
 
     od = od.map_batches(tag_orders, batch_format="pyarrow")
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values("ts")
-        right = g[g["side"] == "o"][["ts", "order_key"]].sort_values("ts")
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by="key"): C-level per-key backward as-of; both frames
+        # globally sorted by ts as pandas requires
+        left = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        right = g[g["side"] == "o"][["key", "ts", "order_key"]].sort_values(
+            "ts", kind="mergesort"
+        )
         if len(left) == 0:
             return pd.DataFrame(
                 {"user_id": pd.Series(dtype="int64"), "event_id": pd.Series(dtype="int64"),
@@ -659,7 +676,9 @@ def q_asof_join(sf_dir: str):
         if len(right) == 0:
             merged = left.assign(order_key=np.nan)
         else:
-            merged = pd.merge_asof(left, right, on="ts", direction="backward")
+            merged = pd.merge_asof(
+                left, right, on="ts", by="key", direction="backward"
+            )
         return pd.DataFrame(
             {
                 "user_id": merged["key"].astype("int64"),
@@ -668,7 +687,7 @@ def q_asof_join(sf_dir: str):
             }
         )
 
-    return ev.union(od).groupby("key").map_groups(asof, batch_format="pandas")
+    return ev.union(od).groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
 
 
 SQL_ASOF_JOIN = """

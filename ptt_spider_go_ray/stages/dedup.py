@@ -69,11 +69,13 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        # signatures as fixed-width binary (n_perm × 8 bytes): cheaper to
+        # build, shuffle, and decode (np.frombuffer) than list<uint64>
+        sigs = [self.signature(t or "").tobytes() for t in batch["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                "minhash": pa.array(sigs, pa.large_binary()),
             }
         )
 
@@ -93,13 +95,13 @@ class MinHashShingler(MinHasher):
             h = _shingle_hashes(t or "", self.shingle_k)
             with np.errstate(over="ignore"):
                 vals = self.a[:, None] * h[None, :] + self.b[:, None]
-            sigs.append(vals.min(axis=1).tolist())
-            shingle_sets.append(np.unique(h).tolist())
+            sigs.append(vals.min(axis=1).tobytes())
+            shingle_sets.append(np.unique(h).tobytes())  # sorted-unique uint64 LE
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "minhash": pa.array(sigs, pa.list_(pa.uint64())),
-                "shingles": pa.array(shingle_sets, pa.list_(pa.uint64())),
+                "minhash": pa.array(sigs, pa.large_binary()),
+                "shingles": pa.array(shingle_sets, pa.large_binary()),
             }
         )
 
@@ -112,7 +114,9 @@ def hashed_set_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
-    """Split the signature into bands; each band hashes to a bucket key."""
+    """Split the signature into bands; each band hashes to a bucket key.
+    (Per-row reference form; the pipelines use the vectorized
+    :func:`band_key_matrix`.)"""
     rows = len(sig) // n_bands
     keys = []
     for band in range(n_bands):
@@ -120,6 +124,32 @@ def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
         digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
         keys.append(f"{band}:{digest}")
     return keys
+
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_key_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_perm) uint64 signatures → (n, n_bands) uint64 band keys, fully
+    vectorized: multiply-add chain over each band's rows, splitmix64-style
+    finalization, plus a per-band offset so band i and band j occupy
+    disjoint key spaces. Two docs share a band key iff their band rows are
+    identical (up to negligible 64-bit mixing collisions — any false
+    candidate is removed by the downstream exact verification)."""
+    n, n_perm = sigs.shape
+    r = n_perm // n_bands
+    chunks = sigs[:, : n_bands * r].reshape(n, n_bands, r)
+    h = np.zeros((n, n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(r):
+            h = h * _BAND_MIX + chunks[:, :, i]
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        h = h + np.arange(n_bands, dtype=np.uint64) * _BAND_MIX
+    return h
 
 
 class BandExploder:
