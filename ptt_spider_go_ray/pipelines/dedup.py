@@ -12,14 +12,15 @@ size (``_coarse_buckets``) instead of being fixed constants.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..stages.dedup import (
-    MinHasher,
-    MinHashShingler,
     hashed_set_jaccard,
+    minhash_batch_task,
     minhash_jaccard,
     simhash_batch,
     simhash_block_keys,
@@ -87,10 +88,11 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     n_buckets = _coarse_buckets(n_docs * n_bands)
     n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
 
+    # task-mode signature stage: per-worker memoized hasher state (see
+    # stages/dedup.py _HASHER_CACHE — ~1 KB of state doesn't justify an
+    # actor pool's spawn cost)
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_perm": n_perm},
-        concurrency=(1, 4),
+        functools.partial(minhash_batch_task, n_perm=n_perm),
         batch_format="pyarrow",
     )
     banded = sigs.map_batches(
@@ -244,9 +246,9 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8, k: int = 3,
     n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
 
     sigs = ds.map_batches(
-        MinHashShingler,
-        fn_constructor_kwargs={"n_perm": n_perm, "shingle_k": k},
-        concurrency=(1, 4),
+        functools.partial(
+            minhash_batch_task, n_perm=n_perm, shingle_k=k, with_shingles=True
+        ),
         batch_format="pyarrow",
     )
     banded = sigs.map_batches(

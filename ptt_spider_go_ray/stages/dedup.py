@@ -113,6 +113,25 @@ def hashed_set_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+# Per-worker-process memoized hashers for TASK-mode signature stages.
+# The MinHasher's per-actor state is two small numpy arrays (~1 KB), so an
+# actor pool's spawn cost (~1-2 s/actor on this box) buys nothing; plain
+# tasks reuse warm Ray workers and this cache gives the same init-once
+# semantics per process. (Contrast: Fetcher keeps the actor-pool pattern —
+# its state is a live HTTP session + politeness buckets.)
+_HASHER_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def minhash_batch_task(batch: pa.Table, n_perm: int = 64, shingle_k: int = 3,
+                       seed: int = 7, with_shingles: bool = False) -> pa.Table:
+    key = (n_perm, shingle_k, seed, with_shingles)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        cls = MinHashShingler if with_shingles else MinHasher
+        h = _HASHER_CACHE.setdefault(key, cls(n_perm, shingle_k, seed))
+    return h(batch)
+
+
 def lsh_band_keys(sig: np.ndarray, n_bands: int) -> list[str]:
     """Split the signature into bands; each band hashes to a bucket key.
     (Per-row reference form; the pipelines use the vectorized
