@@ -847,6 +847,308 @@ GROUP BY o_orderstatus
 """
 
 # ---------------------------------------------------------------------------
+# Q: range join — another custom operator Ray Data lacks (SURVEY custom-op
+# bullet: "as-of join, range join, windowed aggregate"). Counts each
+# customer's events inside [o_orderdate, o_orderdate + 7d). Composition:
+# side-tagged union bucketed by hash(key) → per-bucket COMPOSITE-KEY
+# searchsorted — events sorted once by (key<<46 | ts_rel), then every
+# order's window resolved with two vectorized binary searches. No per-key
+# Python, no cross product. Partitioning assumption: a bucket fits in a
+# worker (hash-uniform over keys).
+# ---------------------------------------------------------------------------
+
+RANGE_BUCKETS = 64
+_TS_BITS = 46  # relative-us timestamps fit 46 bits (~2.2 years); key gets the rest
+
+
+def _composite(keys: np.ndarray, ts_rel: np.ndarray) -> np.ndarray:
+    return (keys.astype(np.int64) << _TS_BITS) | ts_rel.astype(np.int64)
+
+
+def q_range_join(sf_dir: str):
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "side": pa.array(["o"] * t.num_rows),
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "id": pc.cast(t["o_orderkey"], pa.int64()),
+                "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            }
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "side": pa.array(["e"] * t.num_rows),
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "id": pc.cast(t["event_id"], pa.int64()),
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+            }
+        )
+
+    both = od.map_batches(tag_orders, batch_format="pyarrow").union(
+        ev.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == "o"]
+        if len(orders) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series(dtype="int64"),
+                 "n_events_7d": pd.Series(dtype="int64")}
+            )
+        events = g[g["side"] == "e"]
+        if len(events) == 0:
+            return pd.DataFrame(
+                {"o_orderkey": orders["id"].astype("int64").to_numpy(),
+                 "n_events_7d": np.zeros(len(orders), dtype=np.int64)}
+            )
+        e_ts = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o_ts = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0 = e_ts.min()
+        cap = np.int64((1 << _TS_BITS) - 1)
+        e_rel = np.clip(e_ts - t0, 0, cap)
+        comp_e = np.sort(_composite(events["key"].to_numpy(), e_rel))
+        lo = np.clip(o_ts - t0, 0, cap)
+        hi = np.clip(o_ts + week_us - t0, 0, cap)
+        comp_lo = _composite(orders["key"].to_numpy(), lo)
+        comp_hi = _composite(orders["key"].to_numpy(), hi)
+        n = np.searchsorted(comp_e, comp_hi, side="left") - np.searchsorted(
+            comp_e, comp_lo, side="left"
+        )
+        return pd.DataFrame(
+            {"o_orderkey": orders["id"].astype("int64").to_numpy(),
+             "n_events_7d": n.astype(np.int64)}
+        )
+
+    return both.groupby("bucket").map_groups(count_in_window, batch_format="pandas")
+
+
+SQL_RANGE_JOIN = """
+SELECT o.o_orderkey, CAST(count(e.event_id) AS BIGINT) AS n_events_7d
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q: sliding-window aggregate — per event, how many of the same user's
+# events fall in the preceding 30 minutes (exclusive of self). Same
+# composite-key searchsorted shape as the range join: one sort + two
+# vectorized binary searches per bucket.
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_window(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+            }
+        )
+
+    half_hour_us = 30 * 60 * 1_000_000
+
+    def window_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0 = ts.min()
+        cap = np.int64((1 << _TS_BITS) - 1)
+        rel = np.clip(ts - t0, 0, cap)
+        keys = g["user_id"].to_numpy()
+        comp = np.sort(_composite(keys, rel))
+        lo = _composite(keys, np.clip(rel - half_hour_us, 0, cap))
+        hi = _composite(keys, rel)
+        # SQL RANGE frames include same-ts PEERS and exclude only the current
+        # row itself: count rows in [ts-30m, ts] then subtract self
+        n = (
+            np.searchsorted(comp, hi, side="right")
+            - np.searchsorted(comp, lo, side="left")
+            - 1
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "n_prev_30m": n.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("bucket").map_groups(
+        window_counts, batch_format="pandas"
+    )
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_prev_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: semi join — customers with ≥1 1997 order. Distributed shape: distinct
+# keys via groupby (no driver materialization of the big side), then a
+# native hash join projects the customer rows.
+# ---------------------------------------------------------------------------
+
+
+def q_semi_join(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    keys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+                    pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+                )
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = cust.join(
+        keys, join_type="inner", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.select_columns(["c_custkey", "c_name"])
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+"""
+
+# ---------------------------------------------------------------------------
+# Q: anti join — customers with NO December-1997 order (left_outer + null
+# filter; the narrow window keeps the result non-empty at every sf).
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    keys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-12-01"))),
+                    pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+                )
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = cust.join(
+        keys, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_n"])).select(["c_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-12-01'
+                    AND o_orderdate < TIMESTAMP '1998-01-01')
+"""
+
+# ---------------------------------------------------------------------------
+# Q: exact grouped percentiles (linear interpolation == DuckDB
+# quantile_cont == np.quantile); e4-scaled ints for a stable value hash.
+# ---------------------------------------------------------------------------
+
+
+def q_percentiles(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        q = np.quantile(v, [0.5, 0.9, 0.99])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_e4": np.rint(q[0] * 10000).astype(np.int64),
+                "p90_e4": np.rint(q[1] * 10000).astype(np.int64),
+                "p99_e4": np.rint(q[2] * 10000).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_e4,
+       CAST(round(quantile_cont(value, 0.9) * 10000) AS BIGINT) AS p90_e4,
+       CAST(round(quantile_cont(value, 0.99) * 10000) AS BIGINT) AS p99_e4
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: grouped ordered string aggregation (per-user top-value event trail)
+# ---------------------------------------------------------------------------
+
+
+def q_event_trail(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def trail(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(5)
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "first5": [",".join(str(int(e)) for e in g["event_id"])],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(trail, batch_format="pandas")
+
+
+SQL_EVENT_TRAIL = """
+SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS first5
+FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -876,4 +1178,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "string_kernels": (q_string_kernels, SQL_STRING_KERNELS),
     "recent_orders": (q_recent_orders, SQL_RECENT_ORDERS),
     "join_native": (q_join_native, SQL_JOIN_NATIVE),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "event_trail": (q_event_trail, SQL_EVENT_TRAIL),
 }
