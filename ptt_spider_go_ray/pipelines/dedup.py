@@ -17,6 +17,7 @@ import functools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.dedup import (
     hashed_set_jaccard,
@@ -352,3 +353,155 @@ def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95,
         pairs, batch_format="pandas"
     )
     return _dedup_pairs(cand, ("vec_a", "vec_b"), n_pair_buckets)
+
+
+# ---------------------------------------------------------------------------
+# connected components over dup pairs → cluster ids (iterative algorithm)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges, max_iter: int = 25):
+    """Min-label connected components over an edge Dataset (``doc_a``,
+    ``doc_b`` int64) by iterative label propagation: each round broadcasts
+    the compact node→label map (``ray.put``), computes neighbor messages in
+    parallel ``map_batches`` over the edges, min-combines them with a
+    ``groupby``, and stops when the global label sum is unchanged (labels
+    only decrease, so the sum is a monotone convergence witness). Rounds
+    needed = graph diameter, which for near-dup clusters is small.
+
+    Memory contract: the broadcast map is O(#nodes that appear in a dup
+    pair) — for dedup workloads orders of magnitude below corpus size (and
+    the same size class as the final cluster map any consumer holds). The
+    edge set itself stays distributed. (A pure shuffle-join formulation is
+    blocked by Ray 2.49's hash join producing schema-less tables for
+    key-empty partitions.)
+
+    Returns Dataset[(node, cluster)] with cluster = min doc_id reachable."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]).astype(np.int64))})
+
+    cc_schema = pa.schema([("node", pa.int64()), ("cluster", pa.int64())])
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        # normalize block type and schema (groupby-aggregate emits pandas
+        # blocks; empty partitions emit schema-less blocks)
+        if t.num_rows == 0:
+            return cc_schema.empty_table()
+        return pa.table(
+            {"node": pc.cast(t["node"], pa.int64()),
+             "cluster": pc.cast(t["cluster"], pa.int64())}
+        )
+
+    labels = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("node", alias_name="cluster"))
+        .map_batches(as_arrow, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pull_map(labels_ds) -> dict[int, int]:
+        return {
+            int(r["node"]): int(r["cluster"])
+            for t in ray.get(
+                [br for b in labels_ds.iter_internal_ref_bundles() for br in b.block_refs]
+            )
+            for r in t.to_pylist()
+        }
+
+    def compress(m: dict[int, int]) -> None:
+        # local pointer jumping on the (small) label map between distributed
+        # rounds: label[x] ← label[label[x]] to fixpoint. This collapses the
+        # round count from graph diameter to ~log* — each distributed round
+        # only needs to merge labels ACROSS edges, not walk chains.
+        changed = True
+        while changed:
+            changed = False
+            for k, v in m.items():
+                vv = m.get(v, v)
+                if vv < v:
+                    m[k] = vv
+                    changed = True
+
+    prev_sum = None
+    for _ in range(max_iter):
+        label_map = pull_map(labels)
+        compress(label_map)
+        s = sum(label_map.values())
+        if s == prev_sum:
+            break
+        prev_sum = s
+        map_ref = ray.put(label_map)
+
+        def neighbor_msgs(t: pa.Table, mref=map_ref) -> pa.Table:
+            m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            la = np.array([m[int(x)] for x in a], dtype=np.int64)
+            lb = np.array([m[int(x)] for x in b], dtype=np.int64)
+            # edge (a,b) sends its endpoints' current labels both ways, plus
+            # each endpoint's own label (so isolated chains keep their rows)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b, a, b]).astype(np.int64)),
+                    "cluster": pa.array(np.concatenate([lb, la, la, lb])),
+                }
+            )
+
+        labels = (
+            edges.map_batches(neighbor_msgs, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .map_batches(as_arrow, batch_format="pyarrow")
+            .materialize()
+        )
+    # final labels = the converged compressed map, as a Dataset
+    nodes = np.array(sorted(label_map), dtype=np.int64)
+    clusters = np.array([label_map[int(n)] for n in nodes], dtype=np.int64)
+    tbl = pa.table({"node": pa.array(nodes), "cluster": pa.array(clusters)})
+    bs = max(1, len(nodes) // 8) if len(nodes) else 1
+    return ray.data.from_arrow(
+        [tbl.slice(i, bs) for i in range(0, max(tbl.num_rows, 1), bs)]
+        if tbl.num_rows
+        else [cc_schema.empty_table()]
+    )
+
+
+def dedup_clusters(sf_dir: str, est_threshold: float = 0.9):
+    """Near-dup cluster assignment over the documents table: MinHash-LSH
+    candidate pairs (est_jaccard ≥ est_threshold) → connected components →
+    every document labeled with its cluster id (= min doc_id of its
+    component; singletons label themselves). The cluster map is broadcast
+    via ray.put and applied in a streaming map_batches — the corpus itself
+    never shuffles. Broadcast size is O(#docs in dup clusters), which for
+    dedup workloads is far below corpus size."""
+    import ray
+    import ray.data
+
+    pairs = minhash_lsh_candidates(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["est_jaccard"], pa.scalar(est_threshold))
+        ).select(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(pairs)
+    mapping = {int(r["node"]): int(r["cluster"]) for r in comp.take_all()}
+    map_ref = ray.put(mapping)
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    def assign(t: pa.Table, mref=map_ref) -> pa.Table:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        clusters = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)), "cluster_id": pa.array(clusters)}
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")

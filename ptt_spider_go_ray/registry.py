@@ -119,6 +119,12 @@ def _dedup_embedding(sf_dir: str):
     return embedding_cosine_dups(sf_dir, threshold=0.3)
 
 
+def _dedup_clusters(sf_dir: str):
+    from .pipelines.dedup import dedup_clusters
+
+    return dedup_clusters(sf_dir)
+
+
 def _ann_ivf(sf_dir: str):
     from .pipelines.similarity import ivf_topk
 
@@ -178,6 +184,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_simhash": _dedup_simhash,
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_embedding_cosine": _dedup_embedding,
+    "dedup_clusters": _dedup_clusters,
     "ann_ivf_topk": _ann_ivf,
     "lang_id": _lang_id,
     "quality_scores": _quality_scores,

@@ -184,6 +184,48 @@ def test_embedding_cosine_dups(ray_session, dup_docs_dir):
     assert (0, 9001) in pairs  # planted identical vector shares every LSH bit
 
 
+def test_dedup_clusters_match_union_find_oracle(ray_session, dup_docs_dir):
+    """Distributed label-propagation CC must equal a plain-Python union-find
+    over the SAME candidate pairs; the planted chain 0≡9001 (exact) lands
+    both in cluster 0."""
+    from ptt_spider_go_ray.pipelines.dedup import dedup_clusters, minhash_lsh_candidates
+
+    est_threshold = 0.9
+    pairs_df = minhash_lsh_candidates(dup_docs_dir).to_pandas()
+    pairs = [
+        (int(a), int(b))
+        for a, b, j in zip(pairs_df["doc_a"], pairs_df["doc_b"], pairs_df["est_jaccard"])
+        if j >= est_threshold
+    ]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+
+    got = dedup_clusters(dup_docs_dir, est_threshold=est_threshold).to_pandas()
+    got_map = dict(zip(got["doc_id"].astype(int), got["cluster_id"].astype(int)))
+    for node in parent:
+        assert got_map[node] == find(node), node
+    # singletons label themselves
+    singles = set(got_map) - set(parent)
+    assert all(got_map[n] == n for n in singles)
+    # planted exact dup joins cluster 0
+    assert got_map[9001] == 0
+
+
 def test_brute_force_vs_ivf_topk(ray_session):
     from ptt_spider_go_ray.pipelines.similarity import brute_force_topk, ivf_topk
 
