@@ -50,14 +50,13 @@ def _crawl_board(sf_dir: str):
     return res.docs
 
 
-def _crawl_media_decode(sf_dir: str):
-    """Crawl media bytes → multimodal decode stage (stubbed backend)."""
+def _crawl_media_dataset(sf_dir: str):
+    """Shared helper: crawl the synthetic site's media bytes → Dataset."""
     import ray.data
 
     from .config import Config
     from .pipelines.crawl import run_crawl
     from .sources.synthetic import SiteSpec, mock_transport_factory
-    from .stages.multimodal import ImageDecoder
 
     spec = SiteSpec(boards={"Beauty": 3}, articles_per_page=5)
     cfg = Config()
@@ -73,15 +72,57 @@ def _crawl_media_decode(sf_dir: str):
         push_threshold=0,
         fetch_via="tasks",
     )
-    media = ray.data.from_arrow(res.media.rename_columns(
+    return ray.data.from_arrow(res.media.rename_columns(
         [c if c != "url" else "media_ref" for c in res.media.column_names]
     ))
-    return media.map_batches(
+
+
+def _crawl_media_decode(sf_dir: str):
+    """Crawl media bytes → multimodal decode stage (stubbed backend)."""
+    from .stages.multimodal import ImageDecoder
+
+    return _crawl_media_dataset(sf_dir).map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"backend": "fake"},
         concurrency=(1, 2),
         batch_size=32,
         batch_format="pyarrow",
+    )
+
+
+def _media_audio_features(sf_dir: str):
+    """Crawl media bytes treated as audio → typed metadata + summary feature
+    (fake codec backend; real Ray plumbing)."""
+    from .stages.multimodal import AudioFeatureStage
+
+    return _crawl_media_dataset(sf_dir).map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"backend": "fake"},
+        concurrency=(1, 2),
+        batch_size=32,
+        batch_format="pyarrow",
+    )
+
+
+def _media_frame_sample(sf_dir: str):
+    """Crawl media bytes treated as video → sampled frame rows (fan-out)."""
+    from .stages.multimodal import FrameSampler
+
+    return _crawl_media_dataset(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"backend": "fake", "stride": 10, "max_frames": 4},
+        concurrency=(1, 2),
+        batch_size=16,
+        batch_format="pyarrow",
+    )
+
+
+def _media_resize_plan(sf_dir: str):
+    """Decode (fake) → vectorized aspect-preserving resize plan (real math)."""
+    from .stages.multimodal import resize_plan_batch
+
+    return _crawl_media_decode(sf_dir).map_batches(
+        functools.partial(resize_plan_batch, max_side=512), batch_format="pyarrow"
     )
 
 
@@ -179,6 +220,9 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "explode_media": _explode_media,
     "crawl_board": _crawl_board,
     "crawl_media_decode": _crawl_media_decode,
+    "media_audio_features": _media_audio_features,
+    "media_frame_sample": _media_frame_sample,
+    "media_resize_plan": _media_resize_plan,
     "crawl_layout": _crawl_layout,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,

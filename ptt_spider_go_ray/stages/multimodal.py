@@ -62,6 +62,181 @@ class PillowBackend:  # pragma: no cover - requires PIL, absent in sandbox
             ) from e
 
 
+AUDIO_META_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("sample_rate", pa.int32()),
+        pa.field("n_samples", pa.int64()),
+        pa.field("duration_ms", pa.int64()),
+        pa.field("feature", pa.list_(pa.float32())),  # MFCC-like summary vector
+    ]
+)
+
+FRAME_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("frame_idx", pa.int32()),
+        pa.field("ts_ms", pa.int64()),
+        pa.field("feature", pa.list_(pa.float32())),
+    ]
+)
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("span_idx", pa.int32()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("new_width", pa.int32()),
+        pa.field("new_height", pa.int32()),
+        pa.field("scale_e4", pa.int64()),
+    ]
+)
+
+
+class FakeAudioBackend:
+    """Deterministic stand-in for an audio codec: sample-rate/length from a
+    hash of the bytes; feature vector seeded the same way."""
+
+    def probe(self, data: bytes) -> tuple[int, int]:
+        h = int.from_bytes(hashlib.blake2b(data or b"", digest_size=8).digest(), "little")
+        rate = [16000, 22050, 44100, 48000][h % 4]
+        n_samples = 1000 + (h >> 8) % 10_000_000
+        return rate, n_samples
+
+    def features(self, data: bytes, dim: int = 13) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(data or b"", digest_size=8).digest(), "little")
+        rng = np.random.default_rng((seed >> 32) & 0xFFFFFFFF)
+        return rng.standard_normal(dim).astype(np.float32)
+
+
+class SoundfileBackend:  # pragma: no cover - requires soundfile, absent here
+    def __init__(self):
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile, not available in "
+                "this environment; use FakeAudioBackend"
+            ) from e
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio binary → typed metadata + summary feature.
+    Same shape rules as ImageDecoder: backend in __init__, small batches."""
+
+    def __init__(self, backend: str = "fake", feature_dim: int = 13):
+        if backend == "fake":
+            self.backend = FakeAudioBackend()
+        elif backend == "soundfile":
+            self.backend = SoundfileBackend()
+        else:
+            raise ValueError(f"unknown audio backend {backend!r}")
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bodies = batch["body"].to_pylist()
+        rates, counts, durs, feats = [], [], [], []
+        for b in bodies:
+            rate, n = self.backend.probe(b or b"")
+            rates.append(rate)
+            counts.append(n)
+            durs.append(n * 1000 // rate)
+            feats.append(self.backend.features(b or b"", self.feature_dim).tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "span_idx": batch["span_idx"].cast(pa.int32()),
+                "media_ref": batch["url"] if "url" in batch.schema.names else batch["media_ref"],
+                "n_bytes": pa.array([len(b or b"") for b in bodies], pa.int64()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        ).cast(AUDIO_META_SCHEMA)
+
+
+class FrameSampler:
+    """Actor-pool FAN-OUT stage: one video binary row → up to ``max_frames``
+    frame rows sampled at a fixed stride (deterministic fake decode: frame
+    count and per-frame features derive from the bytes). The output layout
+    (one row per sampled frame, keyed (doc_id, span_idx, frame_idx)) is the
+    real contract a downstream embedding index consumes."""
+
+    def __init__(self, backend: str = "fake", stride: int = 10,
+                 max_frames: int = 8, feature_dim: int = 16, fps: int = 25):
+        if backend != "fake":
+            raise NotImplementedError(
+                "real frame decoding requires an ffmpeg binding, not "
+                "available in this environment; use the fake backend"
+            )
+        self.stride = stride
+        self.max_frames = max_frames
+        self.feature_dim = feature_dim
+        self.fps = fps
+
+    def _n_frames(self, data: bytes) -> int:
+        h = int.from_bytes(hashlib.blake2b(data or b"", digest_size=8).digest(), "little")
+        return 1 + h % 500
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, span_idxs, refs, fidx, ts, feats = [], [], [], [], [], []
+        ref_col = "url" if "url" in batch.schema.names else "media_ref"
+        for row in batch.to_pylist():
+            data = row.get("body") or b""
+            n = self._n_frames(data)
+            seed = int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+            for k, frame in enumerate(range(0, n, self.stride)):
+                if k >= self.max_frames:
+                    break
+                rng = np.random.default_rng((seed + frame) & 0xFFFFFFFF)
+                doc_ids.append(row["doc_id"])
+                span_idxs.append(row["span_idx"])
+                refs.append(row[ref_col])
+                fidx.append(frame)
+                ts.append(frame * 1000 // self.fps)
+                feats.append(rng.standard_normal(self.feature_dim).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "span_idx": pa.array(span_idxs, pa.int32()),
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(ts, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        ).cast(FRAME_SCHEMA)
+
+
+def resize_plan_batch(batch: pa.Table, max_side: int = 512) -> pa.Table:
+    """Vectorized resize planning over decoded image metadata — REAL (no
+    codec needed): target dims preserve aspect ratio, longest side clamped
+    to ``max_side``, never upscaled; scale reported as an e4 integer."""
+    w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+    h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+    longest = np.maximum(w, h)
+    scale = np.minimum(1.0, max_side / np.maximum(longest, 1.0))
+    new_w = np.maximum(1, np.rint(w * scale)).astype(np.int32)
+    new_h = np.maximum(1, np.rint(h * scale)).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "span_idx": batch["span_idx"].cast(pa.int32()),
+            "width": batch["width"].cast(pa.int32()),
+            "height": batch["height"].cast(pa.int32()),
+            "new_width": pa.array(new_w),
+            "new_height": pa.array(new_h),
+            "scale_e4": pa.array(np.rint(scale * 10000).astype(np.int64)),
+        }
+    ).cast(RESIZE_SCHEMA)
+
+
 class ImageDecoder:
     """Actor-pool stage: backend built once per actor (__init__), batches of
     binary payloads decoded per __call__. Keep batch_size small (payload ×

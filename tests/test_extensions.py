@@ -115,6 +115,75 @@ def test_pillow_backend_stubbed():
         ImageDecoder(backend="pillow")
 
 
+def _media_batch():
+    return pa.table(
+        {
+            "doc_id": pa.array(["d1", "d2"]),
+            "span_idx": pa.array([0, 3], pa.int32()),
+            "media_ref": pa.array(["u1", "u2"]),
+            "body": pa.array([b"audiobytes1", b"videobytes02"], pa.large_binary()),
+        }
+    )
+
+
+def test_audio_feature_stage():
+    from ptt_spider_go_ray.stages.multimodal import AUDIO_META_SCHEMA, AudioFeatureStage
+
+    st = AudioFeatureStage(backend="fake")
+    out = st(_media_batch())
+    assert out.schema.equals(AUDIO_META_SCHEMA)
+    rows = out.to_pylist()
+    for r in rows:
+        assert r["sample_rate"] in (16000, 22050, 44100, 48000)
+        assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+        assert len(r["feature"]) == 13
+    assert st(_media_batch()).to_pylist() == rows  # deterministic
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(backend="soundfile")
+
+
+def test_frame_sampler_fanout():
+    from ptt_spider_go_ray.stages.multimodal import FRAME_SCHEMA, FrameSampler
+
+    st = FrameSampler(stride=10, max_frames=4, fps=25)
+    out = st(_media_batch())
+    assert out.schema.equals(FRAME_SCHEMA)
+    rows = out.to_pylist()
+    # fan-out: each input row yields min(max_frames, ceil(n/stride)) rows,
+    # frame_idx strided, ts from fps
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        assert 1 <= len(rs) <= 4
+        for k, r in enumerate(rs):
+            assert r["frame_idx"] == k * 10
+            assert r["ts_ms"] == r["frame_idx"] * 1000 // 25
+    assert st(_media_batch()).to_pylist() == rows  # deterministic
+
+
+def test_resize_plan_math():
+    from ptt_spider_go_ray.stages.multimodal import RESIZE_SCHEMA, resize_plan_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "span_idx": pa.array([0, 1, 2], pa.int32()),
+            "width": pa.array([1024, 256, 2048], pa.int32()),
+            "height": pa.array([512, 128, 2048], pa.int32()),
+        }
+    )
+    out = resize_plan_batch(batch, max_side=512)
+    assert out.schema.equals(RESIZE_SCHEMA)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert (rows["a"]["new_width"], rows["a"]["new_height"]) == (512, 256)
+    # never upscale
+    assert (rows["b"]["new_width"], rows["b"]["new_height"]) == (256, 128)
+    assert rows["b"]["scale_e4"] == 10000
+    assert (rows["c"]["new_width"], rows["c"]["new_height"]) == (512, 512)
+    assert rows["c"]["scale_e4"] == 2500
+
+
 # --- Ray pipelines (planted duplicates) ------------------------------------
 
 @pytest.fixture(scope="module")
