@@ -21,6 +21,86 @@ urls = st.text(
 )
 
 
+@settings(deadline=None)
+@given(st.integers(min_value=1, max_value=2**64 - 1))
+def test_floor_log2_matches_bit_length(v):
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import _floor_log2_u64
+
+    got = _floor_log2_u64(np.array([v], dtype=np.uint64))[0]
+    assert got == v.bit_length() - 1
+
+
+@settings(deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=8, max_size=64),
+    st.integers(min_value=0, max_value=7),
+)
+def test_band_key_matrix_consistency(sig_vals, perturb_band):
+    """Identical band rows ⇒ identical keys; perturbing one band changes
+    only that band's key (and cross-band key spaces stay disjoint for the
+    same content)."""
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.dedup import band_key_matrix
+
+    n_bands = 8
+    r = max(1, len(sig_vals) // n_bands)
+    sig = np.array(sig_vals[: n_bands * r], dtype=np.uint64).reshape(1, -1)
+    keys1 = band_key_matrix(np.vstack([sig, sig]), n_bands)
+    assert (keys1[0] == keys1[1]).all()
+    sig2 = sig.copy()
+    sig2[0, perturb_band * r] ^= np.uint64(1)
+    keys2 = band_key_matrix(np.vstack([sig, sig2]), n_bands)
+    same = keys2[0] == keys2[1]
+    assert not same[perturb_band]
+    mask = np.ones(n_bands, dtype=bool)
+    mask[perturb_band] = False
+    assert same[mask].all()
+
+
+@settings(deadline=None)
+@given(st.text(alphabet="ab ", max_size=60), st.text(alphabet="ab ", max_size=60))
+def test_hashed_set_jaccard_equals_exact(a, b):
+    """Jaccard over 64-bit-hashed shingle sets == Jaccard over the shingle
+    sets themselves (no collisions at this scale)."""
+    import numpy as np
+
+    from ptt_spider_go_ray.functions.text import jaccard, word_shingles
+    from ptt_spider_go_ray.stages.dedup import _shingle_hashes, hashed_set_jaccard
+
+    ha = np.unique(_shingle_hashes(a, 3))
+    hb = np.unique(_shingle_hashes(b, 3))
+    got = hashed_set_jaccard(ha, hb)
+    # empty-text convention differs: _shingle_hashes maps "" to {0}, so two
+    # empty docs compare equal on both paths; skip the one-empty asymmetry
+    if a.split() and b.split():
+        assert got == jaccard(word_shingles(a, 3), word_shingles(b, 3))
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc/", min_size=1, max_size=8), st.booleans()),
+        max_size=6,
+    ),
+    st.text(alphabet="abc/", min_size=1, max_size=12),
+)
+def test_robots_wildcard_free_rules_match_prefix_semantics(rules, path):
+    """For rules without '*'/'$' the RFC-9309 matcher must behave exactly
+    like the original longest-prefix matcher."""
+    from ptt_spider_go_ray.state.robots import RobotsRules
+
+    r = RobotsRules(list(rules))
+    expect = True
+    for prefix, allow in sorted(rules, key=lambda x: (-len(x[0]), not x[1])):
+        if prefix and path.startswith(prefix):
+            expect = allow
+            break
+    assert r.allowed(path) == expect
+
+
 @given(st.lists(st.text(max_size=20)))
 def test_unique_stable_properties(items):
     out = unique_stable(items)
