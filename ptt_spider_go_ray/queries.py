@@ -606,20 +606,32 @@ SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event
 # the Python-per-group cost at n_buckets invocations while merge_asof's C
 # kernel handles the per-key as-of matching inside each bucket.
 # Partitioning assumption: one bucket's rows fit in a worker (buckets are
-# hash-uniform over keys; raise ASOF_BUCKETS for bigger key spaces).
+# hash-uniform over keys; the count scales with input size via _key_buckets).
 # ---------------------------------------------------------------------------
 
-ASOF_BUCKETS = 64
+_TARGET_BUCKET_ROWS = 250_000  # keep one bucket's rows comfortably in a worker
+
+
+def _key_buckets(*counts: int, floor: int = 64) -> int:
+    """Bucket count for key-bucketed custom joins: scales linearly with
+    total row count so per-bucket work stays bounded as inputs grow
+    (row counts come from parquet metadata — no data scan)."""
+    return max(floor, -(-sum(counts) // _TARGET_BUCKET_ROWS))
 
 
 def q_asof_join(sf_dir: str):
     import ray.data
 
+    n_buckets = _key_buckets(
+        _read(sf_dir, "events", columns=["event_id"]).count(),
+        _read(sf_dir, "orders", columns=["o_orderkey"]).count(),
+    )
+
     def tag_events(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % ASOF_BUCKETS).astype(np.int64)),
+                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
                 "key": t["user_id"],
                 "side": pa.array(["e"] * t.num_rows),
                 "event_id": t["event_id"],
@@ -648,7 +660,7 @@ def q_asof_join(sf_dir: str):
         keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % ASOF_BUCKETS).astype(np.int64)),
+                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "side": pa.array(["o"] * t.num_rows),
                 "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
@@ -857,7 +869,6 @@ GROUP BY o_orderstatus
 # worker (hash-uniform over keys).
 # ---------------------------------------------------------------------------
 
-RANGE_BUCKETS = 64
 _TS_BITS = 46  # relative-us timestamps fit 46 bits (~2.2 years); key gets the rest
 
 
@@ -866,13 +877,17 @@ def _composite(keys: np.ndarray, ts_rel: np.ndarray) -> np.ndarray:
 
 
 def q_range_join(sf_dir: str):
+    n_buckets = _key_buckets(
+        _read(sf_dir, "events", columns=["event_id"]).count(),
+        _read(sf_dir, "orders", columns=["o_orderkey"]).count(),
+    )
     od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def tag_orders(t: pa.Table) -> pa.Table:
         keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
                 "side": pa.array(["o"] * t.num_rows),
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "id": pc.cast(t["o_orderkey"], pa.int64()),
@@ -886,7 +901,7 @@ def q_range_join(sf_dir: str):
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
                 "side": pa.array(["e"] * t.num_rows),
                 "key": pc.cast(t["user_id"], pa.int64()),
                 "id": pc.cast(t["event_id"], pa.int64()),
@@ -952,12 +967,13 @@ GROUP BY o.o_orderkey
 
 def q_sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_buckets = _key_buckets(ds.count())
 
     def tag(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % RANGE_BUCKETS).astype(np.int64)),
+                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts": pc.cast(t["ts"], pa.timestamp("us")),
