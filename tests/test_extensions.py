@@ -88,6 +88,19 @@ def test_ngram_jaccard():
     assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
 
 
+def test_format_bytes_reference_parity():
+    from ptt_spider_go_ray.functions.text import format_bytes
+
+    # optimizer.go formatBytes semantics
+    assert format_bytes(0) == "0 B"
+    assert format_bytes(1023) == "1023 B"
+    assert format_bytes(1024) == "1.0 KiB"
+    assert format_bytes(1536) == "1.5 KiB"
+    assert format_bytes(1024**2) == "1.0 MiB"
+    assert format_bytes(5 * 1024**3 + 512 * 1024**2) == "5.5 GiB"
+    assert format_bytes(1024**6) == "1.0 EiB"
+
+
 # --- multimodal stub -------------------------------------------------------
 
 def test_image_decoder_fake_backend():
