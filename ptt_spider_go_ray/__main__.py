@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     ap.add_argument("--mock", action="store_true", help="use the synthetic site")
     ap.add_argument("--no-media", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--log", default="auto", choices=["auto", "plain", "styled", "noop"],
+                    help="logger mode (ui/logger.go parity)")
     args = ap.parse_args(argv)
 
     from .config import load
@@ -91,16 +93,19 @@ def main(argv=None) -> int:
             mean_s = (cc.delays.min_ms + cc.delays.max_ms) / 2.0 / 1000.0
             cc.politeness_rate = cc.workers / mean_s if mean_s > 0 else 8.0
 
+    from .logging_ui import pick_logger
+
+    logger = pick_logger(args.log)
+
     def print_progress(p: dict) -> None:
         # per-round progress line (T5 metrics surface; ui/live.go analog)
-        print(
-            f"round {p['round']}: dispatched={p['dispatched']} "
-            f"(total {p['total_dispatched']}) docs={p['docs']} "
-            f"media={p['media']} errors={p['fetch_errors']} "
-            f"pending={p['pending']} dup_rate={p['dup_rate']} "
-            f"cuckoo_fp={p['cuckoo_false_positives']}",
-            file=sys.stderr,
-            flush=True,
+        emit = logger.warn if p["fetch_errors"] else logger.info
+        emit(
+            "round %d: dispatched=%d (total %d) docs=%d media=%d errors=%d "
+            "pending=%d dup_rate=%s cuckoo_fp=%d",
+            p["round"], p["dispatched"], p["total_dispatched"], p["docs"],
+            p["media"], p["fetch_errors"], p["pending"], p["dup_rate"],
+            p["cuckoo_false_positives"],
         )
 
     res = run_crawl(
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         deterministic=args.mock,
         progress=print_progress,
     )
+    logger.success("crawl finished: %d rounds, %d URLs", res.rounds, res.dispatched)
     print(json.dumps({
         "rounds": res.rounds,
         "dispatched": res.dispatched,
