@@ -99,11 +99,19 @@ FROM enc
 
 
 def q_group_counts(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: ≤n_langs partial rows per batch instead of full rows
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )
 
 
@@ -265,7 +273,7 @@ FROM documents
 
 
 def q_lineitem_agg(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
@@ -273,28 +281,35 @@ def q_lineitem_agg(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def to_cents(t: pa.Table) -> pa.Table:
+    def partial_agg(t: pa.Table) -> pa.Table:
+        # combiner: per-batch partial sums over the ≤6 (flag, status) groups,
+        # so the groupby shuffle moves ~6 rows per batch instead of the
+        # full projected table (exact-integer money encoding keeps partial
+        # and final sums associative and bit-exact)
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
         qty = t["l_quantity"].to_numpy(zero_copy_only=False)
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty": pa.array(np.rint(qty).astype(np.int64)),
-                "price_e2": pa.array(np.rint(price * 100).astype(np.int64)),
-                "disc_price_e4": pa.array(np.rint(price * (1 - disc) * 10000).astype(np.int64)),
-                "disc_e2": pa.array(np.rint(disc * 100).astype(np.int64)),
+                "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": t["l_linestatus"].to_numpy(zero_copy_only=False),
+                "sum_qty": np.rint(qty).astype(np.int64),
+                "sum_base_price_e2": np.rint(price * 100).astype(np.int64),
+                "sum_disc_price_e4": np.rint(price * (1 - disc) * 10000).astype(np.int64),
+                "sum_disc_e2": np.rint(disc * 100).astype(np.int64),
+                "count_order": np.ones(len(qty), dtype=np.int64),
             }
         )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    ds = ds.map_batches(partial_agg, batch_format="pyarrow")
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_e2", alias_name="sum_base_price_e2"),
-        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-        Sum("disc_e2", alias_name="sum_disc_e2"),
-        Count(alias_name="count_order"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_e2", alias_name="sum_base_price_e2"),
+        Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+        Sum("sum_disc_e2", alias_name="sum_disc_e2"),
+        Sum("count_order", alias_name="count_order"),
     )
 
 
@@ -715,15 +730,20 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 
 
 def q_events_per_day(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["ts"])
 
-    def day(t: pa.Table) -> pa.Table:
-        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+    def day_partial(t: pa.Table) -> pa.Table:
+        # combiner: per-batch day counts (≤ distinct days per batch rows)
+        days = pc.floor_temporal(t["ts"], unit="day")
+        vc = pa.table({"day": days}).group_by("day").aggregate([("day", "count")])
+        return pa.table(
+            {"day": vc["day"], "n_events": pc.cast(vc["day_count"], pa.int64())}
+        )
 
-    agg = ds.map_batches(day, batch_format="pyarrow").groupby("day").aggregate(
-        Count(alias_name="n_events")
+    agg = ds.map_batches(day_partial, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("n_events", alias_name="n_events")
     )
 
     def to_us(t: pa.Table) -> pa.Table:
