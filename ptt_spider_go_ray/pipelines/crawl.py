@@ -476,15 +476,30 @@ def run_crawl(
 
 
 def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) -> None:
-    """Per-epoch shard snapshots + APPEND-ONLY ledger increments: each epoch
-    writes only the rows dispatched since the last checkpoint, so checkpoint
-    cost stays O(round), not O(total crawl)."""
+    """Per-epoch APPEND-ONLY increments (ledger rows + seen-set deltas are
+    O(round) files that accumulate) plus ONE full shard snapshot (heap +
+    cuckoo bytes) that supersedes the previous epoch's — the superseded
+    snapshot is deleted, so checkpoint-dir size stays
+    O(total seen + current frontier), not O(epochs × frontier)."""
     import ray
 
     os.makedirs(ckpt_dir, exist_ok=True)
     states = ray.get([s.checkpoint_state.remote(epoch) for s in shards])
+    deltas = [st.pop("seen_delta") for st in states]
     tbl = pa.Table.from_pylist(states, schema=CHECKPOINT_SCHEMA)
     pq.write_table(tbl, f"{ckpt_dir}/shards_epoch{epoch}.parquet")
+    seen_tbl = pa.table(
+        {
+            "shard_id": pa.array(
+                [st["shard_id"] for st, d in zip(states, deltas) for _ in (d or [])],
+                pa.int32(),
+            ),
+            "url": pa.array(
+                [u for d in deltas for u in (d or [])], pa.string()
+            ),
+        }
+    )
+    pq.write_table(seen_tbl, f"{ckpt_dir}/seen_epoch{epoch}.parquet")
     ledger_tbl = pa.table(
         {
             "priority": pa.array([e[0] for e in ledger_delta], pa.int8()),
@@ -495,6 +510,9 @@ def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) ->
     pq.write_table(ledger_tbl, f"{ckpt_dir}/ledger_epoch{epoch}.parquet")
     with open(f"{ckpt_dir}/LATEST", "w") as f:
         f.write(str(epoch))
+    prev = f"{ckpt_dir}/shards_epoch{epoch - 1}.parquet"
+    if epoch > 1 and os.path.exists(prev):
+        os.remove(prev)  # superseded full snapshot; deltas/ledger stay
 
 
 def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int]:
@@ -502,23 +520,17 @@ def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int
     memory only when ``retain`` (metadata-only row counts otherwise)."""
     import ray
 
-    import json
-
     with open(f"{ckpt_dir}/LATEST") as f:
         epoch = int(f.read().strip())
     tbl = pq.read_table(f"{ckpt_dir}/shards_epoch{epoch}.parquet")
     states = {s["shard_id"]: s for s in tbl.to_pylist()}
-    # exact seen set = union of every epoch's per-shard delta (checkpoints
-    # store deltas so each epoch's write stays O(round))
+    # exact seen set = union of every epoch's per-shard delta file
+    # (checkpoints store deltas so each epoch's write stays O(round))
     seen_by_shard: dict[int, set] = {}
     for e in range(1, epoch + 1):
-        mt = pq.read_table(
-            f"{ckpt_dir}/shards_epoch{e}.parquet", columns=["shard_id", "metrics"]
-        )
-        for s in mt.to_pylist():
-            delta = json.loads(s["metrics"]).get("seen_urls_delta")
-            if delta:
-                seen_by_shard.setdefault(s["shard_id"], set()).update(delta)
+        st = pq.read_table(f"{ckpt_dir}/seen_epoch{e}.parquet")
+        for sid, url in zip(st["shard_id"].to_pylist(), st["url"].to_pylist()):
+            seen_by_shard.setdefault(sid, set()).add(url)
     ray.get(
         [
             s.restore_state.remote(states[i], sorted(seen_by_shard.get(i, set())))

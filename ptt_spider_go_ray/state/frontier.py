@@ -195,7 +195,10 @@ class FrontierShard:
             "heap": heap_bytes,
             "filter": self.filter.to_bytes(),
             "next_seq": 0,
-            "metrics": json.dumps({**self.metrics, "seen_urls_delta": delta}),
+            "metrics": json.dumps(self.metrics),
+            # written to its own per-epoch file by the caller (so superseded
+            # full snapshots can be deleted while deltas accumulate)
+            "seen_delta": delta,
         }
 
     def restore_state(self, state: dict, seen_union: list[str] | None = None) -> None:
@@ -208,9 +211,7 @@ class FrontierShard:
             tbl = pa.ipc.open_stream(pa.BufferReader(state["heap"])).read_all()
             for row in tbl.to_pylist():
                 heapq.heappush(self.heap, (row["priority"], row["seq"], row))
-        m = json.loads(state["metrics"])
-        m.pop("seen_urls_delta", None)
-        self.metrics = m
+        self.metrics = json.loads(state["metrics"])
         if seen_union is not None and self.seen_urls is not None:
             self.seen_urls = set(seen_union)
             self.seen_delta = set()

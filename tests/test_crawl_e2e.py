@@ -209,6 +209,11 @@ def test_production_memory_contract(ray_session, tmp_path):
             for p in glob.glob(f"{ck}/ledger_epoch*.parquet"))
     assert n == res.dispatched
 
+    # only the LATEST full shard snapshot is retained (superseded ones are
+    # deleted); the per-epoch delta files (ledger + seen) all remain
+    assert len(glob.glob(f"{ck}/shards_epoch*.parquet")) == 1
+    assert len(glob.glob(f"{ck}/seen_epoch*.parquet")) == res.rounds
+
 
 def test_robots_gating(ray_session):
     spec = SiteSpec(boards={"Beauty": 2}, articles_per_page=4,

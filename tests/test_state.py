@@ -222,14 +222,12 @@ def test_shard_checkpoint_restore_roundtrip():
     s.offer(rows)
     s.take(10)
     state = s.checkpoint_state(epoch=2)
-    import json
-
     # checkpoints carry the seen-set DELTA; the caller unions across epochs
-    delta = json.loads(state["metrics"])["seen_urls_delta"]
+    delta = state["seen_delta"]
     assert sorted(delta) == s.seen_set()
     # delta is cleared after checkpointing → next epoch's write is O(round)
     state2 = s.checkpoint_state(epoch=3)
-    assert json.loads(state2["metrics"])["seen_urls_delta"] == []
+    assert state2["seen_delta"] == []
     s2 = FrontierShard(3, seen_capacity=4096)
     s2.restore_state(state, delta)
     assert s2.size() == 40
