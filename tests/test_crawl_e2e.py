@@ -265,6 +265,28 @@ def test_politeness_paced_crawl_completes(ray_session):
     )
 
 
+def test_exact_seen_disabled_pure_cuckoo(ray_session):
+    """The 10^10-scale configuration: exact_seen=False leaves the cuckoo
+    filter as the only seen set. At test scale (no FPs expected) the crawl
+    must fetch exactly the same documents as the default configuration."""
+    factory = functools.partial(make_transport, SPEC)
+    base = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10,
+    )
+    pure = run_crawl(
+        cfg_small(exact_seen=False), transport_factory=factory, board="Beauty",
+        pages=3, push_threshold=10,
+    )
+    assert pure.finished
+    assert pure.seen_set == []  # exact side-set off → not reconstructable
+    assert sorted(pure.docs["doc_id"].to_pylist()) == sorted(
+        base.docs["doc_id"].to_pylist()
+    )
+    assert pure.ledger == base.ledger
+    assert pure.metrics["total_duplicates"] == base.metrics["total_duplicates"]
+
+
 def test_duplicate_board_in_seed_list_deduped(ray_session):
     factory = functools.partial(make_transport, SPEC)
     res = run_crawl(
