@@ -155,16 +155,70 @@ FROM documents GROUP BY md5(text)
 
 
 def q_collision_rank(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    """Windowed rank (row_number per (lang, source) ordered by doc_id) as a
+    SCALABLE two-pass operator — no per-group materialization, so a hot
+    group never has to fit in one worker:
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        base = g["source"] + "_" + g["lang"]
-        g["dir_name"] = np.where(g["rn"] == 1, base, base + "_" + g["rn"].astype(str))
-        return g
+    1. distributed sort by (lang, source, doc_id) → ordered blocks;
+    2. pass 1 (parallel tiny tasks): per-block run-length counts of each
+       group, in block order;
+    3. driver computes each block's per-group starting offsets (small:
+       O(#groups × #blocks) scalars — no rows);
+    4. pass 2 (parallel tasks): vectorized per-block rank = local cumcount
+       + broadcast offset.
+    """
+    import ray
+    import ray.data
 
-    return ds.groupby(["lang", "source"]).map_groups(rank_group, batch_format="pandas")
+    ds = (
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+        .sort(["lang", "source", "doc_id"])
+        .materialize()
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def block_group_counts(t: pa.Table) -> list[tuple]:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_numpy(zero_copy_only=False),
+             "source": t["source"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(["lang", "source"], sort=True).size()
+        return [(lang, src, int(n)) for (lang, src), n in g.items()]
+
+    per_block = ray.get([block_group_counts.remote(r) for r in refs])
+    running: dict[tuple, int] = {}
+    block_offsets: list[dict[tuple, int]] = []
+    for counts in per_block:
+        offs = {}
+        for lang, src, n in counts:
+            key = (lang, src)
+            offs[key] = running.get(key, 0)
+            running[key] = offs[key] + n
+        block_offsets.append(offs)
+
+    @ray.remote
+    def rank_block(t: pa.Table, offs: dict) -> pa.Table:
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": lang, "source": src})
+        local = df.groupby(["lang", "source"], sort=False).cumcount().to_numpy()
+        start = np.array([offs[(la, so)] for la, so in zip(lang, src)], dtype=np.int64)
+        rn = local + start + 1
+        base = pd.Series(src) + "_" + pd.Series(lang)
+        dir_name = np.where(rn == 1, base, base + "_" + pd.Series(rn).astype(str))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "rn": pa.array(rn.astype(np.int64)),
+                "dir_name": pa.array(dir_name.astype(str)),
+            }
+        )
+
+    out_refs = [rank_block.remote(r, offs) for r, offs in zip(refs, block_offsets)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 SQL_COLLISION_RANK = """
