@@ -239,7 +239,17 @@ FROM documents
 
 def q_top_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
-    return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial top-20: the final sort sees ≤20 rows per batch
+        # instead of the whole table (no full all-to-all for a top-k)
+        return df.sort_values(["value", "event_id"], ascending=[False, True]).head(20)
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(20)
+    )
 
 
 SQL_TOP_EVENTS = """
