@@ -564,13 +564,27 @@ def q_ann_topk(sf_dir: str):
     scored = ds.map_batches(score, batch_format="pyarrow")
     scored = scored.filter(expr="query_id != neighbor_id")
 
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial top-k PER QUERY: the final per-query group holds
+        # ≤k rows per batch instead of the entire scored corpus (a full
+        # corpus-per-query group is a hot-group OOM at scale)
+        return (
+            df.sort_values(["cos_e4", "neighbor_id"], ascending=[False, True])
+            .groupby("query_id", sort=False)
+            .head(ANN_K)
+        )
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos_e4", "neighbor_id"], ascending=[False, True]).head(ANN_K)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return scored.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return (
+        scored.map_batches(partial_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
 
 
 SQL_ANN_TOPK = f"""
@@ -616,10 +630,18 @@ SELECT event_id, value FROM events WHERE value >= 300.0
 
 
 def q_active_users(sf_dir: str):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id"])
-    agg = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: one count row per user per batch
+        g = df.groupby("user_id", as_index=False).size()
+        return g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"})
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events")
+    )
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t["n_events"], pa.scalar(5))),
         batch_format="pyarrow",
@@ -661,17 +683,32 @@ QUALIFY rk <= 3
 
 
 def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per type without a hot per-type group:
+    stage 1 dedupes (type, user) pairs distributedly (per-batch local dedup
+    → pair groupby, moving distinct pairs only), stage 2 pre-counts per
+    batch and Sum-combines — no stage ever holds one type's full rows."""
+    from ray.data.aggregate import Count, Sum
+
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
-    def nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_users": np.array([g["user_id"].nunique()], dtype=np.int64),
-            }
-        )
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
 
-    return ds.groupby("event_type").map_groups(nunique, batch_format="pandas")
+    pairs = (
+        ds.map_batches(local_distinct, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "n_users"}).astype({"n_users": "int64"})
+
+    return (
+        pairs.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
 
 
 SQL_DISTINCT_USERS_PER_TYPE = """
@@ -833,8 +870,17 @@ def q_value_extremes(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    return ds.groupby("event_type").aggregate(
-        Min("value", alias_name="min_value"), Max("value", alias_name="max_value")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: one (min, max) row per type per batch
+        g = df.groupby("event_type", as_index=False).agg(
+            min_value=("value", "min"), max_value=("value", "max")
+        )
+        return g
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
     )
 
 
