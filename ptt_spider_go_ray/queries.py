@@ -37,6 +37,15 @@ def _md5_col(texts) -> list[str]:
     return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
 
 
+_COMBINE_BATCH = 65536  # combiners need big batches to actually reduce
+
+
+def _arrow_out(df: pd.DataFrame) -> pa.Table:
+    """Pandas→Arrow for combiner outputs: Ray's sort-based aggregate is
+    several times slower over pandas blocks than Arrow blocks."""
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # Q: push-threshold filter (P2, crawler/crawler.go:413-421)
 # ---------------------------------------------------------------------------
@@ -103,14 +112,16 @@ def q_group_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         # combiner: ≤n_langs partial rows per batch instead of full rows
         g = df.groupby("lang", as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
         )
-        return g.astype({"n_docs": "int64", "sum_chars": "int64"})
+        return _arrow_out(g.astype({"n_docs": "int64", "sum_chars": "int64"}))
 
-    return ds.map_batches(partial, batch_format="pandas").groupby("lang").aggregate(
+    return ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )
 
@@ -240,13 +251,15 @@ FROM documents
 def q_top_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
         # per-batch partial top-20: the final sort sees ≤20 rows per batch
         # instead of the whole table (no full all-to-all for a top-k)
-        return df.sort_values(["value", "event_id"], ascending=[False, True]).head(20)
+        return _arrow_out(
+            df.sort_values(["value", "event_id"], ascending=[False, True]).head(20)
+        )
 
     return (
-        ds.map_batches(partial_topk, batch_format="pandas")
+        ds.map_batches(partial_topk, batch_format="pandas", batch_size=_COMBINE_BATCH)
         .sort(["value", "event_id"], descending=[True, False])
         .limit(20)
     )
@@ -367,7 +380,7 @@ def q_lineitem_agg(sf_dir: str):
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(partial_agg, batch_format="pyarrow")
+    ds = ds.map_batches(partial_agg, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_base_price_e2", alias_name="sum_base_price_e2"),
@@ -564,11 +577,11 @@ def q_ann_topk(sf_dir: str):
     scored = ds.map_batches(score, batch_format="pyarrow")
     scored = scored.filter(expr="query_id != neighbor_id")
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
         # per-batch partial top-k PER QUERY: the final per-query group holds
         # ≤k rows per batch instead of the entire scored corpus (a full
         # corpus-per-query group is a hot-group OOM at scale)
-        return (
+        return _arrow_out(
             df.sort_values(["cos_e4", "neighbor_id"], ascending=[False, True])
             .groupby("query_id", sort=False)
             .head(ANN_K)
@@ -581,7 +594,7 @@ def q_ann_topk(sf_dir: str):
         return g
 
     return (
-        scored.map_batches(partial_topk, batch_format="pandas")
+        scored.map_batches(partial_topk, batch_format="pandas", batch_size=_COMBINE_BATCH)
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
@@ -634,14 +647,16 @@ def q_active_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         # combiner: one count row per user per batch
         g = df.groupby("user_id", as_index=False).size()
-        return g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"})
+        return _arrow_out(
+            g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"})
+        )
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").aggregate(
-        Sum("n_events", alias_name="n_events")
-    )
+    agg = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t["n_events"], pa.scalar(5))),
         batch_format="pyarrow",
@@ -691,21 +706,29 @@ def q_distinct_users_per_type(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
-    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    def local_distinct(df: pd.DataFrame) -> pa.Table:
+        return _arrow_out(df.drop_duplicates())
 
     pairs = (
-        ds.map_batches(local_distinct, batch_format="pandas")
+        ds.map_batches(local_distinct, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        # barrier: a sort-based Aggregate chained directly onto a
+        # large-batch map stage schedules pathologically (~10x) on this Ray
+        # version — the boundary sampler stalls the stream. The per-batch
+        # distinct pairs are small, so materializing costs ~nothing.
+        .materialize()
         .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="_n"))
+        .materialize()
     )
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("event_type", as_index=False).size()
-        return g.rename(columns={"size": "n_users"}).astype({"n_users": "int64"})
+        return _arrow_out(
+            g.rename(columns={"size": "n_users"}).astype({"n_users": "int64"})
+        )
 
     return (
-        pairs.map_batches(partial_counts, batch_format="pandas")
+        pairs.map_batches(partial_counts, batch_format="pandas", batch_size=_COMBINE_BATCH)
         .groupby("event_type")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
@@ -843,9 +866,9 @@ def q_events_per_day(sf_dir: str):
             {"day": vc["day"], "n_events": pc.cast(vc["day_count"], pa.int64())}
         )
 
-    agg = ds.map_batches(day_partial, batch_format="pyarrow").groupby("day").aggregate(
-        Sum("n_events", alias_name="n_events")
-    )
+    agg = ds.map_batches(
+        day_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).groupby("day").aggregate(Sum("n_events", alias_name="n_events"))
 
     def to_us(t: pa.Table) -> pa.Table:
         # Ray's hash aggregate routes the day key through numpy, downcasting
@@ -871,14 +894,16 @@ def q_value_extremes(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         # combiner: one (min, max) row per type per batch
         g = df.groupby("event_type", as_index=False).agg(
             min_value=("value", "min"), max_value=("value", "max")
         )
-        return g
+        return _arrow_out(g)
 
-    return ds.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
+    return ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).groupby("event_type").aggregate(
         Min("min_value", alias_name="min_value"),
         Max("max_value", alias_name="max_value"),
     )
