@@ -1338,6 +1338,126 @@ GROUP BY user_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: connected components with an EXACT SQL oracle (non-circular): the graph
+# links (lang, n_chars) value-nodes whose n_chars are consecutive within a
+# lang; a doc's cluster_id is the min doc_id reachable through such chains.
+# The ENGINE solves it with the generic distributed label-propagation CC
+# (pipelines/dedup.py:connected_components — same operator that clusters
+# near-dup pairs); the ORACLE solves the same graph analytically with
+# gaps-and-islands window SQL. Agreement checks the iterative operator
+# end-to-end against an independent closed-form derivation.
+# ---------------------------------------------------------------------------
+
+
+def q_cc_label_clusters(sf_dir: str):
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .pipelines.dedup import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    # value-nodes: one per (lang, n_chars), id = min doc_id (representative)
+    vals = (
+        ds.groupby(["lang", "n_chars"])
+        .aggregate(Min("doc_id", alias_name="rep"))
+        # normalize to Arrow blocks (aggregate emits pandas blocks)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        # each value-node posts itself at key=c ('s') and at key=c+1 ('p');
+        # an ('s','p') pair meeting in one (lang, key) group is an edge
+        # between consecutive-length nodes
+        lang = t["lang"].to_pylist()
+        c = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = t["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs2 = lang + lang
+        keys2 = np.concatenate([c, c + 1])
+        roles = ["s"] * len(lang) + ["p"] * len(lang)
+        reps2 = np.concatenate([rep, rep])
+        bucket = (
+            pd.util.hash_array(
+                np.asarray([f"{la}|{k}" for la, k in zip(langs2, keys2)], dtype=object)
+            )
+            % 64
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "lang": pa.array(langs2, pa.string()),
+                "key": pa.array(keys2),
+                "role": pa.array(roles, pa.string()),
+                "rep": pa.array(reps2),
+            }
+        )
+
+    def edges_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(
+            index=["lang", "key"], columns="role", values="rep", aggfunc="min"
+        )
+        if "s" not in piv.columns or "p" not in piv.columns:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
+        both = piv.dropna(subset=["s", "p"])
+        a = np.minimum(both["s"].to_numpy(), both["p"].to_numpy()).astype(np.int64)
+        b = np.maximum(both["s"].to_numpy(), both["p"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    val_tbl = pa.concat_tables(
+        ray.get(
+            [br for b in vals.iter_internal_ref_bundles() for br in b.block_refs]
+        )
+    )
+    edges_ds = ray.data.from_arrow(tag(val_tbl)).groupby("bucket").map_groups(
+        edges_in_bucket, batch_format="pandas"
+    )
+    comp = connected_components(edges_ds)
+    comp_map = {int(r["node"]): int(r["cluster"]) for r in comp.take_all()}
+
+    # (lang, n_chars) → cluster id (= component min doc id); nodes without
+    # edges cluster to their own representative
+    val_rows = val_tbl.to_pylist()
+    cluster_of = {
+        (r["lang"], int(r["n_chars"])): comp_map.get(int(r["rep"]), int(r["rep"]))
+        for r in val_rows
+    }
+    map_ref = ray.put(cluster_of)
+
+    def assign(t: pa.Table, mref=map_ref) -> pa.Table:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        langs = t["lang"].to_pylist()
+        chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        cl = np.array(
+            [m[(la, int(c))] for la, c in zip(langs, chars)], dtype=np.int64
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "cluster_id": pa.array(cl)}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_CC_LABEL_CLUSTERS = """
+WITH vals AS (
+  SELECT lang, n_chars, min(doc_id) AS rep FROM documents GROUP BY lang, n_chars
+),
+isl AS (
+  SELECT lang, n_chars, rep,
+         n_chars - CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS grp
+  FROM vals
+),
+comp AS (
+  SELECT lang, n_chars, CAST(min(rep) OVER (PARTITION BY lang, grp) AS BIGINT) AS cluster_id
+  FROM isl
+)
+SELECT d.doc_id, c.cluster_id
+FROM documents d JOIN comp c ON d.lang = c.lang AND d.n_chars = c.n_chars
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1373,4 +1493,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "event_trail": (q_event_trail, SQL_EVENT_TRAIL),
+    "cc_label_clusters": (q_cc_label_clusters, SQL_CC_LABEL_CLUSTERS),
 }
