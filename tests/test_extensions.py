@@ -266,6 +266,68 @@ def test_embedding_cosine_dups(ray_session, dup_docs_dir):
     assert (0, 9001) in pairs  # planted identical vector shares every LSH bit
 
 
+def test_ngram_pipeline_vs_bruteforce_truth(ray_session):
+    """End-to-end check against exhaustive ground truth on sf0.001: every
+    reported pair must be a true pair with the exact jaccard (precision 1 —
+    the verify stage is exact), and recall over true pairs must be ≥95%
+    (LSH band recall at J≥0.8 with r=4,b=16 is ~0.9998)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.dedup import ngram_jaccard_dups
+    from ptt_spider_go_ray.stages.dedup import _shingle_hashes, hashed_set_jaccard
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = [np.unique(_shingle_hashes(x or "", 3)) for x in t["text"].to_pylist()]
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = hashed_set_jaccard(sets[i], sets[j])
+            if jac >= 0.8:
+                a, b = sorted((ids[i], ids[j]))
+                truth[(a, b)] = jac
+
+    got = ngram_jaccard_dups(SF, threshold=0.8).to_pandas()
+    got_pairs = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    for pair, jac in got_pairs.items():
+        assert pair in truth and abs(truth[pair] - jac) < 1e-12, pair  # precision 1
+    if truth:
+        recall = len(set(got_pairs) & set(truth)) / len(truth)
+        assert recall >= 0.95, (recall, len(truth))
+
+
+def test_simhash_pipeline_equals_bruteforce_truth(ray_session):
+    """SimHash block keys guarantee (pigeonhole) that EVERY pair with
+    Hamming ≤ n_blocks-1 shares a block — so the pipeline output must EQUAL
+    the brute-force truth set, not just approximate it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.dedup import simhash_near_dups
+    from ptt_spider_go_ray.stages.dedup import simhash64
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.array(t["doc_id"].to_pylist())
+    hs = np.array([simhash64(x or "") for x in t["text"].to_pylist()], dtype=np.uint64)
+    x = hs[:, None] ^ hs[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for shift in range(64):
+        ham += ((x >> np.uint64(shift)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if ham[i, j] <= 3
+    }
+    got = simhash_near_dups(SF, max_hamming=3).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert got_pairs == truth
+
+
 def test_dedup_clusters_match_union_find_oracle(ray_session, dup_docs_dir):
     """Distributed label-propagation CC must equal a plain-Python union-find
     over the SAME candidate pairs; the planted chain 0≡9001 (exact) lands
