@@ -158,7 +158,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--pages", type=int, default=CRAWL_PAGES)
     ap.add_argument("--latency", type=float, default=CRAWL_LATENCY_S)
-    ap.add_argument("--batch", type=int, default=16)
+    # batch 8 balances per-task overhead against fetch-latency overlap on
+    # the mock-latency workload (round-2 sweep: 6/8/12/16 → 167/197/171/141 p/s)
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     if args.scaling:
