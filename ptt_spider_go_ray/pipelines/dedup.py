@@ -407,11 +407,11 @@ def connected_components(edges, max_iter: int = 25):
     )
 
     def pull_map(labels_ds) -> dict[int, int]:
+        from ..util import pull_arrow_blocks
+
         return {
             int(r["node"]): int(r["cluster"])
-            for t in ray.get(
-                [br for b in labels_ds.iter_internal_ref_bundles() for br in b.block_refs]
-            )
+            for t in pull_arrow_blocks(labels_ds)
             for r in t.to_pylist()
         }
 

@@ -1406,11 +1406,10 @@ def q_cc_label_clusters(sf_dir: str):
         b = np.maximum(both["s"].to_numpy(), both["p"].to_numpy()).astype(np.int64)
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    val_tbl = pa.concat_tables(
-        ray.get(
-            [br for b in vals.iter_internal_ref_bundles() for br in b.block_refs]
-        )
-    )
+    from .util import pull_arrow_blocks
+
+    val_blocks = pull_arrow_blocks(vals)
+    val_tbl = pa.concat_tables(val_blocks)
     edges_ds = ray.data.from_arrow(tag(val_tbl)).groupby("bucket").map_groups(
         edges_in_bucket, batch_format="pandas"
     )
