@@ -1338,6 +1338,34 @@ GROUP BY user_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: deterministic hash sample — the scale-respecting way to sample (stable
+# across runs/workers, no RNG state, reproducible joins between sampled
+# tables). Knuth multiplicative hash in exact integer arithmetic so the
+# DuckDB oracle is bit-identical.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MULT = 2654435761  # Knuth 2^32 golden-ratio multiplier
+_SAMPLE_MOD = 1 << 32
+_SAMPLE_KEEP = _SAMPLE_MOD // 10  # ~10%
+
+
+def q_hash_sample(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (eid * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT event_id, user_id, value FROM events
+WHERE (event_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
+"""
+
+# ---------------------------------------------------------------------------
 # Q: connected components with an EXACT SQL oracle (non-circular): the graph
 # links (lang, n_chars) value-nodes whose n_chars are consecutive within a
 # lang; a doc's cluster_id is the min doc_id reachable through such chains.
@@ -1493,4 +1521,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "event_trail": (q_event_trail, SQL_EVENT_TRAIL),
     "cc_label_clusters": (q_cc_label_clusters, SQL_CC_LABEL_CLUSTERS),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
 }
