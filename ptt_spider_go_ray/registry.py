@@ -209,6 +209,21 @@ def _approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def _approx_quantiles_sketch(sf_dir: str):
+    """KLL-style mergeable quantile sketch over events.value (approximate →
+    rows-only; pytest asserts rank error vs exact quantiles)."""
+    import pandas as pd
+    import ray.data
+
+    from .stages.sketch import approx_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame(
+        {"q": list(est.keys()), "value_approx": [round(v, 6) for v in est.values()]}
+    )
+
+
 def _render_markdown(sf_dir: str):
     from .pipelines.flagship import flagship
 
@@ -235,6 +250,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "token_counts_bpe": _token_counts,
     "fingerprints": _fingerprints,
     "approx_distinct_users": _approx_distinct_users,
+    "approx_quantiles_sketch": _approx_quantiles_sketch,
     "render_markdown": _render_markdown,
 }
 

@@ -68,6 +68,105 @@ class HLL:
         return h
 
 
+class QuantileSketch:
+    """Mergeable quantile sketch in the KLL family (Karnin, Lang & Liberty,
+    FOCS'16, simplified): one compactor per level, level i items carry
+    weight 2^i; a level over capacity sorts and keeps alternating items
+    (deterministic alternating offset, so the sketch is reproducible),
+    pushing them one level up. Rank error is O(levels / k); sketch size is
+    O(k · log(n/k)) regardless of n. Merging concatenates levels and
+    re-compacts — associative up to the deterministic compaction schedule,
+    and error bounds compose, which is what a distributed partial
+    aggregate needs."""
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self._parity = 0
+
+    def add_many(self, values) -> None:
+        self.levels[0].extend(float(v) for v in values)
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) > self.k:
+                buf = sorted(self.levels[lvl])
+                # compact an even count only; an unpaired item stays at this
+                # level so total weight (n_items) is preserved exactly
+                m = len(buf) - (len(buf) % 2)
+                ofs = self._parity
+                self._parity ^= 1
+                promoted = buf[ofs:m:2]
+                self.levels[lvl] = buf[m:]
+                if lvl + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[lvl + 1].extend(promoted)
+            lvl += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for i, items in enumerate(other.levels):
+            self.levels[i].extend(items)
+        self._parity ^= other._parity
+        self._compress()
+        return self
+
+    def n_items(self) -> int:
+        return sum(len(lv) << i for i, lv in enumerate(self.levels))
+
+    def quantile(self, q: float) -> float:
+        vals, weights = [], []
+        for i, lv in enumerate(self.levels):
+            vals.extend(lv)
+            weights.extend([1 << i] * len(lv))
+        if not vals:
+            return float("nan")
+        order = np.argsort(np.asarray(vals), kind="stable")
+        v = np.asarray(vals)[order]
+        w = np.asarray(weights, dtype=np.float64)[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self._parity, self.levels))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "QuantileSketch":
+        import pickle
+
+        k, parity, levels = pickle.loads(data)
+        s = cls(k=k)
+        s._parity = parity
+        s.levels = levels
+        return s
+
+
+def approx_quantiles(ds, column: str, qs: tuple = (0.5, 0.9, 0.99),
+                     k: int = 200) -> dict[float, float]:
+    """Approximate quantiles via per-batch partial sketches merged on the
+    driver — the shuffle moves O(k·log n) floats per batch, never values
+    (same partial-aggregate shape as :func:`approx_distinct`)."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.add_many(t[column].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.large_binary())})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    acc = QuantileSketch(k)
+    for row in parts:
+        acc.merge(QuantileSketch.from_bytes(row["sketch"]))
+    return {q: acc.quantile(q) for q in qs}
+
+
 def approx_distinct(ds, column: str, p: int = 12) -> float:
     """COUNT(DISTINCT column) ≈ via per-batch partial sketches merged on the
     driver (each partial is 2^p bytes — no value shuffle)."""

@@ -88,6 +88,60 @@ def test_ngram_jaccard():
     assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
 
 
+def test_quantile_sketch_rank_error():
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import QuantileSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(0, 2, size=100_000)
+    s = QuantileSketch(k=200)
+    for i in range(0, len(data), 4096):
+        s.add_many(data[i : i + 4096])
+    assert s.n_items() == len(data)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        # rank error (not value error — the right metric for quantiles)
+        rank = np.searchsorted(srt, est) / len(data)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
+def test_quantile_sketch_merge_matches_single():
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import QuantileSketch
+
+    rng = np.random.default_rng(5)
+    a, b = rng.normal(size=30_000), rng.normal(3, 1, size=30_000)
+    sa, sb = QuantileSketch(200), QuantileSketch(200)
+    sa.add_many(a)
+    sb.add_many(b)
+    merged = sa.merge(sb)
+    assert merged.n_items() == 60_000
+    srt = np.sort(np.concatenate([a, b]))
+    for q in (0.25, 0.5, 0.75):
+        rank = np.searchsorted(srt, merged.quantile(q)) / len(srt)
+        assert abs(rank - q) < 0.03
+    # serialization roundtrip preserves estimates
+    rt = QuantileSketch.from_bytes(merged.to_bytes())
+    assert rt.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_approx_quantiles_pipeline(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["approx_quantiles_sketch"](SF)
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    srt = np.sort(vals)
+    for q, est in zip(got["q"], got["value_approx"]):
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.05, (q, rank)
+
+
 def test_format_bytes_reference_parity():
     from ptt_spider_go_ray.functions.text import format_bytes
 
