@@ -381,6 +381,11 @@ def connected_components(edges, max_iter: int = 25):
     import ray.data
     from ray.data.aggregate import Min
 
+    # the edge Dataset is consumed once per propagation round — materialize
+    # it or every round re-executes the (possibly expensive) candidate
+    # pipeline that produced it
+    edges = edges.materialize()
+
     def endpoints(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
@@ -429,6 +434,14 @@ def connected_components(edges, max_iter: int = 25):
                     m[k] = vv
                     changed = True
 
+    # adaptive min-combine: with a small edge set (≤ the threshold) the
+    # per-round sort-shuffle's fixed cost dwarfs the data — combine the
+    # parallel message blocks on the driver instead (still O(E) work done in
+    # workers, O(E) rows pulled once per round). Past the threshold, use the
+    # distributed groupby so no round ever funnels O(E) rows anywhere.
+    n_edges = edges.count()
+    driver_combine = n_edges <= 5_000_000
+
     prev_sum = None
     for _ in range(max_iter):
         label_map = pull_map(labels)
@@ -454,13 +467,39 @@ def connected_components(edges, max_iter: int = 25):
                 }
             )
 
-        labels = (
-            edges.map_batches(neighbor_msgs, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cluster", alias_name="cluster"))
-            .map_batches(as_arrow, batch_format="pyarrow")
-            .materialize()
-        )
+        msgs = edges.map_batches(neighbor_msgs, batch_format="pyarrow")
+        if driver_combine:
+            from ..util import pull_arrow_blocks
+
+            blocks = pull_arrow_blocks(msgs)
+            if blocks:
+                cat = pa.concat_tables(blocks)
+                df = pd.DataFrame(
+                    {
+                        "node": cat["node"].to_numpy(zero_copy_only=False),
+                        "cluster": cat["cluster"].to_numpy(zero_copy_only=False),
+                    }
+                )
+                combined = df.groupby("node")["cluster"].min()
+                new_map = {int(k): int(v) for k, v in combined.items()}
+            else:
+                new_map = {}
+            tbl = pa.table(
+                {
+                    "node": pa.array(sorted(new_map), pa.int64()),
+                    "cluster": pa.array(
+                        [new_map[k] for k in sorted(new_map)], pa.int64()
+                    ),
+                }
+            )
+            labels = ray.data.from_arrow(tbl if tbl.num_rows else cc_schema.empty_table())
+        else:
+            labels = (
+                msgs.groupby("node")
+                .aggregate(Min("cluster", alias_name="cluster"))
+                .map_batches(as_arrow, batch_format="pyarrow")
+                .materialize()
+            )
     # final labels = the converged compressed map, as a Dataset
     nodes = np.array(sorted(label_map), dtype=np.int64)
     clusters = np.array([label_map[int(n)] for n in nodes], dtype=np.int64)
