@@ -265,6 +265,21 @@ def test_politeness_paced_crawl_completes(ray_session):
     )
 
 
+def test_max_depth_bounds_expansion(ray_session):
+    """max_depth=1 admits index(0)→article(1) candidates but drops the
+    media(2) fan-out — the crawl terminates with docs but no media."""
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(max_depth=1), transport_factory=factory, board="Beauty",
+        pages=3, push_threshold=10,
+    )
+    assert res.finished
+    assert res.docs is not None and res.docs.num_rows > 0
+    assert res.media is None
+    assert not any(u.endswith((".jpg", ".jpeg", ".png", ".gif"))
+                   for _, _, u in res.ledger)
+
+
 def test_exact_seen_disabled_pure_cuckoo(ray_session):
     """The 10^10-scale configuration: exact_seen=False leaves the cuckoo
     filter as the only seen set. At test scale (no FPs expected) the crawl
