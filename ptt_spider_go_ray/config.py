@@ -64,6 +64,10 @@ class CrawlerConfig:
     # real host. The budget is split across the salt shards owning the host.
     robots: bool = True
     exact_seen: bool = True  # keep exact URL side-set (FP detector / lineage); disable at 10^10 scale
+    frontier_max_mem_rows: int = 0   # per-shard in-memory heap bound; 0 = unbounded.
+    # >0 spills the largest (priority, seq) half to sorted disk segments and
+    # merges them back exactly when needed — set at 10^10-frontier scale.
+    spill_dir: str = ""              # spill segment dir (default: /tmp/<pid>-frontier-spill)
 
 
 @dataclass

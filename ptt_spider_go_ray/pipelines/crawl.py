@@ -241,6 +241,9 @@ def run_crawl(
     t_setup = _time.time()
     # num_cpus=0: shards are lightweight bookkeeping actors; they must never
     # reserve scheduler slots away from the fetch/parse pools.
+    spill_dir = cc.spill_dir
+    if cc.frontier_max_mem_rows and not spill_dir:
+        spill_dir = f"/tmp/{os.getpid()}-frontier-spill"
     RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
     shards = [
         RemoteShard.remote(
@@ -249,6 +252,8 @@ def run_crawl(
             # a host's URLs land on at most SALT_K shards → split its budget that way
             politeness_rate=0.0 if deterministic else cc.politeness_rate / min(SALT_K, n_shards),
             exact_seen=cc.exact_seen,
+            max_mem_rows=cc.frontier_max_mem_rows,
+            spill_dir=spill_dir,
         )
         for i in range(n_shards)
     ]

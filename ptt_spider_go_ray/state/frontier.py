@@ -72,13 +72,25 @@ def shard_for(row: dict, n_shards: int, salt_k: int = SALT_K) -> int:
 
 
 class FrontierShard:
-    """Single shard; wrap with ray.remote(FrontierShard) for the actor form."""
+    """Single shard; wrap with ray.remote(FrontierShard) for the actor form.
+
+    ``max_mem_rows`` bounds the in-memory heap: beyond it, the LARGEST
+    (priority, seq) half is spilled to sorted on-disk segments
+    (``spill_dir``) and merged back exactly when the ordering needs them —
+    an external priority queue, so a 10^10-URL frontier never outgrows
+    actor memory while ``take`` still pops the global smallest key.
+    Default (0) keeps everything in memory."""
 
     def __init__(self, shard_id: int, seen_capacity: int = 1 << 16,
                  politeness_rate: float = 0.0, exact_seen: bool = True,
-                 clock=None):
+                 clock=None, max_mem_rows: int = 0, spill_dir: str = ""):
         self.shard_id = shard_id
         self.heap: list[tuple] = []  # (priority, seq, row_dict)
+        self.max_mem_rows = max_mem_rows
+        self.spill_dir = spill_dir
+        # spill segments: (min_key, path, n_rows), each file a sorted row list
+        self.segments: list[tuple] = []
+        self._seg_counter = 0
         self.filter = CuckooFilter(capacity=seen_capacity, seed=shard_id)
         kwargs = {"rate": politeness_rate}
         if clock is not None:
@@ -97,6 +109,58 @@ class FrontierShard:
             "offered": 0, "accepted": 0, "duplicates": 0, "taken": 0,
             "pushed_back": 0, "false_positives": 0,
         }
+
+    # -- spill (external priority queue) ------------------------------------
+
+    def _maybe_spill(self) -> None:
+        if not self.max_mem_rows or len(self.heap) <= self.max_mem_rows:
+            return
+        import os
+        import pickle
+
+        buf = sorted(self.heap, key=lambda e: (e[0], e[1]))
+        keep = max(1, self.max_mem_rows // 2)
+        self.heap = buf[:keep]
+        heapq.heapify(self.heap)
+        rest = buf[keep:]
+        os.makedirs(self.spill_dir or ".", exist_ok=True)
+        path = f"{self.spill_dir or '.'}/shard{self.shard_id}_seg{self._seg_counter}.pkl"
+        self._seg_counter += 1
+        with open(path, "wb") as f:
+            pickle.dump(rest, f)
+        self.segments.append(((rest[0][0], rest[0][1]), path, len(rest)))
+        self.metrics["spilled"] = self.metrics.get("spilled", 0) + len(rest)
+
+    def _maybe_unspill(self) -> None:
+        """Merge back any segment whose head key precedes the in-memory heap
+        top (or any segment, if the heap is empty) — take() then always pops
+        the true global minimum."""
+        import os
+        import pickle
+
+        while self.segments:
+            head = (self.heap[0][0], self.heap[0][1]) if self.heap else None
+            best_i = min(range(len(self.segments)), key=lambda i: self.segments[i][0])
+            if head is not None and self.segments[best_i][0] >= head:
+                return
+            _, path, _ = self.segments.pop(best_i)
+            with open(path, "rb") as f:
+                rows = pickle.load(f)
+            os.remove(path)
+            for item in rows:
+                heapq.heappush(self.heap, item)
+            self.metrics["unspilled"] = self.metrics.get("unspilled", 0) + len(rows)
+            self._maybe_spill()  # re-bound if the merge overflowed memory
+
+    def _all_rows_sorted(self) -> list[tuple]:
+        """Heap + all spilled rows in (priority, seq) order (checkpointing)."""
+        import pickle
+
+        rows = list(self.heap)
+        for _, path, _ in self.segments:
+            with open(path, "rb") as f:
+                rows.extend(pickle.load(f))
+        return sorted(rows, key=lambda e: (e[0], e[1]))
 
     # -- offer / take -------------------------------------------------------
 
@@ -134,6 +198,7 @@ class FrontierShard:
             heapq.heappush(self.heap, (row["priority"], row["seq"], row))
             accepted += 1
         self.metrics["accepted"] += accepted
+        self._maybe_spill()
         return accepted
 
     def push_back(self, rows: list[dict]) -> None:
@@ -142,13 +207,17 @@ class FrontierShard:
         for row in rows:
             heapq.heappush(self.heap, (row["priority"], row["seq"], row))
         self.metrics["pushed_back"] += len(rows)
+        self._maybe_spill()
 
     def take(self, n: int) -> list[dict]:
         """Pop up to n rows in (priority, seq) order, respecting this shard's
         per-host politeness budget (rows beyond a host's budget stay queued)."""
         out: list[dict] = []
         deferred: list[tuple] = []
-        while self.heap and len(out) < n:
+        while len(out) < n:
+            self._maybe_unspill()
+            if not self.heap:
+                break
             prio, seq, row = heapq.heappop(self.heap)
             if self.politeness.allow(row["host"], 1) < 1:
                 deferred.append((prio, seq, row))
@@ -156,11 +225,12 @@ class FrontierShard:
             out.append(row)
         for item in deferred:
             heapq.heappush(self.heap, item)
+        self._maybe_spill()
         self.metrics["taken"] += len(out)
         return out
 
     def size(self) -> int:
-        return len(self.heap)
+        return len(self.heap) + sum(n for _, _, n in self.segments)
 
     def seen_set(self) -> list[str]:
         if self.seen_urls is None:
@@ -179,7 +249,7 @@ class FrontierShard:
         O(round). Call at most once per epoch (delta-clearing side effect)."""
         from ..schemas import FRONTIER_SCHEMA
 
-        rows = [row for _, _, row in sorted(self.heap)]
+        rows = [row for _, _, row in self._all_rows_sorted()]
         heap_tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA) if rows else None
         sink = pa.BufferOutputStream()
         if heap_tbl is not None:
@@ -211,6 +281,7 @@ class FrontierShard:
             tbl = pa.ipc.open_stream(pa.BufferReader(state["heap"])).read_all()
             for row in tbl.to_pylist():
                 heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+        self._maybe_spill()
         self.metrics = json.loads(state["metrics"])
         if seen_union is not None and self.seen_urls is not None:
             self.seen_urls = set(seen_union)

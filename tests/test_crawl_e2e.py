@@ -265,6 +265,30 @@ def test_politeness_paced_crawl_completes(ray_session):
     )
 
 
+def test_frontier_spill_crawl_identical(ray_session, tmp_path):
+    """With a tiny per-shard memory bound the frontier spills to disk —
+    crawl ordering, seen set and docs must be IDENTICAL to the unbounded
+    run (the spill is an exact external priority queue)."""
+    factory = functools.partial(make_transport, SPEC)
+    base = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty,Joke", pages=3,
+        push_threshold=0,
+    )
+    spilled = run_crawl(
+        cfg_small(frontier_max_mem_rows=2, spill_dir=str(tmp_path / "spill")),
+        transport_factory=factory, board="Beauty,Joke", pages=3, push_threshold=0,
+    )
+    assert spilled.ledger == base.ledger
+    assert spilled.seen_set == base.seen_set
+    assert sorted(spilled.docs["doc_id"].to_pylist()) == sorted(
+        base.docs["doc_id"].to_pylist()
+    )
+    spill_count = sum(
+        m.get("spilled", 0) for m in spilled.metrics["shards"]
+    )
+    assert spill_count > 0  # the bound actually engaged
+
+
 def test_max_depth_bounds_expansion(ray_session):
     """max_depth=1 admits index(0)→article(1) candidates but drops the
     media(2) fan-out — the crawl terminates with docs but no media."""

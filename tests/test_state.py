@@ -238,6 +238,52 @@ def test_shard_checkpoint_restore_roundtrip():
     assert [r["seq"] for r in s2.take(40)] == list(range(10, 50))
 
 
+def test_shard_spill_preserves_exact_order(tmp_path):
+    """Bounded-memory shard with disk spill must produce the identical
+    take-sequence as an unbounded shard under interleaved offers/takes."""
+    import random
+
+    rng = random.Random(42)
+    bounded = FrontierShard(0, seen_capacity=1 << 14, max_mem_rows=16,
+                            spill_dir=str(tmp_path))
+    plain = FrontierShard(0, seen_capacity=1 << 14)
+    seq_pool = list(range(2000))
+    rng.shuffle(seq_pool)
+    taken_b, taken_p = [], []
+    i = 0
+    while i < len(seq_pool) or bounded.size():
+        if i < len(seq_pool) and (rng.random() < 0.6 or not bounded.size()):
+            chunk = seq_pool[i : i + rng.randint(1, 120)]
+            i += len(chunk)
+            rows = [
+                _row(f"https://www.ptt.cc/bbs/B/a{s}.html", s % 3, s) for s in chunk
+            ]
+            assert bounded.offer(rows) == len(rows)
+            assert plain.offer(list(rows)) == len(rows)
+        else:
+            n = rng.randint(1, 50)
+            taken_b.extend((r["priority"], r["seq"]) for r in bounded.take(n))
+            taken_p.extend((r["priority"], r["seq"]) for r in plain.take(n))
+    assert taken_b == taken_p
+    assert len(taken_b) == 2000
+    assert bounded.get_metrics().get("spilled", 0) > 0  # spill actually happened
+    assert bounded.size() == 0
+
+
+def test_shard_spill_checkpoint_includes_spilled_rows(tmp_path):
+    s = FrontierShard(1, seen_capacity=1 << 14, max_mem_rows=8,
+                      spill_dir=str(tmp_path))
+    rows = [_row(f"https://www.ptt.cc/bbs/B/a{i}.html", 1, i) for i in range(100)]
+    s.offer(rows)
+    assert s.size() == 100
+    state = s.checkpoint_state(epoch=1)
+    s2 = FrontierShard(1, seen_capacity=1 << 14, max_mem_rows=8,
+                       spill_dir=str(tmp_path / "restore"))
+    s2.restore_state(state, state["seen_delta"])
+    assert s2.size() == 100
+    assert [r["seq"] for r in s2.take(100)] == list(range(100))
+
+
 def test_shard_routing_consistent_and_spread():
     n = 8
     rows = [_row(f"https://www.ptt.cc/bbs/Gossiping/a{i}.html", 1, i) for i in range(200)]
