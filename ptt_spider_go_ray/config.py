@@ -68,6 +68,8 @@ class CrawlerConfig:
     # >0 spills the largest (priority, seq) half to sorted disk segments and
     # merges them back exactly when needed — set at 10^10-frontier scale.
     spill_dir: str = ""              # spill segment dir (default: /tmp/<pid>-frontier-spill)
+    cooldown_429_s: float = 30.0     # host cooldown after retry-exhausted 429
+    # (the reference's backoff cap, constants.go:31-38, as the horizon)
 
 
 @dataclass

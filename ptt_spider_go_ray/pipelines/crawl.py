@@ -104,16 +104,25 @@ def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
             storage.write_partition(media_out, out_dir, "media", f"round={epoch}", part=part)
             media_out = media_out.drop_columns(["body"])
     err_by_kind: dict[str, int] = {}
+    hosts_429: set[str] = set()
     if err is not None:
-        for k in err["error_kind"].to_pylist():
+        from ..functions.parse import url_host
+
+        for u, k, msg in zip(
+            err["url"].to_pylist(), err["error_kind"].to_pylist(),
+            err["meta"].to_pylist(),
+        ):
             k = k or "UnknownError"
             err_by_kind[k] = err_by_kind.get(k, 0) + 1
+            if msg and msg.startswith("still 429"):
+                hosts_429.add(url_host(u))
     return {
         "cand": cand,
         "doc": doc_out,
         "media": media_out,
         "n_err": err.num_rows if err is not None else 0,
         "err_by_kind": err_by_kind,
+        "hosts_429": hosts_429,
     }
 
 
@@ -415,6 +424,20 @@ def run_crawl(
         for o in outs:
             for k, v in o["err_by_kind"].items():
                 fetch_errors_by_kind[k] = fetch_errors_by_kind.get(k, 0) + v
+        # 429 feedback: a host that exhausted its retry budget cools down on
+        # EVERY salt shard that owns it — queued rows defer until it lapses
+        # (crawler/retry.go backoff cap as the cooldown horizon). Real runs
+        # only: deterministic ordering tests must never time-defer.
+        if not deterministic and cc.cooldown_429_s > 0:
+            hosts = set().union(*(o["hosts_429"] for o in outs)) if outs else set()
+            if hosts:
+                from ..state.frontier import shards_for_host
+
+                ray.get([
+                    shards[sid].cooldown.remote(host, cc.cooldown_429_s)
+                    for host in hosts
+                    for sid in shards_for_host(host, n_shards)
+                ])
         docs_tables.extend(o["doc"] for o in outs if o["doc"] is not None)
         media_tables.extend(o["media"] for o in outs if o["media"] is not None)
 

@@ -71,6 +71,12 @@ def shard_for(row: dict, n_shards: int, salt_k: int = SALT_K) -> int:
     return hash64(f"{row['host']}|{salt}") % n_shards
 
 
+def shards_for_host(host: str, n_shards: int, salt_k: int = SALT_K) -> set[int]:
+    """All shard ids a host's URLs can land on (one per salt) — the set to
+    notify for host-wide state changes like 429 cooldowns."""
+    return {hash64(f"{host}|{salt}") % n_shards for salt in range(salt_k)}
+
+
 class FrontierShard:
     """Single shard; wrap with ray.remote(FrontierShard) for the actor form.
 
@@ -231,6 +237,13 @@ class FrontierShard:
 
     def size(self) -> int:
         return len(self.heap) + sum(n for _, _, n in self.segments)
+
+    def cooldown(self, host: str, seconds: float) -> None:
+        """Server-driven backoff feedback (a fetch exhausted its 429
+        retries): queue rows for ``host`` stay deferred until the cooldown
+        lapses."""
+        self.politeness.cooldown(host, seconds)
+        self.metrics["cooldowns"] = self.metrics.get("cooldowns", 0) + 1
 
     def seen_set(self) -> list[str]:
         if self.seen_urls is None:

@@ -50,9 +50,24 @@ class HostPoliteness:
         self.burst = burst if burst is not None else max(1.0, rate)
         self.clock = clock
         self._buckets: dict[str, TokenBucket] = {}
+        self._cooldown_until: dict[str, float] = {}
+
+    def cooldown(self, host: str, seconds: float) -> None:
+        """Server-driven backoff (429 feedback): no requests to ``host``
+        until now+seconds regardless of token balance. Extends, never
+        shortens, an existing cooldown. Applies even when rate limiting is
+        otherwise disabled — a 429'ing host must be backed off either way."""
+        until = self.clock() + seconds
+        if until > self._cooldown_until.get(host, 0.0):
+            self._cooldown_until[host] = until
 
     def allow(self, host: str, n: int = 1) -> int:
         """How many of n requests to `host` may proceed now (0..n)."""
+        until = self._cooldown_until.get(host)
+        if until is not None:
+            if self.clock() < until:
+                return 0
+            del self._cooldown_until[host]
         if self.rate <= 0:
             return n
         b = self._buckets.get(host)

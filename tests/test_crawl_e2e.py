@@ -289,6 +289,26 @@ def test_frontier_spill_crawl_identical(ray_session, tmp_path):
     assert spill_count > 0  # the bound actually engaged
 
 
+def test_429_host_cooldown_feedback(ray_session):
+    """A host that exhausts its 429 retries cools down on every owning
+    shard (server-driven backoff feedback); the crawl still completes and
+    the cooldown metric records the event. Short horizon so the test
+    doesn't stall."""
+    spec = SiteSpec(boards={"Beauty": 3}, articles_per_page=4)
+    site = SyntheticSite(spec)
+    spec.always_429 = {site.article_id("Beauty", 3, 1)}
+    factory = functools.partial(make_transport, spec)
+    cfg = cfg_small(cooldown_429_s=0.3)
+    cfg.crawler.politeness_rate = 200.0  # paced mode, effectively unthrottled
+    res = run_crawl(
+        cfg, transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=0, deterministic=False,
+    )
+    assert res.finished
+    assert res.metrics["fetch_errors_by_kind"].get("NetworkError", 0) >= 1
+    assert sum(m.get("cooldowns", 0) for m in res.metrics["shards"]) >= 1
+
+
 def test_max_depth_bounds_expansion(ray_session):
     """max_depth=1 admits index(0)→article(1) candidates but drops the
     media(2) fan-out — the crawl terminates with docs but no media."""

@@ -141,6 +141,27 @@ def test_politeness_from_delay_range():
     assert hp.rate == pytest.approx(8.0)  # reference ceiling ≈8 req/s
 
 
+def test_politeness_cooldown_429_feedback():
+    clock = [0.0]
+    hp = HostPoliteness(rate=100.0, clock=lambda: clock[0])
+    assert hp.allow("h1", 1) == 1
+    hp.cooldown("h1", 5.0)
+    assert hp.allow("h1", 3) == 0        # blocked regardless of tokens
+    assert hp.allow("h2", 1) == 1        # other hosts unaffected
+    hp.cooldown("h1", 1.0)               # shorter cooldown never shrinks it
+    clock[0] += 4.9
+    assert hp.allow("h1", 1) == 0
+    clock[0] += 0.2
+    assert hp.allow("h1", 1) == 1        # lapsed
+
+    # applies even with rate limiting disabled (a 429'ing host must back off)
+    hp0 = HostPoliteness(rate=0.0, clock=lambda: clock[0])
+    hp0.cooldown("h", 2.0)
+    assert hp0.allow("h", 5) == 0
+    clock[0] += 2.1
+    assert hp0.allow("h", 5) == 5
+
+
 def test_politeness_disabled():
     hp = HostPoliteness(rate=0.0)
     assert hp.allow("h", 100) == 100
