@@ -110,13 +110,15 @@ def load(config_path: str) -> Config:
         h.get("idleConnTimeout", "90s"), 90.0, "http.idleConnTimeout"
     )
     for k in ("frontier_shards", "batch_urls", "fetch_batch_size", "max_depth",
-              "seen_capacity"):
+              "seen_capacity", "frontier_max_mem_rows"):
         if k in c:
             setattr(cc, k, int(c[k]))
-    if "politeness_rate" in c:
-        cc.politeness_rate = float(c["politeness_rate"])
-    if "checkpoint_dir" in c:
-        cc.checkpoint_dir = str(c["checkpoint_dir"])
+    for k in ("politeness_rate", "cooldown_429_s"):
+        if k in c:
+            setattr(cc, k, float(c[k]))
+    for k in ("checkpoint_dir", "spill_dir"):
+        if k in c:
+            setattr(cc, k, str(c[k]))
     if "robots" in c:
         cc.robots = bool(c["robots"])
     if "exact_seen" in c:
