@@ -70,6 +70,8 @@ class CrawlerConfig:
     spill_dir: str = ""              # spill segment dir (default: /tmp/<pid>-frontier-spill)
     cooldown_429_s: float = 30.0     # host cooldown after retry-exhausted 429
     # (the reference's backoff cap, constants.go:31-38, as the horizon)
+    checkpoint_every: int = 1        # checkpoint every N rounds; >1 amortizes the
+    # per-round snapshot cost (a kill between checkpoints refetches ≤N-1 rounds)
 
 
 @dataclass
@@ -110,7 +112,7 @@ def load(config_path: str) -> Config:
         h.get("idleConnTimeout", "90s"), 90.0, "http.idleConnTimeout"
     )
     for k in ("frontier_shards", "batch_urls", "fetch_batch_size", "max_depth",
-              "seen_capacity", "frontier_max_mem_rows"):
+              "seen_capacity", "frontier_max_mem_rows", "checkpoint_every"):
         if k in c:
             setattr(cc, k, int(c[k]))
     for k in ("politeness_rate", "cooldown_429_s"):

@@ -443,9 +443,11 @@ def run_crawl(
 
         epoch += 1
         rounds_this_run += 1
-        if ckpt_dir:
+        if ckpt_dir and epoch % max(1, cc.checkpoint_every) == 0:
             _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
-        ledger_delta.clear()
+            ledger_delta.clear()
+        elif not ckpt_dir:
+            ledger_delta.clear()
         if progress is not None:
             sm = ray.get([s.get_metrics.remote() for s in shards])
             offered = sum(m["offered"] for m in sm)
@@ -466,6 +468,12 @@ def run_crawl(
                     "cuckoo_false_positives": sum(m["false_positives"] for m in sm),
                 }
             )
+
+    # final checkpoint: flush any rounds accumulated since the last interval
+    # so a FINISHED (or max_rounds-bounded) run is fully durable
+    if ckpt_dir and ledger_delta:
+        _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
+        ledger_delta.clear()
 
     loop_seconds = _time.time() - t_loop
     shard_metrics = ray.get([s.get_metrics.remote() for s in shards])
@@ -548,14 +556,28 @@ def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int
     memory only when ``retain`` (metadata-only row counts otherwise)."""
     import ray
 
+    import glob as _glob
+    import re as _re
+
     with open(f"{ckpt_dir}/LATEST") as f:
         epoch = int(f.read().strip())
+
+    def _epochs(pattern: str) -> list[int]:
+        # checkpoint epochs may be sparse (checkpoint_every > 1); take every
+        # existing delta file up to LATEST, in epoch order
+        out = []
+        for p in _glob.glob(f"{ckpt_dir}/{pattern}"):
+            m = _re.search(r"epoch(\d+)\.parquet$", p)
+            if m and int(m.group(1)) <= epoch:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     tbl = pq.read_table(f"{ckpt_dir}/shards_epoch{epoch}.parquet")
     states = {s["shard_id"]: s for s in tbl.to_pylist()}
     # exact seen set = union of every epoch's per-shard delta file
     # (checkpoints store deltas so each epoch's write stays O(round))
     seen_by_shard: dict[int, set] = {}
-    for e in range(1, epoch + 1):
+    for e in _epochs("seen_epoch*.parquet"):
         st = pq.read_table(f"{ckpt_dir}/seen_epoch{e}.parquet")
         for sid, url in zip(st["shard_id"].to_pylist(), st["url"].to_pylist()):
             seen_by_shard.setdefault(sid, set()).add(url)
@@ -567,7 +589,7 @@ def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int
     )
     ledger: list[tuple] = []
     dispatched = 0
-    for e in range(1, epoch + 1):
+    for e in _epochs("ledger_epoch*.parquet"):
         path = f"{ckpt_dir}/ledger_epoch{e}.parquet"
         if retain:
             lt = pq.read_table(path)

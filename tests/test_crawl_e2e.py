@@ -177,6 +177,31 @@ def test_resume_from_checkpoint_no_refetch(ray_session, tmp_path):
     assert len(got_ids) == len(set(got_ids))
 
 
+def test_resume_with_checkpoint_interval(ray_session, tmp_path):
+    """checkpoint_every=2 writes sparse epochs (2, then the final flush);
+    restore must union whatever delta files exist and continue exactly."""
+    factory = functools.partial(make_transport, SPEC)
+    ck = str(tmp_path / "ck")
+    full = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10,
+    )
+    part = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        max_rounds=3, retain_ledger=True,
+    )
+    assert not part.finished
+    rest = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        resume=True, retain_ledger=True,
+    )
+    assert rest.finished
+    assert rest.ledger == full.ledger
+    assert rest.seen_set == full.seen_set
+
+
 def test_production_memory_contract(ray_session, tmp_path):
     """With out_dir + checkpoint_dir set (production defaults), the driver
     retains only metadata: no in-memory ledger, no spans, no media bodies.
