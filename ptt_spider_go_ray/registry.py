@@ -224,6 +224,27 @@ def _approx_quantiles_sketch(sf_dir: str):
     )
 
 
+def _flagship_write_roundtrip(sf_dir: str):
+    """The canonical Ray Data sink: stream the flagship span stats through
+    ``Dataset.write_parquet`` (one file per block — resumable, never one
+    giant file) and read them back. Oracled with the same SQL as
+    flagship_spans: the roundtrip must preserve every value and dtype."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from .pipelines.flagship import flagship
+
+    out = f"/tmp/flagship_sink_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = flagship(sf_dir, render=False).select_columns(
+        ["doc_id", "n_spans", "n_media", "n_text", "n_text_chars"]
+    )
+    ds.write_parquet(out)
+    return ray.data.read_parquet(out)
+
+
 def _render_markdown(sf_dir: str):
     from .pipelines.flagship import flagship
 
@@ -252,6 +273,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
     "render_markdown": _render_markdown,
+    "flagship_write_roundtrip": _flagship_write_roundtrip,
 }
 
 
@@ -443,4 +465,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "fingerprints": SQL_FINGERPRINTS,
     "lang_id": _lang_id_sql(),
+    # the parquet write→read roundtrip must reproduce flagship_spans exactly
+    "flagship_write_roundtrip": SQL_FLAGSHIP_SPANS,
 }
