@@ -209,6 +209,19 @@ def _approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
+def _approx_distinct_users_per_type(sf_dir: str):
+    """Grouped HLL: approximate distinct users per event type (distributed
+    sketch merge — rows-only; pytest asserts <10% error vs exact)."""
+    import ray.data
+
+    from .stages.sketch import approx_distinct_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct_by(ds, "event_type", "user_id", p=12)
+
+
 def _approx_quantiles_sketch(sf_dir: str):
     """KLL-style mergeable quantile sketch over events.value (approximate →
     rows-only; pytest asserts rank error vs exact quantiles)."""
@@ -272,6 +285,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": _fingerprints,
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
+    "approx_distinct_users_per_type": _approx_distinct_users_per_type,
     "render_markdown": _render_markdown,
     "flagship_write_roundtrip": _flagship_write_roundtrip,
 }

@@ -167,6 +167,40 @@ def approx_quantiles(ds, column: str, qs: tuple = (0.5, 0.9, 0.99),
     return {q: acc.quantile(q) for q in qs}
 
 
+def approx_distinct_by(ds, key: str, column: str, p: int = 12):
+    """Grouped approximate COUNT(DISTINCT): per-batch per-key partial HLL
+    sketches, merged DISTRIBUTEDLY with a groupby over the key — the shuffle
+    moves (key, 2^p bytes) rows per batch, never values, and no stage holds
+    one key's full rows. Returns Dataset[(key, n_approx:int64)]."""
+    import pyarrow as pa
+
+    def sketch_batch(df: pd.DataFrame) -> pa.Table:
+        keys, sketches = [], []
+        for k, grp in df.groupby(key, sort=False):
+            h = HLL(p)
+            h.add_many(grp[column].tolist())
+            keys.append(k)
+            sketches.append(h.to_bytes())
+        return pa.table(
+            {key: pa.array(keys), "sketch": pa.array(sketches, pa.large_binary())}
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HLL(p)
+        for b in g["sketch"]:
+            acc.merge(HLL.from_bytes(b))
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]],
+             "n_approx": np.array([int(round(acc.estimate()))], dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pandas", batch_size=65536)
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 def approx_distinct(ds, column: str, p: int = 12) -> float:
     """COUNT(DISTINCT column) ≈ via per-batch partial sketches merged on the
     driver (each partial is 2^p bytes — no value shuffle)."""

@@ -128,6 +128,22 @@ def test_quantile_sketch_merge_matches_single():
     assert rt.quantile(0.5) == merged.quantile(0.5)
 
 
+def test_approx_distinct_by_accuracy(ray_session):
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["approx_distinct_users_per_type"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    exact = df.groupby("event_type")["user_id"].nunique()
+    assert set(got["event_type"]) == set(exact.index)
+    for _, row in got.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["n_approx"] - e) / e < 0.10, (row["event_type"], row["n_approx"], e)
+
+
 def test_approx_quantiles_pipeline(ray_session):
     import numpy as np
     import pyarrow.parquet as pq
