@@ -407,6 +407,17 @@ def run_crawl(
             br for bundle in union.iter_internal_ref_bundles()
             for br in bundle.block_refs
         ]
+        if out_dir:
+            # Resume re-executes rounds since the last checkpoint; if the
+            # rerun yields fewer blocks than the crashed attempt, leftover
+            # part-i files from the first attempt would survive and duplicate
+            # rows on read — clear the round partition before its writes.
+            import shutil as _shutil
+
+            for _name in ("docs", "media"):
+                _shutil.rmtree(
+                    os.path.join(out_dir, _name, f"round={epoch}"), ignore_errors=True
+                )
         outs = ray.get(
             [process_block.remote(ref, out_dir, epoch, i) for i, ref in enumerate(refs)]
         )
@@ -546,9 +557,15 @@ def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) ->
     pq.write_table(ledger_tbl, f"{ckpt_dir}/ledger_epoch{epoch}.parquet")
     with open(f"{ckpt_dir}/LATEST", "w") as f:
         f.write(str(epoch))
-    prev = f"{ckpt_dir}/shards_epoch{epoch - 1}.parquet"
-    if epoch > 1 and os.path.exists(prev):
-        os.remove(prev)  # superseded full snapshot; deltas/ledger stay
+    # With checkpoint_every > 1 the superseded snapshot is at epoch-N, not
+    # epoch-1 — glob-delete every older full snapshot (deltas/ledger stay).
+    import glob as _glob
+    import re as _re
+
+    for p in _glob.glob(f"{ckpt_dir}/shards_epoch*.parquet"):
+        m = _re.search(r"shards_epoch(\d+)\.parquet$", p)
+        if m and int(m.group(1)) < epoch:
+            os.remove(p)
 
 
 def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int]:

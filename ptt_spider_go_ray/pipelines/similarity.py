@@ -22,9 +22,13 @@ def _embeddings(sf_dir: str):
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"] < n_queries].sort_values("vec_id")
+    # row-group predicate pushdown — the driver materializes only the query
+    # vectors, not the whole embeddings table
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

@@ -548,9 +548,13 @@ def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qdf = qt.to_pandas()
-    qdf = qdf[qdf["vec_id"] < ANN_N_QUERIES].sort_values("vec_id")
+    # row-group predicate pushdown: only the n_queries query vectors reach the
+    # driver, never the full embedding column
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ANN_N_QUERIES)],
+    )
+    qdf = qt.to_pandas().sort_values("vec_id")
     q_ids = qdf["vec_id"].to_numpy()
     q_mat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1103,7 +1107,17 @@ def q_range_join(sf_dir: str):
         o_ts = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         t0 = e_ts.min()
         cap = np.int64((1 << _TS_BITS) - 1)
-        e_rel = np.clip(e_ts - t0, 0, cap)
+        e_rel = e_ts - t0
+        if e_rel.max() >= cap:
+            # clipping would silently collapse distinct event timestamps onto
+            # the cap and produce wrong window counts — refuse instead
+            raise ValueError(
+                "event timestamp span exceeds the 46-bit composite-key budget "
+                "(~2.2 years); pre-bucket by time range before the range join"
+            )
+        # Order-side bounds MAY clip: a window bound below t0 (or above the
+        # event span) lands at 0 (or cap > max e_rel), and searchsorted then
+        # counts exactly the events inside the truncated-but-equivalent range.
         comp_e = np.sort(_composite(events["key"].to_numpy(), e_rel))
         lo = np.clip(o_ts - t0, 0, cap)
         hi = np.clip(o_ts + week_us - t0, 0, cap)
@@ -1157,7 +1171,12 @@ def q_sliding_window(sf_dir: str):
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         t0 = ts.min()
         cap = np.int64((1 << _TS_BITS) - 1)
-        rel = np.clip(ts - t0, 0, cap)
+        rel = ts - t0
+        if rel.max() >= cap:
+            raise ValueError(
+                "event timestamp span exceeds the 46-bit composite-key budget "
+                "(~2.2 years); pre-bucket by time range before the window"
+            )
         keys = g["user_id"].to_numpy()
         comp = np.sort(_composite(keys, rel))
         lo = _composite(keys, np.clip(rel - half_hour_us, 0, cap))
@@ -1353,8 +1372,11 @@ def q_hash_sample(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def samp(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (eid * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP
+        # mask to 2^32 BEFORE multiplying and keep the product in uint64
+        # (max ~1.14e19 < 2^64) — naive int64 math wraps silently past
+        # ~3.5e9 ids while the SQL side promotes/errors, a latent divergence
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ((eid % _SAMPLE_MOD) * _SAMPLE_MULT) % _SAMPLE_MOD < _SAMPLE_KEEP
         return t.filter(pa.array(keep))
 
     return ds.map_batches(samp, batch_format="pyarrow")
@@ -1362,7 +1384,7 @@ def q_hash_sample(sf_dir: str):
 
 SQL_HASH_SAMPLE = f"""
 SELECT event_id, user_id, value FROM events
-WHERE (event_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
+WHERE (CAST(event_id % {_SAMPLE_MOD} AS HUGEINT) * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {_SAMPLE_KEEP}
 """
 
 # ---------------------------------------------------------------------------

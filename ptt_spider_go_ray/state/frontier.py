@@ -217,10 +217,21 @@ class FrontierShard:
 
     def take(self, n: int) -> list[dict]:
         """Pop up to n rows in (priority, seq) order, respecting this shard's
-        per-host politeness budget (rows beyond a host's budget stay queued)."""
+        per-host politeness budget (rows beyond a host's budget stay queued).
+
+        Politeness-stalemate bound: when a spill bound is set, at most
+        ``max(n, max_mem_rows)`` rows are examined per call. Without it, a
+        fully rate-limited/cooled host (the normal single-host crawl after a
+        429 cooldown) would defer every popped row, the head=None branch of
+        ``_maybe_unspill`` would merge every disk segment back, and one
+        take() would materialize the entire spilled frontier in ``deferred``
+        — O(frontier) actor memory plus full segment rewrite churn."""
         out: list[dict] = []
         deferred: list[tuple] = []
+        examine_cap = max(n, self.max_mem_rows) if self.max_mem_rows else None
         while len(out) < n:
+            if examine_cap is not None and len(out) + len(deferred) >= examine_cap:
+                break
             self._maybe_unspill()
             if not self.heap:
                 break
