@@ -75,13 +75,18 @@ _DOC_COLS = ["doc_id", "title", "url", "board", "author", "push_rate", "seq", "s
 _MEDIA_COLS = ["doc_id", "span_idx", "url", "board", "n_bytes", "media_ok", "body", "seq"]
 
 
-def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
+def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int,
+                   shards=None, n_shards: int = 0, max_depth: int = 0) -> dict:
     """Worker-side round-output processing: split one union block by
     row_type, write doc/media rows to ``out_dir`` (when set) from the worker,
-    and return only what the driver needs — candidate rows, doc/media
-    metadata (or full tables in test mode), and the error count. Runs as a
-    Ray task on the node holding the block, so span payloads and media
-    bodies never cross to the driver in production."""
+    and route discovered candidates DIRECTLY to their owning frontier shards
+    (``offer_buffered``; applied in deterministic order at the driver's
+    per-round ``commit_offers`` barrier). The driver receives only doc/media
+    metadata (or full tables in test mode) and error counts — no per-URL
+    Python ever crosses one driver thread. Runs as a Ray task on the node
+    holding the block, so span payloads, media bodies and candidate rows
+    never funnel through the driver in production."""
+    import ray
 
     def split(rt: str, drop: list[str]) -> pa.Table | None:
         t = tbl.filter(pc.equal(tbl["row_type"], rt))
@@ -91,6 +96,20 @@ def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
     doc = split("doc", ["body"])
     media = split("media_result", ["spans"])
     err = split("fetch_err", ["body", "spans"])
+
+    n_cand = 0
+    if cand is not None and shards is not None:
+        cand_rows = [
+            {k: c[k] for k in FRONTIER_SCHEMA.names} for c in cand.to_pylist()
+        ]
+        cand_rows = [r for r in cand_rows if r["depth"] <= max_depth]
+        n_cand = len(cand_rows)
+        by_shard: dict[int, list[dict]] = {}
+        for r in cand_rows:
+            by_shard.setdefault(shard_for(r, n_shards), []).append(r)
+        # ack before returning: once the driver has gathered every
+        # _process_block result, all of the round's offers are buffered
+        ray.get([shards[i].offer_buffered.remote(rs) for i, rs in by_shard.items()])
 
     doc_out = media_out = None
     if doc is not None:
@@ -117,7 +136,7 @@ def _process_block(tbl: pa.Table, out_dir: str, epoch: int, part: int) -> dict:
             if msg and msg.startswith("still 429"):
                 hosts_429.add(url_host(u))
     return {
-        "cand": cand,
+        "n_cand": n_cand,
         "doc": doc_out,
         "media": media_out,
         "n_err": err.num_rows if err is not None else 0,
@@ -263,6 +282,10 @@ def run_crawl(
             exact_seen=cc.exact_seen,
             max_mem_rows=cc.frontier_max_mem_rows,
             spill_dir=spill_dir,
+            # robots gating lives in the shards (≤ SALT_K robots.txt fetches
+            # per host across the crawl) — worker-side offers are gated where
+            # they land, with no driver round-trip
+            robots_factory=transport_factory if cc.robots else None,
         )
         for i in range(n_shards)
     ]
@@ -286,33 +309,11 @@ def run_crawl(
             seeds = seed_rows_boards(transport_factory(), boards, pages)
         seeds_to_offer = seeds
 
-    # robots gating at OFFER time, cached on the driver (exactly one
-    # robots.txt fetch per host for the whole crawl) — the fetch actors skip
-    # their own per-actor robots cache when the driver already gates.
-    robots_cache = None
-    robots_denied = 0
-    if cc.robots:
-        from ..state.robots import RobotsCache
-
-        driver_transport = transport_factory()
-        robots_cache = RobotsCache(
-            lambda url: fetch_with_retry(driver_transport, url, sleep=_no_sleep)[0:2]
-        )
-
-    def _robots_filter(rows_in: list[dict]) -> list[dict]:
-        nonlocal robots_denied
-        if robots_cache is None:
-            return rows_in
-        kept = []
-        for r in rows_in:
-            if robots_cache.allowed(r["url"]):
-                kept.append(r)
-            else:
-                robots_denied += 1
-        return kept
-
+    # robots gating happens at OFFER time inside each shard (see
+    # FrontierShard._robots_allowed) — candidates and seeds alike; the fetch
+    # stages skip their own per-actor robots cache.
     if seeds_to_offer is not None:
-        _offer_sorted(shards, _robots_filter(seeds_to_offer), n_shards)
+        _offer_sorted(shards, seeds_to_offer, n_shards)
 
     parse_stage = ParseStage(
         push_threshold=0 if file_mode else push_threshold,
@@ -419,17 +420,19 @@ def run_crawl(
                     os.path.join(out_dir, _name, f"round={epoch}"), ignore_errors=True
                 )
         outs = ray.get(
-            [process_block.remote(ref, out_dir, epoch, i) for i, ref in enumerate(refs)]
-        )
-
-        cand_parts = [o["cand"] for o in outs if o["cand"] is not None]
-        if cand_parts:
-            cand_tbl = pa.concat_tables(cand_parts)
-            cand_rows = [
-                {k: c[k] for k in FRONTIER_SCHEMA.names} for c in cand_tbl.to_pylist()
+            [
+                process_block.remote(
+                    ref, out_dir, epoch, i,
+                    shards=shards, n_shards=n_shards, max_depth=cc.max_depth,
+                )
+                for i, ref in enumerate(refs)
             ]
-            cand_rows = [r for r in cand_rows if r["depth"] <= cc.max_depth]
-            _offer_sorted(shards, _robots_filter(cand_rows), n_shards)
+        )
+        # round barrier: every block's offers are buffered (acked inside
+        # _process_block before it returns) — apply them in deterministic
+        # (priority, seq) order. One tiny RPC per shard; the driver never
+        # touches a candidate row.
+        ray.get([s.commit_offers.remote() for s in shards])
 
         fetch_errors += sum(o["n_err"] for o in outs)
         for o in outs:
@@ -496,7 +499,7 @@ def run_crawl(
     metrics = {
         "fetch_errors": fetch_errors,
         "fetch_errors_by_kind": fetch_errors_by_kind,
-        "robots_denied": robots_denied,
+        "robots_denied": sum(m.get("robots_denied", 0) for m in shard_metrics),
         "shards": shard_metrics,
         "total_accepted": sum(m["accepted"] for m in shard_metrics),
         "total_duplicates": sum(m["duplicates"] for m in shard_metrics),

@@ -488,21 +488,42 @@ SELECT DISTINCT event_type FROM events
 
 
 def q_sessionize(sf_dir: str):
+    """Bucket-parallel, fully vectorized: one Python callback per BUCKET
+    (hash(user) % n_buckets), not per user — inside a bucket the session
+    starts are one sorted diff over the whole slice and a C-speed pandas
+    groupby-agg. At millions of users the per-group ~1 ms map_groups Python
+    tax would dominate; per-bucket it amortizes to nothing."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _key_buckets(ds.count())
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": np.array([n_sessions], dtype=np.int64),
-                "n_events": np.array([len(g)], dtype=np.int64),
-            }
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((keys % n_buckets).astype(np.int64))
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_sess = np.ones(len(g), dtype=bool)
+        # a session starts at each user change or >30 min gap (the user-change
+        # OR makes the cross-user gap value irrelevant)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        df = pd.DataFrame({"user_id": u, "ns": new_sess.astype(np.int64)})
+        out = df.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("ns", "sum"), n_events=("ns", "size")
+        )
+        return out.astype({"n_sessions": "int64", "n_events": "int64"})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .select_columns(["user_id", "n_sessions", "n_events"])
+    )
 
 
 SQL_SESSIONIZE = """
@@ -678,15 +699,32 @@ GROUP BY user_id HAVING count(*) > 5
 
 
 def q_top3_per_user(sf_dir: str):
+    """Bucket-parallel windowed rank: one sort + cumcount per bucket (C
+    kernels) instead of one Python map_groups call per user. A per-batch
+    partial top-3 combiner first caps what the bucket shuffle moves at
+    3 rows per (batch, user)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        df = df[df.groupby("user_id", sort=False).cumcount() < 3]
+        keys = df["user_id"].to_numpy()
+        return _arrow_out(df.assign(bucket=(keys % n_buckets).astype(np.int64)))
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True])
+        rk = (g.groupby("user_id", sort=False).cumcount() + 1).astype(np.int64)
+        g = g.assign(rk=rk)
+        return g[g["rk"] <= 3][["user_id", "event_id", "value", "rk"]]
 
-    return ds.groupby("user_id").map_groups(top3, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(top3, batch_format="pandas")
+    )
 
 
 SQL_TOP3_PER_USER = """
@@ -1300,22 +1338,140 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 # ---------------------------------------------------------------------------
 
 
+_PCT_QS = (0.5, 0.9, 0.99)
+_PCT_BINS = 4096
+
+
 def q_percentiles(sf_dir: str):
+    """EXACT grouped quantiles without a hot group: the old
+    groupby(type).map_groups materialized 1/n_types of the table in one
+    worker (an OOM at 100×). Three distributed passes instead:
+
+      0. per-group (count, min, max) — per-batch combiner partials (≤
+         groups rows each) merged on the driver (the q_collision_rank
+         partial + driver-offset-merge pattern);
+      1. per-group fixed-width histogram — per-batch bincount partials,
+         driver-merged into O(groups × {_PCT_BINS}) counts that locate, for
+         each target rank floor/ceil((n-1)·q), the bin holding it and its
+         in-bin rank (at extreme block counts swap the driver merge for a
+         (group, bin) Sum groupby — same partials);
+      2. rows are filtered to those ≤ groups×6 needed bins and each bin's
+         order statistics are selected inside a per-(group, bin) task —
+         each task holds ~1/{_PCT_BINS} of one group, never the group.
+
+    The driver interpolates the final ≤ groups×6 values. Partitioning
+    assumption: one histogram bin per group fits a worker (n_group /
+    {_PCT_BINS}); beyond ~10^9 rows/group raise _PCT_BINS or add a second
+    refinement level (same pattern, narrowed range). The approximate scale
+    path is the KLL sketch (approx_quantiles_sketch)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        q = np.quantile(v, [0.5, 0.9, 0.99])
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50_e4": np.rint(q[0] * 10000).astype(np.int64),
-                "p90_e4": np.rint(q[1] * 10000).astype(np.int64),
-                "p99_e4": np.rint(q[2] * 10000).astype(np.int64),
-            }
+    # pass 0: per-group count / min / max (per-batch partials, driver merge)
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), lo=("value", "min"), hi=("value", "max")
+        )
+        return _arrow_out(g.astype({"n": "int64"}))
+
+    meta: dict[str, tuple] = {}
+    for r in ds.map_batches(
+        stats_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        n, lo, hi = meta.get(r["event_type"], (0, np.inf, -np.inf))
+        meta[r["event_type"]] = (
+            n + int(r["n"]), min(lo, float(r["lo"])), max(hi, float(r["hi"]))
         )
 
-    return ds.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+    def bin_of(et: str, v: np.ndarray) -> np.ndarray:
+        _n, lo, hi = meta[et]
+        w = (hi - lo) / _PCT_BINS
+        if w <= 0:
+            return np.zeros(len(v), np.int64)
+        return np.minimum(((v - lo) / w).astype(np.int64), _PCT_BINS - 1)
+
+    # pass 1: per-(group, bin) counts
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        ets, bins, ns = [], [], []
+        for et, sub in df.groupby("event_type", sort=False):
+            bc = np.bincount(bin_of(et, sub["value"].to_numpy()),
+                             minlength=_PCT_BINS)
+            nz = np.nonzero(bc)[0]
+            ets.extend([et] * len(nz))
+            bins.extend(nz.tolist())
+            ns.extend(bc[nz].tolist())
+        return pa.table(
+            {"event_type": pa.array(ets, pa.string()),
+             "bin": pa.array(bins, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    counts: dict[str, np.ndarray] = {
+        et: np.zeros(_PCT_BINS, np.int64) for et in meta
+    }
+    for r in ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        counts[r["event_type"]][int(r["bin"])] += int(r["n"])
+
+    # locate, per (group, target rank), the owning bin + in-bin local rank
+    need: dict[tuple, list[tuple]] = {}  # (et, bin) -> [(local_rank, slot)]
+    for et, (n, _lo, _hi) in meta.items():
+        cum = np.cumsum(counts[et])
+        for qi, q in enumerate(_PCT_QS):
+            h = (n - 1) * q
+            for side, r in enumerate((int(np.floor(h)), int(np.ceil(h)))):
+                b = int(np.searchsorted(cum, r, side="right"))
+                local = r - (int(cum[b - 1]) if b else 0)
+                need.setdefault((et, b), []).append((local, (et, qi, side)))
+
+    # pass 2: select the needed order statistics inside per-bin tasks
+    need_bins = {et: np.array(sorted({b for (e, b) in need if e == et}), np.int64)
+                 for et in meta}
+
+    def keep_needed(df: pd.DataFrame) -> pa.Table:
+        dfs = []
+        for et, sub in df.groupby("event_type", sort=False):
+            b = bin_of(et, sub["value"].to_numpy())
+            mask = np.isin(b, need_bins[et])
+            if mask.any():
+                dfs.append(sub[mask].assign(bin=b[mask]))
+        if not dfs:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "bin": pa.array([], pa.int64())})
+        return _arrow_out(pd.concat(dfs))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        et, b = g["event_type"].iloc[0], int(g["bin"].iloc[0])
+        v = np.sort(g["value"].to_numpy())
+        want = need[(et, b)]
+        return pd.DataFrame(
+            {"event_type": [et] * len(want),
+             "qi": np.array([s[1] for _l, s in want], np.int64),
+             "side": np.array([s[2] for _l, s in want], np.int64),
+             "value": np.array([v[local] for local, _s in want], np.float64)}
+        )
+
+    picked = (
+        ds.map_batches(keep_needed, batch_format="pandas")
+        .groupby(["event_type", "bin"])
+        .map_groups(pick, batch_format="pandas")
+        .take_all()
+    )
+    vals: dict[tuple, float] = {
+        (r["event_type"], int(r["qi"]), int(r["side"])): float(r["value"])
+        for r in picked
+    }
+    out = {"event_type": sorted(meta)}
+    for qi, q in enumerate(_PCT_QS):
+        col = []
+        for et in out["event_type"]:
+            n = meta[et][0]
+            h = (n - 1) * q
+            v0 = vals[(et, qi, 0)]
+            v1 = vals[(et, qi, 1)]
+            col.append(np.rint((v0 + (h - np.floor(h)) * (v1 - v0)) * 10000))
+        out[f"p{int(q * 100)}_e4"] = np.array(col, np.int64)
+    return pd.DataFrame(out)
 
 
 SQL_PERCENTILES = """
@@ -1332,18 +1488,33 @@ FROM events GROUP BY event_type
 
 
 def q_event_trail(sf_dir: str):
+    """Bucket-parallel ordered string agg: per-batch partial head-5 combiner
+    (caps the shuffle at 5 rows per (batch, user)), then one sort + cumcount
+    per bucket; only the final tiny ≤5-element joins are per-user Python."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    n_buckets = _key_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df = df[df.groupby("user_id", sort=False).cumcount() < 5]
+        keys = df["user_id"].to_numpy()
+        return _arrow_out(df.assign(bucket=(keys % n_buckets).astype(np.int64)))
 
     def trail(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).head(5)
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g[g.groupby("user_id", sort=False).cumcount() < 5]
+        s = g["event_id"].astype(np.int64).astype(str)
+        out = s.groupby(g["user_id"].to_numpy(), sort=False).agg(",".join)
         return pd.DataFrame(
-            {
-                "user_id": [np.int64(g["user_id"].iloc[0])],
-                "first5": [",".join(str(int(e)) for e in g["event_id"])],
-            }
+            {"user_id": out.index.to_numpy().astype(np.int64),
+             "first5": out.to_numpy()}
         )
 
-    return ds.groupby("user_id").map_groups(trail, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(trail, batch_format="pandas")
+    )
 
 
 SQL_EVENT_TRAIL = """

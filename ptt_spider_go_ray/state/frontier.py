@@ -89,9 +89,23 @@ class FrontierShard:
 
     def __init__(self, shard_id: int, seen_capacity: int = 1 << 16,
                  politeness_rate: float = 0.0, exact_seen: bool = True,
-                 clock=None, max_mem_rows: int = 0, spill_dir: str = ""):
+                 clock=None, max_mem_rows: int = 0, spill_dir: str = "",
+                 robots_factory=None):
         self.shard_id = shard_id
         self.heap: list[tuple] = []  # (priority, seq, row_dict)
+        # robots gating lives IN the shard (worker-side offers must not
+        # round-trip through a driver cache): ``robots_factory`` is a
+        # picklable zero-arg transport factory; the cache is built lazily so
+        # a robots-off shard pays nothing. A host's URLs land on ≤ SALT_K
+        # shards, so the whole crawl fetches each host's robots.txt ≤ SALT_K
+        # times (vs once with the old driver cache — the scalable trade).
+        self._robots_factory = robots_factory
+        self._robots = None
+        # worker-side offers buffer here (offer_buffered) and are applied in
+        # deterministic (priority, seq) order at the round barrier
+        # (commit_offers) — first-wins dedup then matches the plain-Python
+        # oracle's sorted-offer rule regardless of block arrival order
+        self._offer_buf: list[dict] = []
         self.max_mem_rows = max_mem_rows
         self.spill_dir = spill_dir
         # spill segments: (min_key, path, n_rows), each file a sorted row list
@@ -113,8 +127,21 @@ class FrontierShard:
         self.seen_delta: set[str] | None = set() if exact_seen else None
         self.metrics = {
             "offered": 0, "accepted": 0, "duplicates": 0, "taken": 0,
-            "pushed_back": 0, "false_positives": 0,
+            "pushed_back": 0, "false_positives": 0, "robots_denied": 0,
         }
+
+    def _robots_allowed(self, url: str) -> bool:
+        if self._robots_factory is None:
+            return True
+        if self._robots is None:
+            from ..stages.fetch import fetch_with_retry
+            from .robots import RobotsCache
+
+            transport = self._robots_factory()
+            self._robots = RobotsCache(
+                lambda u: fetch_with_retry(transport, u, sleep=lambda _s: None)[0:2]
+            )
+        return self._robots.allowed(url)
 
     # -- spill (external priority queue) ------------------------------------
 
@@ -170,11 +197,36 @@ class FrontierShard:
 
     # -- offer / take -------------------------------------------------------
 
+    def offer_buffered(self, rows: list[dict]) -> int:
+        """Stage rows for the next ``commit_offers`` (called by worker-side
+        _process_block tasks mid-round). Cheap append; dedup/robots/enqueue
+        happen at commit so cross-block arrival order cannot affect the
+        outcome."""
+        self._offer_buf.extend(rows)
+        return len(rows)
+
+    def commit_offers(self) -> int:
+        """Apply all buffered rows in (priority, seq) order. Per-shard
+        sorting is equivalent to the oracle's global sorted-offer rule
+        because a URL canonicalizes to exactly one shard — its first-wins
+        winner is decided entirely here."""
+        rows = sorted(self._offer_buf, key=lambda r: (r["priority"], r["seq"]))
+        self._offer_buf = []
+        return self.offer(rows)
+
     def offer(self, rows: list[dict]) -> int:
-        """Dedup against the seen set and enqueue new URLs. Returns accepted
-        count. First-wins within the batch (D2)."""
+        """Robots-gate, dedup against the seen set, and enqueue new URLs.
+        Returns accepted count. First-wins within the batch (D2)."""
         accepted = 0
         self.metrics["offered"] += len(rows)
+        if self._robots_factory is not None:
+            kept = []
+            for row in rows:
+                if self._robots_allowed(row["url"]):
+                    kept.append(row)
+                else:
+                    self.metrics["robots_denied"] += 1
+            rows = kept
         for row in rows:
             h = row["url_hash"]
             if self.filter.contains_hash(h):
