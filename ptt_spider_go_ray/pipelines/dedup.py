@@ -360,7 +360,140 @@ def embedding_cosine_dups(sf_dir: str, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 
-def connected_components(edges, max_iter: int = 25):
+# Above this many dup-pair nodes, the node→label broadcast (and the driver
+# pull_map per round) is replaced by the fully distributed bucketed-join
+# propagation — an adversarial input where EVERYTHING is a dup no longer
+# breaks the documented O(#dup-pair-nodes) driver/worker memory bound.
+BROADCAST_NODE_LIMIT = 2_000_000
+
+
+def _cc_distributed(edges, labels, cc_schema, max_iter: int, n_buckets: int):
+    """Distributed-only label propagation: no node→label map ever leaves the
+    cluster. Per round, labels meet their edges in a manual BUCKETED hash
+    join (bucket = node % n_buckets; Ray 2.49's native join crashes on
+    key-empty partitions), each bucket joined with a C-speed pandas merge;
+    messages min-combine in a node groupby; convergence is witnessed by the
+    distributed label sum (labels only decrease). No local pointer-jumping
+    compression here, so rounds = graph diameter — the price of the bound."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        return pa.table(
+            {
+                "bucket": pa.array((src % n_buckets).astype(np.int64)),
+                "node": pa.array(src),
+                "other": pa.array(np.concatenate([b, a])),
+                "cluster": pa.array(np.full(2 * len(a), -1, np.int64)),
+            }
+        )
+
+    e2 = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((node % n_buckets).astype(np.int64)),
+                "node": pa.array(node),
+                "other": pa.array(np.full(len(node), -1, np.int64)),
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+            }
+        )
+
+    def msgs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["other"] < 0][["node", "cluster"]]
+        ed = g[g["other"] >= 0][["node", "other"]]
+        m = ed.merge(lab, on="node", how="left")
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [m["other"].to_numpy(), lab["node"].to_numpy()]
+                ).astype(np.int64),
+                "cluster": np.concatenate(
+                    [m["cluster"].to_numpy(), lab["cluster"].to_numpy()]
+                ).astype(np.int64),
+            }
+        )
+
+    def as_arrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cc_schema.empty_table()
+        return pa.table(
+            {"node": pc.cast(t["node"], pa.int64()),
+             "cluster": pc.cast(t["cluster"], pa.int64())}
+        )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        s = labels.sum("cluster") or 0
+        if s == prev_sum:
+            break
+        prev_sum = s
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+        labels = (
+            e2.union(tagged)
+            .groupby("bucket")
+            .map_groups(msgs_in_bucket, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("cluster", alias_name="cluster"))
+            .map_batches(as_arrow, batch_format="pyarrow")
+            .materialize()
+        )
+    return labels
+
+
+def bucket_join_labels(left, key_col: str, labels, n_buckets: int,
+                       out_cols: tuple[str, str] = ("doc_id", "cluster_id")):
+    """Distributed label assignment for when the node→cluster map exceeds
+    the broadcast bound: manual bucketed left join of ``left`` (int64
+    ``key_col``) against ``labels`` (node, cluster); keys without a label
+    cluster to themselves. Same bucket trick as _cc_distributed."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((k % n_buckets).astype(np.int64)),
+                "node": pa.array(k),
+                "cluster": pa.array(np.full(len(k), -1, np.int64)),
+                "is_left": pa.array(np.ones(len(k), np.int8)),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((node % n_buckets).astype(np.int64)),
+                "node": pa.array(node),
+                "cluster": pc.cast(t["cluster"], pa.int64()),
+                "is_left": pa.array(np.zeros(len(node), np.int8)),
+            }
+        )
+
+    ko, co = out_cols
+
+    def join_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["is_left"] == 0][["node", "cluster"]]
+        lft = g[g["is_left"] == 1][["node"]]
+        m = lft.merge(lab, on="node", how="left")
+        cl = m["cluster"].fillna(m["node"]).astype(np.int64)
+        return pd.DataFrame({ko: m["node"].astype(np.int64), co: cl})
+
+    return (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join_in_bucket, batch_format="pandas")
+    )
+
+
+def connected_components(edges, max_iter: int = 25,
+                         broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
     """Min-label connected components over an edge Dataset (``doc_a``,
     ``doc_b`` int64) by iterative label propagation: each round broadcasts
     the compact node→label map (``ray.put``), computes neighbor messages in
@@ -372,9 +505,12 @@ def connected_components(edges, max_iter: int = 25):
     Memory contract: the broadcast map is O(#nodes that appear in a dup
     pair) — for dedup workloads orders of magnitude below corpus size (and
     the same size class as the final cluster map any consumer holds). The
-    edge set itself stays distributed. (A pure shuffle-join formulation is
-    blocked by Ray 2.49's hash join producing schema-less tables for
-    key-empty partitions.)
+    edge set itself stays distributed. GUARD: past ``broadcast_node_limit``
+    nodes (adversarial all-dups inputs) the rounds switch to the fully
+    distributed bucketed-join propagation (``_cc_distributed``) — slower
+    per round, but nothing ever holds the whole node set. (A pure native
+    shuffle-join formulation is blocked by Ray 2.49's hash join producing
+    schema-less tables for key-empty partitions.)
 
     Returns Dataset[(node, cluster)] with cluster = min doc_id reachable."""
     import ray
@@ -410,6 +546,13 @@ def connected_components(edges, max_iter: int = 25):
         .map_batches(as_arrow, batch_format="pyarrow")
         .materialize()
     )
+
+    n_nodes = labels.count()
+    if n_nodes > broadcast_node_limit:
+        return _cc_distributed(
+            edges, labels, cc_schema, max_iter,
+            n_buckets=_coarse_buckets(n_nodes, _TARGET_PAIR_ROWS),
+        )
 
     def pull_map(labels_ds) -> dict[int, int]:
         from ..util import pull_arrow_blocks
@@ -512,14 +655,18 @@ def connected_components(edges, max_iter: int = 25):
     )
 
 
-def dedup_clusters(sf_dir: str, est_threshold: float = 0.9):
+def dedup_clusters(sf_dir: str, est_threshold: float = 0.9,
+                   broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
     """Near-dup cluster assignment over the documents table: MinHash-LSH
     candidate pairs (est_jaccard ≥ est_threshold) → connected components →
     every document labeled with its cluster id (= min doc_id of its
     component; singletons label themselves). The cluster map is broadcast
     via ray.put and applied in a streaming map_batches — the corpus itself
     never shuffles. Broadcast size is O(#docs in dup clusters), which for
-    dedup workloads is far below corpus size."""
+    dedup workloads is far below corpus size. GUARD: past
+    ``broadcast_node_limit`` labeled nodes (adversarial all-dups input) the
+    assignment switches to the distributed bucketed join
+    (``bucket_join_labels``) so no task or the driver holds the map."""
     import ray
     import ray.data
 
@@ -529,11 +676,18 @@ def dedup_clusters(sf_dir: str, est_threshold: float = 0.9):
         ).select(["doc_a", "doc_b"]),
         batch_format="pyarrow",
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, broadcast_node_limit=broadcast_node_limit)
+    docs = _docs(sf_dir, columns=("doc_id",))
+
+    n_labeled = comp.count()
+    if n_labeled > broadcast_node_limit:
+        return bucket_join_labels(
+            docs, "doc_id", comp,
+            n_buckets=_coarse_buckets(n_labeled, _TARGET_PAIR_ROWS),
+        )
+
     mapping = {int(r["node"]): int(r["cluster"]) for r in comp.take_all()}
     map_ref = ray.put(mapping)
-
-    docs = _docs(sf_dir, columns=("doc_id",))
 
     def assign(t: pa.Table, mref=map_ref) -> pa.Table:
         m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref

@@ -1635,6 +1635,10 @@ def q_cc_label_clusters(sf_dir: str):
         edges_in_bucket, batch_format="pandas"
     )
     comp = connected_components(edges_ds)
+    # broadcast here is bounded by the VALUE DOMAIN (#distinct (lang,
+    # n_chars) pairs), not the corpus — the adversarial-input guard lives in
+    # connected_components/dedup_clusters (pipelines/dedup.py:
+    # broadcast_node_limit → _cc_distributed / bucket_join_labels)
     comp_map = {int(r["node"]): int(r["cluster"]) for r in comp.take_all()}
 
     # (lang, n_chars) → cluster id (= component min doc id); nodes without

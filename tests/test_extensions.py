@@ -492,3 +492,78 @@ def test_approx_distinct_pipeline(ray_session):
     ).fetchone()[0]
     est = approx_distinct(ds, "user_id", p=12)
     assert abs(est - exact) / max(exact, 1) < 0.1
+
+
+# --- CC broadcast guard (adversarial all-dups input) ------------------------
+
+
+def _union_find_oracle(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_distributed_path_matches_union_find(ray_session):
+    """Adversarial input where EVERYTHING is a dup: broadcast_node_limit=0
+    forces the fully distributed bucketed-join propagation (no node→label
+    map on the driver or in any task); result must equal plain union-find."""
+    import ray.data
+
+    from ptt_spider_go_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    edges = []
+    n = 400
+    for i in range(0, n, 4):  # chains of 4
+        edges += [(i, i + 1), (i + 1, i + 2), (i + 2, i + 3)]
+    for _ in range(60):  # random cross links merge chains
+        a, b = (int(x) for x in rng.integers(0, n, 2))
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    comp = connected_components(
+        ray.data.from_arrow(tbl), broadcast_node_limit=0
+    ).to_pandas()
+    got = dict(zip(comp["node"].astype(int), comp["cluster"].astype(int)))
+    oracle = _union_find_oracle(edges)
+    assert set(got) == set(oracle)
+    assert got == oracle
+
+
+def test_dedup_clusters_distributed_assignment(ray_session, dup_docs_dir):
+    """The guarded (bucketed-join) assignment path must produce the exact
+    same labeling as the broadcast path on the same input."""
+    from ptt_spider_go_ray.pipelines.dedup import dedup_clusters
+
+    base = (
+        dedup_clusters(dup_docs_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    guarded = (
+        dedup_clusters(dup_docs_dir, broadcast_node_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, guarded)
