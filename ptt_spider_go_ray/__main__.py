@@ -93,12 +93,24 @@ def main(argv=None) -> int:
             mean_s = (cc.delays.min_ms + cc.delays.max_ms) / 2.0 / 1000.0
             cc.politeness_rate = cc.workers / mean_s if mean_s > 0 else 8.0
 
-    from .logging_ui import pick_logger
+    from .logging_ui import LiveStatus, pick_logger
 
     logger = pick_logger(args.log)
+    # styled mode (or auto on a TTY) gets the live refreshing status block
+    # (ui/live.go analog); plain/noop keep one line per round
+    live = None
+    if args.log == "styled" or (
+        args.log == "auto" and getattr(sys.stderr, "isatty", lambda: False)()
+    ):
+        live = LiveStatus()
 
     def print_progress(p: dict) -> None:
-        # per-round progress line (T5 metrics surface; ui/live.go analog)
+        # per-round progress (T5 metrics surface; ui/live.go analog)
+        if live is not None:
+            if p["fetch_errors"]:
+                live.log(f"round {p['round']}: {p['fetch_errors']} fetch errors")
+            live.update(p)
+            return
         emit = logger.warn if p["fetch_errors"] else logger.info
         emit(
             "round %d: dispatched=%d (total %d) docs=%d media=%d errors=%d "
@@ -123,6 +135,8 @@ def main(argv=None) -> int:
         deterministic=args.mock,
         progress=print_progress,
     )
+    if live is not None:
+        live.finish()
     logger.success("crawl finished: %d rounds, %d URLs", res.rounds, res.dispatched)
     print(json.dumps({
         "rounds": res.rounds,

@@ -86,6 +86,88 @@ class StyledLogger:
         self._emit("WARN", fmt, args)
 
 
+class LiveStatus:
+    """Live multi-line status surface — the reference's Bubble-Tea TUI fold
+    (/root/reference/ui/live.go:44-189) rebuilt as a plain-ANSI refreshing
+    block, no TUI framework: global counters on top, one worker-status row
+    per frontier shard (accepted/dups/taken/pending — the engine's 'worker'
+    unit), and a rolling recent-event tail. Each ``update(progress_dict)``
+    rewrites the block in place with cursor-up + erase-line codes.
+
+    Feed it the per-round dicts from ``run_crawl(progress=...)``; call
+    ``finish(msg)`` to drop below the block and leave it on screen."""
+
+    def __init__(self, stream=None, max_shard_rows: int = 8, tail: int = 5):
+        import collections
+
+        self.stream = stream or sys.stderr
+        self.max_shard_rows = max_shard_rows
+        self._tail = collections.deque(maxlen=tail)
+        self._last_lines = 0
+        self._t0 = time.monotonic()
+        self._mu = threading.Lock()
+
+    def log(self, msg: str) -> None:
+        """Append to the rolling tail (live.go's 12-entry rolling log)."""
+        with self._mu:
+            self._tail.append(f"{time.strftime('%H:%M:%S')} {msg}")
+
+    def _render(self, p: dict) -> list[str]:
+        el = time.monotonic() - self._t0
+        rate = p["total_dispatched"] / el if el > 0 else 0.0
+        dim, bold, rst = "\x1b[38;5;245m", "\x1b[1m", "\x1b[0m"
+        err_c = "\x1b[38;5;9m" if p.get("fetch_errors") else "\x1b[38;5;10m"
+        lines = [
+            f"{bold}── crawl live ── round {p['round']} ── "
+            f"{el:6.1f}s ── {rate:7.1f} urls/s ──{rst}",
+            f" dispatched {bold}{p['dispatched']:>6}{rst} this round "
+            f"({p['total_dispatched']:,} total)   pending {p['pending']:,}",
+            f" docs {bold}{p['docs']:,}{rst}   media {bold}{p['media']:,}{rst}   "
+            f"errors {err_c}{p['fetch_errors']}{rst}   "
+            f"dup_rate {p['dup_rate']}   cuckoo FP {p['cuckoo_false_positives']}",
+        ]
+        shards = p.get("shards", [])
+        for s in shards[: self.max_shard_rows]:
+            lines.append(
+                f" {dim}shard {s['id']:>2}{rst}  acc {s['accepted']:>7,}  "
+                f"dup {s['duplicates']:>6,}  taken {s['taken']:>7,}  "
+                f"pend {s['pending']:>7,}"
+            )
+        if len(shards) > self.max_shard_rows:
+            rest = shards[self.max_shard_rows:]
+            lines.append(
+                f" {dim}… +{len(rest)} shards  acc {sum(s['accepted'] for s in rest):,}  "
+                f"pend {sum(s['pending'] for s in rest):,}{rst}"
+            )
+        for entry in self._tail:
+            lines.append(f" {dim}{entry}{rst}")
+        return lines
+
+    def update(self, p: dict) -> None:
+        with self._mu:
+            lines = self._render(p)
+            out = []
+            if self._last_lines:
+                # cursor to the start of the previous block, then rewrite
+                out.append(f"\x1b[{self._last_lines}F")
+            out.extend("\x1b[K" + ln + "\n" for ln in lines)
+            # a shrinking block must blank the leftover rows
+            extra = self._last_lines - len(lines)
+            if extra > 0:
+                out.extend("\x1b[K\n" for _ in range(extra))
+                out.append(f"\x1b[{extra}F")
+            self.stream.write("".join(out))
+            self.stream.flush()
+            self._last_lines = len(lines)
+
+    def finish(self, msg: str = "") -> None:
+        with self._mu:
+            if msg:
+                self.stream.write(msg + "\n")
+                self.stream.flush()
+            self._last_lines = 0
+
+
 def pick_logger(mode: str = "auto", stream=None):
     """'noop' | 'plain' | 'styled' | 'auto' (styled iff the stream is a
     TTY, plain otherwise — main.go's CLI/TUI split analog)."""

@@ -201,22 +201,38 @@ def _offer_sorted(shards, rows: list[dict], n_shards: int) -> None:
     ray.get([shards[i].offer.remote(rs) for i, rs in by_shard.items()])
 
 
-def _take_global(shards, n: int, n_shards: int) -> list[dict]:
-    """Global (priority, seq) merge: each shard yields its n smallest, the
-    driver keeps the global n and pushes the rest back. Note: politeness
+def _take_global(shards, n: int, n_shards: int) -> pa.Table:
+    """Global (priority, seq) merge over ARROW tables: each shard yields its
+    n smallest as a table, the driver vector-sorts the concatenation, keeps
+    the global n, and pushes each shard's leftovers back to the SAME shard
+    (provenance column — no re-routing, no per-row Python). Note: politeness
     tokens consumed by pushed-back rows are not refunded — the error is in
     the MORE-polite direction, bounded by one round's overshoot."""
     import ray
 
-    taken = ray.get([s.take.remote(n) for s in shards])
-    merged = sorted((r for lst in taken for r in lst), key=lambda r: (r["priority"], r["seq"]))
-    keep, rest = merged[:n], merged[n:]
-    if rest:
-        by_shard: dict[int, list[dict]] = {}
-        for r in rest:
-            by_shard.setdefault(shard_for(r, n_shards), []).append(r)
-        ray.get([shards[i].push_back.remote(rs) for i, rs in by_shard.items()])
-    return keep
+    taken = ray.get([s.take_arrow.remote(n) for s in shards])
+    parts = [
+        t.append_column("_shard", pa.array([i] * t.num_rows, pa.int32()))
+        for i, t in enumerate(taken)
+        if t.num_rows
+    ]
+    if not parts:
+        return FRONTIER_SCHEMA.empty_table()
+    merged = pa.concat_tables(parts)
+    merged = merged.take(
+        pc.sort_indices(
+            merged, sort_keys=[("priority", "ascending"), ("seq", "ascending")]
+        )
+    )
+    rest = merged.slice(n)
+    if rest.num_rows:
+        refs = []
+        for i in range(len(shards)):
+            sub = rest.filter(pc.equal(rest["_shard"], i))
+            if sub.num_rows:
+                refs.append(shards[i].push_back_arrow.remote(sub.drop_columns(["_shard"])))
+        ray.get(refs)
+    return merged.slice(0, n).drop_columns(["_shard"])
 
 
 def run_crawl(
@@ -345,20 +361,23 @@ def run_crawl(
         if max_rounds is not None and rounds_this_run >= max_rounds:
             finished = False
             break
-        rows = _take_global(shards, cc.batch_urls, n_shards)
-        if not rows:
+        tbl = _take_global(shards, cc.batch_urls, n_shards)
+        if tbl.num_rows == 0:
             # Empty take ≠ empty frontier: politeness may have deferred every
             # queued row. Terminate only when the shards are truly drained.
             if sum(ray.get([s.size.remote() for s in shards])) == 0:
                 break
             _time.sleep(0.05)  # wait for token refill
             continue
-        ledger_delta.extend((r["priority"], r["seq"], r["url"]) for r in rows)
-        dispatched += len(rows)
+        round_ledger = list(
+            zip(tbl["priority"].to_pylist(), tbl["seq"].to_pylist(),
+                tbl["url"].to_pylist())
+        )
+        ledger_delta.extend(round_ledger)
+        dispatched += tbl.num_rows
         if retain:
-            ledger.extend((r["priority"], r["seq"], r["url"]) for r in rows)
+            ledger.extend(round_ledger)
 
-        tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
         # one block per fetch batch: from_arrow(single table) would give ONE
         # block = one task = a serial round; zero-copy slices parallelize it
         bs = max(1, cc.fetch_batch_size)
@@ -384,7 +403,7 @@ def run_crawl(
             # goroutines vs `parserCount` page fetch+parse goroutines,
             # crawler/crawler.go:204-230); priority ordering makes rounds
             # near-homogeneous in kind
-            is_media_round = all(r["kind"] == "media" for r in rows)
+            is_media_round = pc.unique(tbl["kind"]).to_pylist() == ["media"]
             pool = cc.workers if is_media_round else cc.parser_count
             fetched = ds.map_batches(
                 Fetcher,
@@ -464,22 +483,34 @@ def run_crawl(
             ledger_delta.clear()
         if progress is not None:
             sm = ray.get([s.get_metrics.remote() for s in shards])
+            sizes = ray.get([s.size.remote() for s in shards])
             offered = sum(m["offered"] for m in sm)
             progress(
                 {
                     "round": epoch,
-                    "dispatched": len(rows),
+                    "dispatched": tbl.num_rows,
                     "total_dispatched": dispatched,
                     "docs": sum(o["doc"].num_rows for o in outs if o["doc"] is not None),
                     "media": sum(
                         o["media"].num_rows for o in outs if o["media"] is not None
                     ),
                     "fetch_errors": sum(o["n_err"] for o in outs),
-                    "pending": sum(ray.get([s.size.remote() for s in shards])),
+                    "pending": sum(sizes),
                     "dup_rate": round(
                         sum(m["duplicates"] for m in sm) / offered, 4
                     ) if offered else 0.0,
                     "cuckoo_false_positives": sum(m["false_positives"] for m in sm),
+                    # per-shard worker-status rows (ui/live.go:147-189 analog)
+                    "shards": [
+                        {
+                            "id": i,
+                            "accepted": m["accepted"],
+                            "duplicates": m["duplicates"],
+                            "taken": m["taken"],
+                            "pending": sz,
+                        }
+                        for i, (m, sz) in enumerate(zip(sm, sizes))
+                    ],
                 }
             )
 

@@ -259,6 +259,17 @@ class FrontierShard:
         self._maybe_spill()
         return accepted
 
+    def take_arrow(self, n: int) -> pa.Table:
+        """``take`` with an Arrow result: the driver's global merge then
+        handles zero-copy tables instead of per-row Python dicts (the
+        row→Arrow conversion happens here, worker-side)."""
+        from ..schemas import FRONTIER_SCHEMA
+
+        return pa.Table.from_pylist(self.take(n), schema=FRONTIER_SCHEMA)
+
+    def push_back_arrow(self, tbl: pa.Table) -> None:
+        self.push_back(tbl.to_pylist())
+
     def push_back(self, rows: list[dict]) -> None:
         """Re-enqueue rows the driver pulled but did not dispatch (global
         merge leftovers). No seen-set check — they are already seen."""

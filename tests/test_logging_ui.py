@@ -57,3 +57,48 @@ def test_pick_logger_modes():
     assert isinstance(pick_logger("auto", Tty()), StyledLogger)
     with pytest.raises(ValueError):
         pick_logger("nope")
+
+
+def _progress(round_no, shards=3, errors=0):
+    return {
+        "round": round_no,
+        "dispatched": 128,
+        "total_dispatched": 128 * round_no,
+        "docs": 40 * round_no,
+        "media": 90 * round_no,
+        "fetch_errors": errors,
+        "pending": 1000 - 100 * round_no,
+        "dup_rate": 0.01,
+        "cuckoo_false_positives": 0,
+        "shards": [
+            {"id": i, "accepted": 50 * round_no + i, "duplicates": i,
+             "taken": 40 * round_no, "pending": 10 * i}
+            for i in range(shards)
+        ],
+    }
+
+
+def test_live_status_block_renders_and_rewrites():
+    from ptt_spider_go_ray.logging_ui import LiveStatus
+
+    buf = io.StringIO()
+    live = LiveStatus(buf, max_shard_rows=2, tail=3)
+    live.update(_progress(1))
+    first = buf.getvalue()
+    # first draw: no cursor-up; counters + per-shard rows + overflow summary
+    assert "\x1b[1F" not in first and "\x1b[2F" not in first
+    assert "round 1" in first and "shard  0" in first and "shard  1" in first
+    assert "+1 shards" in first  # 3 shards, 2 rows shown
+    n_lines = first.count("\n")
+
+    live.log("round 2: 3 fetch errors")
+    live.update(_progress(2, errors=3))
+    second = buf.getvalue()[len(first):]
+    # rewrite-in-place: cursor jumps up over the previous block, every line
+    # cleared before redraw; the tail entry appears
+    assert f"\x1b[{n_lines}F" in second
+    assert second.count("\x1b[K") >= n_lines
+    assert "round 2" in second and "fetch errors" in second
+
+    live.finish("done")
+    assert buf.getvalue().endswith("done\n")
