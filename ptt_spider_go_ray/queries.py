@@ -1682,6 +1682,149 @@ FROM documents d JOIN comp c ON d.lang = c.lang AND d.n_chars = c.n_chars
 """
 
 # ---------------------------------------------------------------------------
+# Q: word count with top-k — the canonical flat_map → combine → groupby →
+# top-k pipeline over the documents corpus. Per-batch token counting is
+# vectorized (pandas str.findall + np.unique) and emits (word, n) partials,
+# so the shuffle moves distinct words per batch, never tokens; the final
+# sort runs over distinct words only.
+# ---------------------------------------------------------------------------
+
+WORDCOUNT_K = 20
+
+
+def q_word_count(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) \
+            if len(toks) else np.array([], dtype=object)
+        if not len(flat):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(words.astype(str)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()  # aggregate-after-map scheduling barrier (see above)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+    return counted.sort(["n", "word"], descending=[True, False]).limit(WORDCOUNT_K)
+
+
+SQL_WORD_COUNT = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n FROM toks GROUP BY word
+ORDER BY n DESC, word ASC LIMIT {WORDCOUNT_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-user running total (cumulative window) — bucket-parallel cumsum in
+# exact integer cents so the engine and DuckDB agree bit-for-bit (float
+# running sums are order-sensitive). One C-speed groupby-cumsum per bucket.
+# ---------------------------------------------------------------------------
+
+
+def q_running_total(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((keys % n_buckets).astype(np.int64))
+        )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        run = pd.Series(cents).groupby(g["user_id"].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "run_cents": run.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q: fixed-width global histogram — per-batch bincount partials merged on
+# the driver (O(blocks × bins) tiny rows); bin math identical IEEE float64
+# ops on both engines.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 64
+
+
+def q_value_histogram(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def minmax(df: pd.DataFrame) -> pa.Table:
+        v = df["value"].to_numpy()
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    lo, hi = np.inf, -np.inf
+    for r in ds.map_batches(
+        minmax, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        lo, hi = min(lo, r["lo"]), max(hi, r["hi"])
+    w = (hi - lo) / _HIST_BINS
+
+    def hist(df: pd.DataFrame) -> pa.Table:
+        v = df["value"].to_numpy()
+        b = np.minimum(np.floor((v - lo) / w).astype(np.int64), _HIST_BINS - 1) \
+            if w > 0 else np.zeros(len(v), np.int64)
+        bc = np.bincount(b, minlength=_HIST_BINS)
+        nz = np.nonzero(bc)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(bc[nz].astype(np.int64))})
+
+    total = np.zeros(_HIST_BINS, np.int64)
+    for r in ds.map_batches(
+        hist, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        total[int(r["bin"])] += int(r["n"])
+    nz = np.nonzero(total)[0]
+    return pd.DataFrame({"bin": nz.astype(np.int64), "n": total[nz]})
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT LEAST(CAST(floor((value - b.lo) / ((b.hi - b.lo) / {_HIST_BINS})) AS BIGINT),
+             {_HIST_BINS - 1}) AS bin,
+       count(*) AS n
+FROM events, b
+GROUP BY bin
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1719,4 +1862,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "event_trail": (q_event_trail, SQL_EVENT_TRAIL),
     "cc_label_clusters": (q_cc_label_clusters, SQL_CC_LABEL_CLUSTERS),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "word_count": (q_word_count, SQL_WORD_COUNT),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
 }
