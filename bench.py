@@ -161,11 +161,14 @@ def main() -> None:
     # batch 8 balances per-task overhead against fetch-latency overlap on
     # the mock-latency workload (round-2 sweep: 6/8/12/16 → 167/197/171/141 p/s)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--scale-levels", default="4,16",
+                    help="comma-separated num_cpus pair for --scaling (N,4N)")
     args = ap.parse_args()
 
     if args.scaling:
+        levels = tuple(int(x) for x in args.scale_levels.split(","))
         results = {}
-        for cpus in (4, 16):
+        for cpus in levels:
             cmd = [
                 sys.executable, __file__, "--crawl-only",
                 "--cpus", str(cpus),
@@ -178,7 +181,7 @@ def main() -> None:
         lo, hi = sorted(results)
         r_lo = results[lo]["crawl"]["pages_per_sec"]
         r_hi = results[hi]["crawl"]["pages_per_sec"]
-        eff = r_hi / (4.0 * r_lo)
+        eff = r_hi / ((hi / lo) * r_lo)
         print(json.dumps({
             "metric": f"crawl scaling: pages fetched+parsed/sec at num_cpus={lo} vs {hi} "
                       "(N vs 4N stand-in, fresh processes, same input)",
