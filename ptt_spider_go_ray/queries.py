@@ -1825,6 +1825,149 @@ GROUP BY bin
 """
 
 # ---------------------------------------------------------------------------
+# Q: argmax per group (max_by / top-1 window) — per-batch partial keeps one
+# best row per group, the final pick runs over ≤ groups × batches tiny rows.
+# Deterministic tie-break (value DESC, event_id DESC) on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_argmax_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, False])
+        return df.groupby("event_type", sort=False).head(1)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        return _arrow_out(best(df))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("event_type")
+        .map_groups(
+            lambda g: best(g).rename(
+                columns={"event_id": "best_event_id", "value": "best_value"}
+            )[["event_type", "best_event_id", "best_value"]],
+            batch_format="pandas",
+        )
+    )
+
+
+SQL_ARGMAX_PER_TYPE = """
+SELECT event_type, event_id AS best_event_id, value AS best_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id DESC) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: ROLLUP grouping sets — base aggregate computed distributed (per-batch
+# combiner + groupby Sum); the two coarser levels re-aggregate the tiny base
+# result (|status| × |priority| rows) on the driver.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_rollup(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).size()
+        return _arrow_out(g.rename(columns={"size": "n"}).astype({"n": "int64"}))
+
+    base = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()  # aggregate-after-map scheduling barrier
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lvl1 = base.groupby("o_orderstatus", as_index=False)["n"].sum()
+    lvl1["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"], "n": [base["n"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    return out[["o_orderstatus", "o_orderpriority", "n"]].astype({"n": "int64"})
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: grouped Pearson correlation via distributed EXACT integer moments —
+# per-batch int64 partial sums (x, y, x², y², xy of rounded integer
+# quantity/price), driver-merged in arbitrary-precision Python ints, final
+# float math mirrored expression-for-expression in SQL (HUGEINT → DOUBLE)
+# so both engines round the same doubles.
+# ---------------------------------------------------------------------------
+
+
+def q_corr_qty_price(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        x = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+        y = np.rint(df["l_extendedprice"].to_numpy()).astype(np.int64)
+        m = pd.DataFrame(
+            {"flag": df["l_returnflag"], "n": 1, "sx": x, "sy": y,
+             "sxx": x * x, "syy": y * y, "sxy": x * y}
+        ).groupby("flag", as_index=False).sum()
+        return _arrow_out(m.astype({c: "int64" for c in m.columns if c != "flag"}))
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        moments, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["flag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            a[i] += int(r[k])  # Python ints: exact at any scale
+    flags = sorted(acc)
+    corr = []
+    for f in flags:
+        n, sx, sy, sxx, syy, sxy = acc[f]
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = math.sqrt(
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        )
+        corr.append(int(np.rint(num / den * 1_000_000)))
+    return pd.DataFrame(
+        {"flag": flags, "n": np.array([acc[f][0] for f in flags], np.int64),
+         "corr_e6": np.array(corr, np.int64)}
+    )
+
+
+SQL_CORR_QTY_PRICE = """
+WITH m AS (
+  SELECT l_returnflag AS flag, count(*) AS n,
+         sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS HUGEINT)) AS sy,
+         sum(CAST(round(l_quantity) AS HUGEINT) * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice) AS HUGEINT) * CAST(round(l_extendedprice) AS HUGEINT)) AS syy,
+         sum(CAST(round(l_quantity) AS HUGEINT) * CAST(round(l_extendedprice) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1000000) AS BIGINT) AS corr_e6
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1865,4 +2008,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "word_count": (q_word_count, SQL_WORD_COUNT),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "argmax_per_type": (q_argmax_per_type, SQL_ARGMAX_PER_TYPE),
+    "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
+    "corr_qty_price": (q_corr_qty_price, SQL_CORR_QTY_PRICE),
 }
