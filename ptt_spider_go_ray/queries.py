@@ -1968,6 +1968,84 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# Q: JSON property extraction + grouped aggregate — the semi-structured
+# column path (events.props is a JSON string). Extraction is one vectorized
+# regexp on both engines (identical RE2-compatible pattern), then the usual
+# combiner + groupby Sum/Max.
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_agg(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        k = (
+            df["props"].fillna("").str.extract(r'"k": ([0-9]+)', expand=False)
+            .fillna("0").astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "k": k})
+            .groupby("event_type", as_index=False)
+            .agg(sum_k=("k", "sum"), max_k=("k", "max"), n=("k", "size"))
+        )
+        return _arrow_out(g.astype({"sum_k": "int64", "max_k": "int64", "n": "int64"}))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()  # aggregate-after-map scheduling barrier
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Max("max_k", alias_name="max_k"),
+                   Sum("n", alias_name="n"))
+    )
+
+
+SQL_JSON_EXTRACT_AGG = """
+SELECT event_type,
+       CAST(sum(CAST(COALESCE(NULLIF(regexp_extract(COALESCE(props, ''), '"k": ([0-9]+)', 1), ''), '0') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(COALESCE(NULLIF(regexp_extract(COALESCE(props, ''), '"k": ([0-9]+)', 1), ''), '0') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: stratified deterministic sampling — per-stratum keep rates applied with
+# the same Knuth hash as q_hash_sample (stable across runs/workers; a
+# training-data pipeline downsamples dominant classes this way).
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"click": 0.30, "purchase": 0.10}  # others: 2%
+_STRATA_DEFAULT = 0.02
+
+
+def q_stratified_sample(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    thr = {
+        k: int(_SAMPLE_MOD * v) for k, v in _STRATA_RATES.items()
+    }
+    default_thr = int(_SAMPLE_MOD * _STRATA_DEFAULT)
+
+    def samp(df: pd.DataFrame) -> pa.Table:
+        eid = df["event_id"].to_numpy().astype(np.uint64)
+        h = ((eid % _SAMPLE_MOD) * _SAMPLE_MULT) % _SAMPLE_MOD
+        cut = df["event_type"].map(thr).fillna(default_thr).to_numpy(np.uint64)
+        return _arrow_out(df[h < cut])
+
+    return ds.map_batches(samp, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT event_id, event_type, value FROM events
+WHERE (CAST(event_id % {_SAMPLE_MOD} AS HUGEINT) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}
+      < CASE event_type
+          WHEN 'click' THEN {int(_SAMPLE_MOD * 0.30)}
+          WHEN 'purchase' THEN {int(_SAMPLE_MOD * 0.10)}
+          ELSE {int(_SAMPLE_MOD * 0.02)}
+        END
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2011,4 +2089,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "argmax_per_type": (q_argmax_per_type, SQL_ARGMAX_PER_TYPE),
     "orders_rollup": (q_orders_rollup, SQL_ORDERS_ROLLUP),
     "corr_qty_price": (q_corr_qty_price, SQL_CORR_QTY_PRICE),
+    "json_extract_agg": (q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

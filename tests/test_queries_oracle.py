@@ -65,3 +65,44 @@ def test_query_matches_oracle(name, ray_session):
         pd.testing.assert_series_equal(
             got[col], want[col], check_names=False, obj=f"{name}.{col}"
         )
+
+
+def test_percentiles_degenerate_groups(ray_session, tmp_path):
+    """Constant-value group (bin width 0) and single-row group must survive
+    the distributed two-pass selection and match DuckDB exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_PERCENTILES, q_percentiles
+
+    rng = np.random.default_rng(3)
+    et = ["const"] * 50 + ["single"] + ["normal"] * 200
+    vals = [7.25] * 50 + [42.0] + list(np.round(rng.uniform(0, 100, 200), 2))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(et)), pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = canon(to_pandas(q_percentiles(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = canon(con.sql(SQL_PERCENTILES).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_value_histogram_constant_column(ray_session, tmp_path):
+    """All-equal values (bin width 0) land in bin 0 on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import q_value_histogram
+
+    tbl = pa.table({"value": pa.array([5.5] * 100, pa.float64())})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = to_pandas(q_value_histogram(str(tmp_path)))
+    assert got["bin"].tolist() == [0] and got["n"].tolist() == [100]
