@@ -72,10 +72,9 @@ def main(argv=None) -> int:
 
     from .pipelines.crawl import run_crawl
 
-    file_lines = None
-    if args.file_url:
-        with open(args.file_url) as f:
-            file_lines = f.readlines()
+    # file mode streams the seed file via ray.data.read_text (bounded driver
+    # memory for arbitrarily large seed lists)
+    file_path = args.file_url or ""
 
     if args.mock:
         factory = mock_transport
@@ -126,7 +125,7 @@ def main(argv=None) -> int:
         board=args.board,
         pages=args.pages,
         push_threshold=args.push,
-        file_lines=file_lines,
+        file_path=file_path,
         out_dir=args.out,
         resume=args.resume,
         fetch_media=not args.no_media,

@@ -177,10 +177,11 @@ def seed_rows_boards(transport, boards: list[str], pages: int) -> list[dict]:
     return seeds
 
 
-def seed_rows_file(lines: list[str], board: str = "beauty") -> list[dict]:
+def seed_rows_file(lines: list[str], board: str = "beauty",
+                   seq_offset: int = 0) -> list[dict]:
     """S2: file-mode seeds; prefix filter, push_rate=0, article priority."""
     out = []
-    i = 0
+    i = seq_offset
     for line in lines:
         if not is_seed_line(line):
             continue
@@ -189,6 +190,28 @@ def seed_rows_file(lines: list[str], board: str = "beauty") -> list[dict]:
         )
         i += 1
     return out
+
+
+def stream_seed_file(shards, path: str, board: str, n_shards: int,
+                     chunk_rows: int = 65536) -> int:
+    """S2 at 10^10-frontier scale: stream a (possibly huge) seed-URL file
+    through ``ray.data.read_text`` and offer it to the shards one bounded
+    chunk at a time — the driver never holds the whole seed list, only one
+    chunk of frontier rows. Line order is preserved (read_text blocks +
+    iter_batches are ordered), so seq numbering — and therefore crawl
+    ordering — is identical to the in-memory ``seed_rows_file`` path.
+    Returns the number of seeds offered."""
+    import ray.data
+
+    ds = ray.data.read_text(path)
+    seq = 0
+    for batch in ds.iter_batches(batch_size=chunk_rows, batch_format="pyarrow"):
+        lines = batch[batch.column_names[0]].to_pylist()
+        rows = seed_rows_file(lines, board, seq_offset=seq)
+        seq += len(rows)
+        if rows:
+            _offer_sorted(shards, rows, n_shards)
+    return seq
 
 
 def _offer_sorted(shards, rows: list[dict], n_shards: int) -> None:
@@ -243,6 +266,7 @@ def run_crawl(
     pages: int = 2,
     push_threshold: int = 0,
     file_lines: list[str] | None = None,
+    file_path: str = "",
     out_dir: str = "",
     resume: bool = False,
     max_rounds: int | None = None,
@@ -269,6 +293,11 @@ def run_crawl(
     checkpoint parquet, so the production default keeps driver memory
     O(round) — pass ``retain_ledger=True`` for ordering-equality tests.
 
+    ``file_lines`` vs ``file_path``: both select file mode (S2);
+    ``file_path`` streams the seed file via ``ray.data.read_text`` in
+    bounded chunks (identical seq numbering / crawl ordering), for seed
+    lists too large to hold on the driver.
+
     Resume contract: pass the SAME mode arguments (board/file_lines,
     push_threshold, fetch_media, transport) as the original run — the
     checkpoint stores frontier state, not job parameters."""
@@ -280,7 +309,7 @@ def run_crawl(
     cc = cfg.crawler
     n_shards = cc.frontier_shards
     ckpt_dir = cc.checkpoint_dir
-    file_mode = file_lines is not None
+    file_mode = file_lines is not None or bool(file_path)
 
     t_setup = _time.time()
     # num_cpus=0: shards are lightweight bookkeeping actors; they must never
@@ -318,7 +347,9 @@ def run_crawl(
             raise ValueError("resume=True requires cfg.crawler.checkpoint_dir")
         epoch, ledger, dispatched = _restore(shards, ckpt_dir, retain)
     else:
-        if file_mode:
+        if file_path:
+            seeds = None  # streamed below, chunk by bounded chunk
+        elif file_mode:
             seeds = seed_rows_file(file_lines, board or "beauty")
         else:
             boards = [b.strip() for b in board.split(",") if b.strip()]
@@ -330,6 +361,10 @@ def run_crawl(
     # stages skip their own per-actor robots cache.
     if seeds_to_offer is not None:
         _offer_sorted(shards, seeds_to_offer, n_shards)
+    elif not resume and file_path:
+        # huge-seed-file mode: ray.data.read_text streams the file; the
+        # driver holds one chunk of frontier rows at a time (S2 at scale)
+        stream_seed_file(shards, file_path, board or "beauty", n_shards)
 
     parse_stage = ParseStage(
         push_threshold=0 if file_mode else push_threshold,

@@ -386,3 +386,35 @@ def test_duplicate_board_in_seed_list_deduped(ray_session):
     assert res.seen_set == single.seen_set
     urls = [u for _, _, u in res.ledger]
     assert len(urls) == len(set(urls))
+
+
+def test_file_path_streaming_equals_file_lines(ray_session, tmp_path):
+    """file_path (ray.data.read_text streaming seeds — bounded driver
+    memory) must produce the exact same ledger/seen-set/docs as the
+    in-memory file_lines path."""
+    site = SyntheticSite(SPEC)
+    lines = [
+        "  " + site.article_url("Beauty", 2, 2) + "  ",
+        "# comment",
+        site.article_url("Joke", 1, 3),
+        site.article_url("Beauty", 3, 1),
+        "https://other.host/bbs/Beauty/x.html",
+    ]
+    seed_file = tmp_path / "seeds.txt"
+    seed_file.write_text("\n".join(lines) + "\n")
+    factory = functools.partial(make_transport, SPEC)
+
+    via_lines = run_crawl(
+        cfg_small(), transport_factory=factory, file_lines=lines, board="beauty"
+    )
+    via_path = run_crawl(
+        cfg_small(), transport_factory=factory, file_path=str(seed_file),
+        board="beauty",
+    )
+    assert via_path.ledger == via_lines.ledger
+    assert via_path.seen_set == via_lines.seen_set
+    got_l = {r["doc_id"]: r for r in via_lines.docs.to_pylist()}
+    got_p = {r["doc_id"]: r for r in via_path.docs.to_pylist()}
+    assert got_p.keys() == got_l.keys()
+    for k in got_l:
+        assert got_p[k]["spans"] == got_l[k]["spans"]
