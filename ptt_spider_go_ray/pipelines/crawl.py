@@ -228,9 +228,9 @@ def _take_global(shards, n: int, n_shards: int) -> pa.Table:
     """Global (priority, seq) merge over ARROW tables: each shard yields its
     n smallest as a table, the driver vector-sorts the concatenation, keeps
     the global n, and pushes each shard's leftovers back to the SAME shard
-    (provenance column — no re-routing, no per-row Python). Note: politeness
-    tokens consumed by pushed-back rows are not refunded — the error is in
-    the MORE-polite direction, bounded by one round's overshoot."""
+    (provenance column — no re-routing, no per-row Python). Politeness
+    tokens consumed by pushed-back rows are refunded by the shard (the
+    requests were never made)."""
     import ray
 
     taken = ray.get([s.take_arrow.remote(n) for s in shards])

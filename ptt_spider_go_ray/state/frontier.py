@@ -272,9 +272,12 @@ class FrontierShard:
 
     def push_back(self, rows: list[dict]) -> None:
         """Re-enqueue rows the driver pulled but did not dispatch (global
-        merge leftovers). No seen-set check — they are already seen."""
+        merge leftovers). No seen-set check — they are already seen. The
+        politeness tokens their take() consumed are refunded: the requests
+        were never made."""
         for row in rows:
             heapq.heappush(self.heap, (row["priority"], row["seq"], row))
+            self.politeness.refund(row["host"], 1)
         self.metrics["pushed_back"] += len(rows)
         self._maybe_spill()
 

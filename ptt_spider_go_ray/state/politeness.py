@@ -80,6 +80,16 @@ class HostPoliteness:
             granted += 1
         return granted
 
+    def refund(self, host: str, n: int = 1) -> None:
+        """Return tokens consumed for requests that were not actually made
+        (e.g. rows a global merge pushed back to the queue). No-op when
+        limiting is disabled or the host has no bucket yet."""
+        if self.rate <= 0:
+            return
+        b = self._buckets.get(host)
+        if b is not None:
+            b.tokens = min(b.burst, b.tokens + n)
+
     @classmethod
     def from_delay_range(cls, min_ms: int, max_ms: int, workers: int, clock=time.monotonic):
         """Map the reference's delay config onto an equivalent aggregate rate:

@@ -362,3 +362,24 @@ def test_robots_rfc_group_precedence():
     # equal-length Allow/Disallow tie → Allow wins (RFC 9309)
     tie = RobotsRules.parse("User-agent: *\nDisallow: /p\nAllow: /p\n")
     assert tie.allowed("/p/q")
+
+
+def test_push_back_refunds_politeness_tokens():
+    """Leftover rows from a global merge return their take() tokens — the
+    next take() can dispatch them immediately instead of waiting a refill."""
+    clock = [0.0]
+    s = FrontierShard(0, politeness_rate=2.0, clock=lambda: clock[0])
+    rows = [
+        frontier_row(f"https://www.ptt.cc/bbs/B/M.{i}.html", "article", 1, i, 1)
+        for i in range(4)
+    ]
+    s.offer(rows)
+    # burst = max(1, rate) = 2 → take(4) grants 2, defers 2
+    got = s.take(4)
+    assert len(got) == 2
+    # push both back: tokens refunded, so an immediate take (no time passes)
+    # grants 2 again; without the refund it would grant 0
+    s.push_back(got)
+    again = s.take(4)
+    assert len(again) == 2
+    assert [r["seq"] for r in again] == [0, 1]
