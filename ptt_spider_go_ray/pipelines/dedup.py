@@ -493,7 +493,8 @@ def bucket_join_labels(left, key_col: str, labels, n_buckets: int,
 
 
 def connected_components(edges, max_iter: int = 25,
-                         broadcast_node_limit: int = BROADCAST_NODE_LIMIT):
+                         broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+                         driver_local_edge_limit: int = 200_000):
     """Min-label connected components over an edge Dataset (``doc_a``,
     ``doc_b`` int64) by iterative label propagation: each round broadcasts
     the compact node→label map (``ray.put``), computes neighbor messages in
@@ -511,6 +512,13 @@ def connected_components(edges, max_iter: int = 25,
     per round, but nothing ever holds the whole node set. (A pure native
     shuffle-join formulation is blocked by Ray 2.49's hash join producing
     schema-less tables for key-empty partitions.)
+
+    Three tiers by graph size: edges ≤ ``driver_local_edge_limit`` → pull
+    once, exact local union-find (zero per-round Dataset executions — the
+    normal dedup case, where dup pairs are minuscule next to the corpus);
+    nodes ≤ ``broadcast_node_limit`` → the broadcast label-prop rounds
+    below; above that → ``_cc_distributed``. All three produce identical
+    labels (pytest-pinned against the same union-find oracle).
 
     Returns Dataset[(node, cluster)] with cluster = min doc_id reachable."""
     import ray
@@ -537,6 +545,44 @@ def connected_components(edges, max_iter: int = 25,
         return pa.table(
             {"node": pc.cast(t["node"], pa.int64()),
              "cluster": pc.cast(t["cluster"], pa.int64())}
+        )
+
+    # Tiny-graph fast tier FIRST (edge count is parquet/plan metadata — no
+    # extra execution): dup-pair edge sets are usually minuscule next to the
+    # corpus (hundreds of rows at bench scale). Below this bound, pull the
+    # edges ONCE and solve with exact local union-find — identical labels,
+    # and neither the initial label groupby nor any per-round Dataset
+    # execution runs (each costs ~1s of fixed scheduling overhead). The
+    # label-prop loop below covers the middle tier; _cc_distributed covers
+    # the adversarial top.
+    n_edges = edges.count()
+    # (2·edges bounds the node count, so the local tier can never swallow a
+    # graph the broadcast guard would have routed to _cc_distributed)
+    if n_edges <= driver_local_edge_limit and 2 * n_edges <= broadcast_node_limit:
+        from ..util import pull_arrow_blocks
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for t in pull_arrow_blocks(edges):
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        nodes = np.array(sorted(parent), dtype=np.int64)
+        clusters = np.array([find(int(n)) for n in nodes], dtype=np.int64)
+        tbl = pa.table({"node": pa.array(nodes), "cluster": pa.array(clusters)})
+        bs = max(1, len(nodes) // 8) if len(nodes) else 1
+        return ray.data.from_arrow(
+            [tbl.slice(i, bs) for i in range(0, max(tbl.num_rows, 1), bs)]
+            if tbl.num_rows
+            else [cc_schema.empty_table()]
         )
 
     labels = (

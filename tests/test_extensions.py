@@ -540,13 +540,20 @@ def test_cc_distributed_path_matches_union_find(ray_session):
             "doc_b": pa.array([b for _, b in edges], pa.int64()),
         }
     )
-    comp = connected_components(
-        ray.data.from_arrow(tbl), broadcast_node_limit=0
-    ).to_pandas()
-    got = dict(zip(comp["node"].astype(int), comp["cluster"].astype(int)))
     oracle = _union_find_oracle(edges)
-    assert set(got) == set(oracle)
+    ds = ray.data.from_arrow(tbl)
+    # tier 3: fully distributed bucketed-join propagation
+    comp = connected_components(ds, broadcast_node_limit=0).to_pandas()
+    got = dict(zip(comp["node"].astype(int), comp["cluster"].astype(int)))
     assert got == oracle
+    # tier 2: broadcast label-prop rounds (driver-local fast tier disabled)
+    comp2 = connected_components(ds, driver_local_edge_limit=0).to_pandas()
+    got2 = dict(zip(comp2["node"].astype(int), comp2["cluster"].astype(int)))
+    assert got2 == oracle
+    # tier 1: driver-local union-find (the default for tiny edge sets)
+    comp1 = connected_components(ds).to_pandas()
+    got1 = dict(zip(comp1["node"].astype(int), comp1["cluster"].astype(int)))
+    assert got1 == oracle
 
 
 def test_dedup_clusters_distributed_assignment(ray_session, dup_docs_dir):
