@@ -679,9 +679,14 @@ def q_active_users(sf_dir: str):
             g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"})
         )
 
-    agg = ds.map_batches(
-        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).groupby("user_id").aggregate(Sum("n_events", alias_name="n_events"))
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        # barrier: sort-based Aggregate chained onto a large-batch map stage
+        # schedules pathologically on this Ray version (boundary sampler)
+        .materialize()
+        .groupby("user_id")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t["n_events"], pa.scalar(5))),
         batch_format="pyarrow",

@@ -418,3 +418,28 @@ def test_file_path_streaming_equals_file_lines(ray_session, tmp_path):
     assert got_p.keys() == got_l.keys()
     for k in got_l:
         assert got_p[k]["spans"] == got_l[k]["spans"]
+
+
+def test_stream_seed_file_multi_chunk_ordering(ray_session, tmp_path):
+    """Chunked streaming (chunk_rows smaller than the file) must preserve
+    global seq order across chunk boundaries."""
+    import ray
+
+    from ptt_spider_go_ray.pipelines.crawl import stream_seed_file
+    from ptt_spider_go_ray.state.frontier import FrontierShard
+
+    site = SyntheticSite(SPEC)
+    urls = [site.article_url("Beauty", p, i) for p in (1, 2, 3) for i in range(4)]
+    seed_file = tmp_path / "seeds.txt"
+    seed_file.write_text("\n".join(urls) + "\n")
+
+    RemoteShard = ray.remote(num_cpus=0)(FrontierShard)
+    shards = [RemoteShard.remote(i) for i in range(4)]
+    n = stream_seed_file(shards, str(seed_file), "beauty", 4, chunk_rows=3)
+    assert n == len(urls)
+    taken = ray.get([s.take.remote(100) for s in shards])
+    rows = sorted((r for lst in taken for r in lst), key=lambda r: r["seq"])
+    assert [r["url"] for r in rows] == urls
+    assert [r["seq"] for r in rows] == list(range(len(urls)))
+    for s in shards:
+        ray.kill(s)
