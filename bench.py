@@ -167,6 +167,9 @@ def main() -> None:
 
     if args.scaling:
         levels = tuple(int(x) for x in args.scale_levels.split(","))
+        if len(levels) != 2 or levels[0] == levels[1]:
+            ap.error("--scale-levels needs exactly two distinct num_cpus "
+                     f"values, got {args.scale_levels!r}")
         results = {}
         for cpus in levels:
             cmd = [

@@ -95,15 +95,23 @@ class LiveStatus:
     rewrites the block in place with cursor-up + erase-line codes.
 
     Feed it the per-round dicts from ``run_crawl(progress=...)``; call
-    ``finish(msg)`` to drop below the block and leave it on screen."""
+    ``finish(msg)`` to drop below the block and leave it on screen.
 
-    def __init__(self, stream=None, max_shard_rows: int = 8, tail: int = 5):
+    Known limit: other PROCESSES (e.g. raylet warnings) writing to the same
+    fd between updates shift the cursor and smear one repaint — there is no
+    Python-level hook to detect that. The block re-homes (fresh print, no
+    cursor-up) every ``rehome_every`` updates so any smear self-heals."""
+
+    def __init__(self, stream=None, max_shard_rows: int = 8, tail: int = 5,
+                 rehome_every: int = 20):
         import collections
 
         self.stream = stream or sys.stderr
         self.max_shard_rows = max_shard_rows
         self._tail = collections.deque(maxlen=tail)
         self._last_lines = 0
+        self._n_updates = 0
+        self.rehome_every = max(1, rehome_every)
         self._t0 = time.monotonic()
         self._mu = threading.Lock()
 
@@ -146,6 +154,11 @@ class LiveStatus:
     def update(self, p: dict) -> None:
         with self._mu:
             lines = self._render(p)
+            self._n_updates += 1
+            if self._n_updates % self.rehome_every == 0:
+                # periodic re-home: abandon the old block (cursor math may
+                # have been desynced by external writers) and print fresh
+                self._last_lines = 0
             out = []
             if self._last_lines:
                 # cursor to the start of the previous block, then rewrite

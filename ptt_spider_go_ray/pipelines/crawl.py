@@ -346,7 +346,19 @@ def run_crawl(
         if not ckpt_dir:
             raise ValueError("resume=True requires cfg.crawler.checkpoint_dir")
         epoch, ledger, dispatched = _restore(shards, ckpt_dir, retain)
+        if out_dir:
+            # The crashed attempt may have written output for rounds at or
+            # past the restored epoch; the rerun can drain the frontier in
+            # FEWER rounds (politeness timing packs URLs differently), so
+            # per-round clearing alone would leave those stale partitions to
+            # duplicate rows on read. Clear every round >= epoch up front.
+            _clear_stale_rounds(out_dir, epoch)
     else:
+        if out_dir:
+            # fresh run into a reused out_dir: a previous run with MORE
+            # rounds would leave high round=k partitions that per-round
+            # clearing never reaches
+            _clear_stale_rounds(out_dir, 0)
         if file_path:
             seeds = None  # streamed below, chunk by bounded chunk
         elif file_mode:
@@ -530,6 +542,7 @@ def run_crawl(
                         o["media"].num_rows for o in outs if o["media"] is not None
                     ),
                     "fetch_errors": sum(o["n_err"] for o in outs),
+                    "discovered": sum(o["n_cand"] for o in outs),
                     "pending": sum(sizes),
                     "dup_rate": round(
                         sum(m["duplicates"] for m in sm) / offered, 4
@@ -635,6 +648,20 @@ def _checkpoint(shards, ckpt_dir: str, epoch: int, ledger_delta: list[tuple]) ->
         m = _re.search(r"shards_epoch(\d+)\.parquet$", p)
         if m and int(m.group(1)) < epoch:
             os.remove(p)
+
+
+def _clear_stale_rounds(out_dir: str, epoch: int) -> None:
+    """Remove docs/media round partitions written at or past ``epoch`` by a
+    crashed attempt (resume re-executes from ``epoch``; see call site)."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+
+    for name in ("docs", "media"):
+        for p in _glob.glob(os.path.join(out_dir, name, "round=*")):
+            m = _re.search(r"round=(\d+)$", p)
+            if m and int(m.group(1)) >= epoch:
+                _shutil.rmtree(p, ignore_errors=True)
 
 
 def _restore(shards, ckpt_dir: str, retain: bool) -> tuple[int, list[tuple], int]:

@@ -428,9 +428,11 @@ def _cc_distributed(edges, labels, cc_schema, max_iter: int, n_buckets: int):
         )
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         s = labels.sum("cluster") or 0
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
         tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
@@ -442,6 +444,16 @@ def _cc_distributed(edges, labels, cc_schema, max_iter: int, n_buckets: int):
             .aggregate(Min("cluster", alias_name="cluster"))
             .map_batches(as_arrow, batch_format="pyarrow")
             .materialize()
+        )
+    # This tier propagates ONE hop per round (no local pointer jumping — the
+    # node set is by definition too big to pull), so a component whose
+    # diameter exceeds max_iter would silently come back split. Never return
+    # wrong labels: verify the monotone witness actually reached fixpoint.
+    if not converged and (labels.sum("cluster") or 0) != prev_sum:
+        raise RuntimeError(
+            f"connected_components: distributed label propagation did not "
+            f"converge within max_iter={max_iter} rounds (graph diameter too "
+            f"large); re-run with a higher max_iter"
         )
     return labels
 

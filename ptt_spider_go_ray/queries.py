@@ -499,7 +499,7 @@ def q_sessionize(sf_dir: str):
     def tag(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return t.append_column(
-            "bucket", pa.array((keys % n_buckets).astype(np.int64))
+            "bucket", pa.array(_bucket_of(keys, n_buckets))
         )
 
     gap_us = 30 * 60 * 1_000_000
@@ -716,7 +716,7 @@ def q_top3_per_user(sf_dir: str):
                             ascending=[True, False, True])
         df = df[df.groupby("user_id", sort=False).cumcount() < 3]
         keys = df["user_id"].to_numpy()
-        return _arrow_out(df.assign(bucket=(keys % n_buckets).astype(np.int64)))
+        return _arrow_out(df.assign(bucket=_bucket_of(keys, n_buckets)))
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "value", "event_id"],
@@ -805,6 +805,15 @@ def _key_buckets(*counts: int, floor: int = 64) -> int:
     return max(floor, -(-sum(counts) // _TARGET_BUCKET_ROWS))
 
 
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """THE bucketing rule for every key-bucketed operator (sessionize,
+    running totals, sliding/range/as-of joins, trails, top-k). One shared
+    definition: both sides of a bucketed join and every engine/SQL pair
+    must agree on it, so changing it in one copy would silently split
+    co-located keys."""
+    return (keys % n_buckets).astype(np.int64)
+
+
 def q_asof_join(sf_dir: str):
     import ray.data
 
@@ -817,7 +826,7 @@ def q_asof_join(sf_dir: str):
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "key": t["user_id"],
                 "side": pa.array(["e"] * t.num_rows),
                 "event_id": t["event_id"],
@@ -846,7 +855,7 @@ def q_asof_join(sf_dir: str):
         keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "side": pa.array(["o"] * t.num_rows),
                 "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
@@ -1105,7 +1114,7 @@ def q_range_join(sf_dir: str):
         keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "side": pa.array(["o"] * t.num_rows),
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "id": pc.cast(t["o_orderkey"], pa.int64()),
@@ -1119,7 +1128,7 @@ def q_range_join(sf_dir: str):
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "side": pa.array(["e"] * t.num_rows),
                 "key": pc.cast(t["user_id"], pa.int64()),
                 "id": pc.cast(t["event_id"], pa.int64()),
@@ -1201,7 +1210,7 @@ def q_sliding_window(sf_dir: str):
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array((keys % n_buckets).astype(np.int64)),
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
                 "event_id": t["event_id"],
                 "user_id": t["user_id"],
                 "ts": pc.cast(t["ts"], pa.timestamp("us")),
@@ -1503,7 +1512,7 @@ def q_event_trail(sf_dir: str):
         df = df.sort_values(["user_id", "ts", "event_id"])
         df = df[df.groupby("user_id", sort=False).cumcount() < 5]
         keys = df["user_id"].to_numpy()
-        return _arrow_out(df.assign(bucket=(keys % n_buckets).astype(np.int64)))
+        return _arrow_out(df.assign(bucket=_bucket_of(keys, n_buckets)))
 
     def trail(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -1748,7 +1757,7 @@ def q_running_total(sf_dir: str):
     def tag(t: pa.Table) -> pa.Table:
         keys = t["user_id"].to_numpy(zero_copy_only=False)
         return t.append_column(
-            "bucket", pa.array((keys % n_buckets).astype(np.int64))
+            "bucket", pa.array(_bucket_of(keys, n_buckets))
         )
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
@@ -1822,8 +1831,9 @@ def q_value_histogram(sf_dir: str):
 
 SQL_VALUE_HISTOGRAM = f"""
 WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-SELECT LEAST(CAST(floor((value - b.lo) / ((b.hi - b.lo) / {_HIST_BINS})) AS BIGINT),
-             {_HIST_BINS - 1}) AS bin,
+SELECT CASE WHEN b.hi = b.lo THEN 0
+            ELSE LEAST(CAST(floor((value - b.lo) / ((b.hi - b.lo) / {_HIST_BINS})) AS BIGINT),
+                       {_HIST_BINS - 1}) END AS bin,
        count(*) AS n
 FROM events, b
 GROUP BY bin

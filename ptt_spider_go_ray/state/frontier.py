@@ -286,17 +286,22 @@ class FrontierShard:
         per-host politeness budget (rows beyond a host's budget stay queued).
 
         Politeness-stalemate bound: when a spill bound is set, at most
-        ``max(n, max_mem_rows)`` rows are examined per call. Without it, a
+        ``max(n, max_mem_rows)`` rows are DEFERRED per call. Without it, a
         fully rate-limited/cooled host (the normal single-host crawl after a
         429 cooldown) would defer every popped row, the head=None branch of
         ``_maybe_unspill`` would merge every disk segment back, and one
         take() would materialize the entire spilled frontier in ``deferred``
-        — O(frontier) actor memory plus full segment rewrite churn."""
+        — O(frontier) actor memory plus full segment rewrite churn. Capping
+        deferrals (not total rows examined) means admissible hosts behind
+        many deferred rows still dispatch; the residual case — a cooled
+        host with > cap rows at the (priority, seq) head shadowing a
+        fetchable host on disk behind them — idles only until the cooldown
+        lapses, the more-polite direction."""
         out: list[dict] = []
         deferred: list[tuple] = []
-        examine_cap = max(n, self.max_mem_rows) if self.max_mem_rows else None
+        defer_cap = max(n, self.max_mem_rows) if self.max_mem_rows else None
         while len(out) < n:
-            if examine_cap is not None and len(out) + len(deferred) >= examine_cap:
+            if defer_cap is not None and len(deferred) >= defer_cap:
                 break
             self._maybe_unspill()
             if not self.heap:
@@ -372,7 +377,10 @@ class FrontierShard:
             for row in tbl.to_pylist():
                 heapq.heappush(self.heap, (row["priority"], row["seq"], row))
         self._maybe_spill()
-        self.metrics = json.loads(state["metrics"])
+        # merge over current defaults: a checkpoint written by an older
+        # version may lack newer counters (e.g. robots_denied) and a bare
+        # replacement would KeyError on the first increment after resume
+        self.metrics = {**self.metrics, **json.loads(state["metrics"])}
         if seen_union is not None and self.seen_urls is not None:
             self.seen_urls = set(seen_union)
             self.seen_delta = set()

@@ -443,3 +443,21 @@ def test_stream_seed_file_multi_chunk_ordering(ray_session, tmp_path):
     assert [r["seq"] for r in rows] == list(range(len(urls)))
     for s in shards:
         ray.kill(s)
+
+
+def test_clear_stale_rounds_unit(tmp_path):
+    """Resume deletes crashed-attempt partitions at/past the restored epoch
+    (the rerun may drain the frontier in fewer rounds and never re-reach
+    them); rounds before the epoch are checkpointed output and must stay."""
+    from ptt_spider_go_ray.pipelines.crawl import _clear_stale_rounds
+
+    for name in ("docs", "media"):
+        for k in range(4, 9):
+            d = tmp_path / name / f"round={k}"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").write_bytes(b"x")
+
+    _clear_stale_rounds(str(tmp_path), 6)
+    for name in ("docs", "media"):
+        kept = sorted(p.name for p in (tmp_path / name).iterdir())
+        assert kept == ["round=4", "round=5"]

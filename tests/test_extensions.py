@@ -556,6 +556,26 @@ def test_cc_distributed_path_matches_union_find(ray_session):
     assert got1 == oracle
 
 
+def test_cc_distributed_raises_on_nonconvergence(ray_session):
+    """The distributed tier advances ONE hop per round; a chain longer than
+    max_iter must raise, never silently return split clusters."""
+    import pytest
+    import ray.data
+
+    from ptt_spider_go_ray.pipelines.dedup import connected_components
+
+    n = 30  # one chain of diameter 29
+    tbl = pa.table(
+        {
+            "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, broadcast_node_limit=0, max_iter=3)
+
+
 def test_dedup_clusters_distributed_assignment(ray_session, dup_docs_dir):
     """The guarded (bucketed-join) assignment path must produce the exact
     same labeling as the broadcast path on the same input."""

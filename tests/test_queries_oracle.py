@@ -100,9 +100,13 @@ def test_value_histogram_constant_column(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ptt_spider_go_ray.queries import q_value_histogram
+    from ptt_spider_go_ray.queries import SQL_VALUE_HISTOGRAM, q_value_histogram
 
     tbl = pa.table({"value": pa.array([5.5] * 100, pa.float64())})
     pq.write_table(tbl, tmp_path / "events.parquet")
     got = to_pandas(q_value_histogram(str(tmp_path)))
     assert got["bin"].tolist() == [0] and got["n"].tolist() == [100]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql(SQL_VALUE_HISTOGRAM).df()
+    assert want["bin"].tolist() == [0] and want["n"].tolist() == [100]
