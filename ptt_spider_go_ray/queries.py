@@ -2061,6 +2061,252 @@ WHERE (CAST(event_id % {_SAMPLE_MOD} AS HUGEINT) * {_SAMPLE_MULT}) % {_SAMPLE_MO
 """
 
 # ---------------------------------------------------------------------------
+# Q: pivot — long→wide conditional counts (day × event_type matrix). The
+# per-batch partial is already wide (one int64 column per type), so the
+# shuffle is a tiny groupby over ≤ distinct-days keys; column set is the
+# table's documented closed enum (no dynamic-schema shuffle at scale).
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        day = df["ts"].dt.floor("D")
+        ct = (
+            pd.crosstab(day, df["event_type"])
+            .reindex(columns=_PIVOT_TYPES, fill_value=0)
+            .reset_index()
+        )
+        cols = {"day": pa.array(ct["ts"].astype("datetime64[us]"))}
+        for et in _PIVOT_TYPES:
+            cols[et] = pa.array(ct[et].to_numpy(np.int64))
+        return pa.table(cols)
+
+    agg = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).groupby("day").aggregate(
+        *[Sum(et, alias_name=et) for et in _PIVOT_TYPES]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        # restore timestamp[us] (hash aggregate downcasts the key via numpy)
+        i = t.schema.get_field_index("day")
+        t = t.set_column(i, "day", t["day"].cast(pa.timestamp("us")))
+        for et in _PIVOT_TYPES:
+            j = t.schema.get_field_index(et)
+            t = t.set_column(j, et, t[et].cast(pa.int64()))
+        return t
+
+    return agg.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_PIVOT_DAILY = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: gaps-and-islands — merge each user's events into activity islands
+# (consecutive gaps ≤ 30 min), report island count / longest island span /
+# event total per user. Bucket-parallel like sessionize: ONE Python callback
+# per hash bucket, everything inside is sorted diffs + C-speed pandas aggs.
+# ---------------------------------------------------------------------------
+
+_ISLAND_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_user_islands(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_isl = np.ones(len(g), dtype=bool)
+        new_isl[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > _ISLAND_GAP_US)
+        isl = np.cumsum(new_isl)  # globally unique within the bucket slice
+        df = pd.DataFrame({"user_id": u, "island": isl, "ts": ts})
+        per = df.groupby(["user_id", "island"], sort=False).agg(
+            lo=("ts", "min"), hi=("ts", "max"), n=("ts", "size")
+        ).reset_index()
+        per["dur"] = per["hi"] - per["lo"]
+        out = per.groupby("user_id", as_index=False, sort=False).agg(
+            n_islands=("island", "size"),
+            max_island_us=("dur", "max"),
+            n_events=("n", "sum"),
+        )
+        return out.astype(
+            {"user_id": np.int64, "n_islands": np.int64,
+             "max_island_us": np.int64, "n_events": np.int64}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+SQL_USER_ISLANDS = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts - prev_ts) > {_ISLAND_GAP_US}
+              THEN 1 ELSE 0 END AS ni
+  FROM o
+), i AS (
+  SELECT user_id, ts,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM s
+), d AS (
+  SELECT user_id, island, epoch_us(max(ts) - min(ts)) AS dur, count(*) AS n
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(dur) AS BIGINT) AS max_island_us,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: heavy hitters — approximate top-k frequent tokens via a mergeable
+# SpaceSaving/Misra-Gries summary (stages/sketch.py): each block ships an
+# O(capacity) summary instead of its key distribution; guaranteed error
+# ≤ n/(capacity+1), EXACT (oracle-hash-matched) while distinct tokens fit
+# the capacity. The scale path for top-k over 100 TB of text, where the
+# word_count groupby's full-vocabulary shuffle becomes the bottleneck.
+# ---------------------------------------------------------------------------
+
+_HH_CAPACITY = 4096
+_HH_K = 10
+
+
+def q_heavy_hitters(sf_dir: str):
+    from .stages.sketch import SpaceSaving
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) \
+            if len(toks) else np.array([], dtype=object)
+        s = SpaceSaving(_HH_CAPACITY)
+        if len(flat):
+            words, counts = np.unique(flat, return_counts=True)
+            s.update_many(words, counts)
+        return s.to_table()
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all()  # ≤ capacity rows per block — summaries, not the vocab
+    # k-way MG merge = keyed-union count sum, then one compress
+    acc = SpaceSaving(_HH_CAPACITY)
+    for r in parts:
+        acc.counts[r["key"]] = acc.counts.get(r["key"], 0) + int(r["n"])
+    acc._compress()
+    top = acc.top(_HH_K)
+    return pd.DataFrame(
+        {"word": [k for k, _ in top],
+         "n": np.array([c for _, c in top], np.int64)}
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS n FROM toks
+GROUP BY word ORDER BY n DESC, word ASC LIMIT {_HH_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: two-hop join rollup — orders ⋈ customer by native hash shuffle (both
+# sides large), then nation names via a broadcast map (25 rows — never worth
+# a shuffle), revenue as exact integer cents. The join-composition pattern:
+# shuffle ONLY where both sides scale, broadcast every small dimension.
+# ---------------------------------------------------------------------------
+
+
+def q_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pylist()
+    name_by_key = {n["n_nationkey"]: n["n_name"] for n in nation}
+    lookup_ref = ray.put(name_by_key)
+
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_e2": pa.array(
+                    np.rint(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = od.join(
+        cust, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "customer"),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def enrich(t: pa.Table, lookup=lookup_ref) -> pa.Table:
+        m = ray.get(lookup) if isinstance(lookup, ray.ObjectRef) else lookup
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([m[int(k)] for k in keys], pa.string()),
+                "price_e2": t["price_e2"],
+            }
+        )
+
+    return joined.map_batches(enrich, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(
+        Sum("price_e2", alias_name="revenue_e2"), Count(alias_name="n_orders")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2106,4 +2352,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "corr_qty_price": (q_corr_qty_price, SQL_CORR_QTY_PRICE),
     "json_extract_agg": (q_json_extract_agg, SQL_JSON_EXTRACT_AGG),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pivot_daily": (q_pivot_daily, SQL_PIVOT_DAILY),
+    "user_islands": (q_user_islands, SQL_USER_ISLANDS),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
 }

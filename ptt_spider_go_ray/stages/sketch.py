@@ -215,3 +215,59 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     for row in parts:
         acc.merge(HLL.from_bytes(row["sketch"]))
     return acc.estimate()
+
+
+class SpaceSaving:
+    """Misra-Gries / SpaceSaving heavy-hitters summary (Metwally et al. 2005;
+    Misra & Gries 1982): at most ``capacity`` counters. Counts are
+    UNDERestimates with error ≤ n_total / (capacity + 1); any key whose true
+    frequency exceeds that bound is guaranteed present. Mergeable (Agarwal et
+    al. 2012): sum counts keyed-union, then decrement all by the (m+1)-th
+    largest and drop ≤0 — errors add across merges, so k-way merge keeps
+    error ≤ n_total / (capacity + 1). When distinct keys ≤ capacity the
+    summary is EXACT (no decrement ever fires) — the small-scale oracle path.
+
+    The 100 TB pattern: one summary per block (vectorized build), summaries
+    merge pairwise — the shuffle moves O(capacity) rows per block, never the
+    key-frequency distribution itself."""
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = capacity
+        self.counts: dict = {}
+
+    def update_many(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Bulk-add exact per-key counts (e.g. one block's np.unique output),
+        then compress back to capacity."""
+        for k, c in zip(keys.tolist(), counts.tolist()):
+            self.counts[k] = self.counts.get(k, 0) + int(c)
+        self._compress()
+
+    def merge(self, other: "SpaceSaving") -> None:
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        self._compress()
+
+    def _compress(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        # decrement by the (capacity+1)-th largest count (MG batch step)
+        d = int(np.partition(vals, -(self.capacity + 1))[-(self.capacity + 1)])
+        self.counts = {k: c - d for k, c in self.counts.items() if c > d}
+
+    def top(self, k: int) -> list[tuple]:
+        """Top-k (count DESC, key ASC) — deterministic tie-break."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def to_table(self) -> pa.Table:
+        items = sorted(self.counts.items())
+        return pa.table(
+            {"key": pa.array([str(k) for k, _ in items], pa.string()),
+             "n": pa.array([c for _, c in items], pa.int64())}
+        )
+
+    @classmethod
+    def from_table(cls, t: pa.Table, capacity: int) -> "SpaceSaving":
+        s = cls(capacity)
+        s.counts = dict(zip(t["key"].to_pylist(), t["n"].to_pylist()))
+        return s

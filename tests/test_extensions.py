@@ -594,3 +594,55 @@ def test_dedup_clusters_distributed_assignment(ray_session, dup_docs_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, guarded)
+
+
+def test_space_saving_error_bound_and_recovery():
+    """MG/SpaceSaving guarantee on an adversarial stream: zipf over a vocab
+    far above capacity — per-key underestimate ≤ n_total/(capacity+1), and
+    every key whose true count exceeds that bound is still present. Also:
+    k-way merge of per-chunk summaries obeys the same bound, and a stream
+    with distinct ≤ capacity is EXACT (the oracle path)."""
+    from collections import Counter
+
+    from ptt_spider_go_ray.stages.sketch import SpaceSaving
+
+    rng = np.random.default_rng(11)
+    stream = rng.zipf(1.3, size=200_000)
+    stream = stream[stream < 50_000]  # vocab ≫ capacity
+    true = Counter(stream.tolist())
+    n_total = len(stream)
+    cap = 256
+    bound = n_total / (cap + 1)
+
+    # single-summary build over chunks (per-block update_many)
+    s = SpaceSaving(cap)
+    for i in range(0, len(stream), 10_000):
+        ch = stream[i:i + 10_000]
+        w, c = np.unique(ch, return_counts=True)
+        s.update_many(w, c)
+    for k, est in s.counts.items():
+        t = true[k]
+        assert est <= t and t - est <= bound + 1e-9, (k, est, t)
+    for k, t in true.items():
+        if t > bound:
+            assert k in s.counts, (k, t, bound)
+
+    # k-way merge of independent chunk summaries: same guarantees
+    merged = SpaceSaving(cap)
+    for i in range(0, len(stream), 20_000):
+        ch = stream[i:i + 20_000]
+        part = SpaceSaving(cap)
+        w, c = np.unique(ch, return_counts=True)
+        part.update_many(w, c)
+        merged.merge(part)
+    k_chunks = -(-len(stream) // 20_000)
+    merge_bound = k_chunks * (20_000 / (cap + 1))  # per-chunk errors add
+    for k, est in merged.counts.items():
+        t = true[k]
+        assert est <= t and t - est <= merge_bound + 1e-9
+
+    # exactness when distinct ≤ capacity
+    small = SpaceSaving(64)
+    w, c = np.unique(stream % 50, return_counts=True)
+    small.update_many(w, c)
+    assert small.counts == dict(zip(w.tolist(), (c.astype(int)).tolist()))
