@@ -2307,6 +2307,118 @@ GROUP BY n_name
 """
 
 # ---------------------------------------------------------------------------
+# Q: TF-IDF top terms per document — the classic text-pipeline ranking op.
+# Pass 1: document frequencies via per-batch distinct-term combiners + a
+# vocabulary-sized groupby (the only shuffle). Pass 2: broadcast the IDF map
+# (ray.put once) and score/rank WITHIN each batch — explode, C-speed groupby
+# count, vectorized idf lookup, stable top-3 — no per-doc Python, no second
+# shuffle. Broadcast bound: O(vocab); past memory, cap the vocabulary with
+# the SpaceSaving summary (q_heavy_hitters) and score only retained terms.
+# Score = tf * (ln((N+1)/(df+1)) + 1), mirrored expression-for-expression —
+# but libm ln differs from DuckDB's by 1 ulp, so the OUTPUT is quantized to
+# integer micro-units on both engines (ranking still uses the raw double;
+# a 1-ulp rank flip needs two distinct (tf, df) pairs within 2^-52 relative
+# — measure-zero for integer tf and a finite vocab).
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata — no scan
+
+    def _explode(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        terms = (
+            np.concatenate([np.array(t, dtype=object) for t in toks])
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        return doc_ids, terms
+
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        doc_ids, terms = _explode(df)
+        if not len(terms):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        # distinct (doc, term) first, then per-batch df counts
+        pairs = pd.DataFrame({"doc_id": doc_ids, "term": terms}).drop_duplicates()
+        words, counts = np.unique(pairs["term"].to_numpy(object), return_counts=True)
+        return pa.table({"term": pa.array(words.astype(str)),
+                         "df": pa.array(counts.astype(np.int64))})
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    idf = {
+        r["term"]: np.log((n_docs + 1) / (int(r["df"]) + 1)) + 1.0 for r in df_rows
+    }
+    idf_ref = ray.put(idf)
+
+    def score(df: pd.DataFrame, lookup=idf_ref) -> pa.Table:
+        m = ray.get(lookup) if isinstance(lookup, ray.ObjectRef) else lookup
+        doc_ids, terms = _explode(df)
+        if not len(terms):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf_e6": pa.array([], pa.int64())})
+        g = (
+            pd.DataFrame({"doc_id": doc_ids, "term": terms})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        idf_vals = g["term"].map(m).to_numpy(np.float64)
+        g["tfidf"] = g["tf"].to_numpy(np.int64) * idf_vals
+        g = g.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g[g.groupby("doc_id", sort=False).cumcount() < _TFIDF_K]
+        # positive scores: floor(x*1e6 + 0.5) ≡ DuckDB round-half-away
+        e6 = np.floor(g["tfidf"].to_numpy(np.float64) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+             "term": pa.array(g["term"].astype(str)),
+             "tfidf_e6": pa.array(e6)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n + 1) / (dfreq.df + 1)) + 1) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS r
+  FROM scored
+)
+SELECT doc_id, term,
+       CAST(round(tfidf * 1e6) AS BIGINT) AS tfidf_e6
+FROM ranked WHERE r <= {_TFIDF_K}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2356,4 +2468,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_islands": (q_user_islands, SQL_USER_ISLANDS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
