@@ -2419,6 +2419,72 @@ FROM ranked WHERE r <= {_TFIDF_K}
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-label embedding centroid — the vector-column aggregate (class
+# centroids for an embedding table). Per-batch combiner: reshape the Arrow
+# list<float> values buffer (no per-row Python), quantize to exact integer
+# micro-units (float sums are order-dependent; integer sums are not), sum
+# per (label, dim) → ≤ labels × dim tiny rows per batch; a small groupby
+# finishes. Consumers divide sum_e6/n for the centroid.
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def q_embedding_centroid(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(len(lab), _EMB_DIM) * 1e6
+        # DuckDB round() is half-away-from-zero (values span both signs)
+        e6 = (np.sign(emb) * np.floor(np.abs(emb) + 0.5)).astype(np.int64)
+        df = pd.DataFrame(e6)
+        df["label"] = lab.astype(np.int64)
+        sums = df.groupby("label", sort=False).sum()
+        counts = df.groupby("label", sort=False).size()
+        n_lab = len(sums)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(sums.index.to_numpy(np.int64), _EMB_DIM)),
+                "dim": pa.array(np.tile(np.arange(1, _EMB_DIM + 1, dtype=np.int64), n_lab)),
+                "sum_e6": pa.array(sums.to_numpy(np.int64).ravel()),
+                "n": pa.array(np.repeat(counts.to_numpy(np.int64), _EMB_DIM)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_e6", alias_name="sum_e6"), Sum("n", alias_name="n"))
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int32()),  # source dtype
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "sum_e6": pc.cast(t["sum_e6"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_CENTROID = f"""
+WITH d AS (SELECT i FROM range(1, {_EMB_DIM + 1}) t(i))
+SELECT label, CAST(d.i AS BIGINT) AS dim,
+       CAST(sum(CAST(round(embedding[d.i] * 1e6) AS BIGINT)) AS BIGINT) AS sum_e6,
+       count(*) AS n
+FROM embeddings, d
+GROUP BY label, d.i
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2469,4 +2535,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "embedding_centroid": (q_embedding_centroid, SQL_EMBEDDING_CENTROID),
 }
