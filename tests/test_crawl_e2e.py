@@ -461,3 +461,47 @@ def test_clear_stale_rounds_unit(tmp_path):
     for name in ("docs", "media"):
         kept = sorted(p.name for p in (tmp_path / name).iterdir())
         assert kept == ["round=4", "round=5"]
+
+
+def test_resume_clears_crashed_attempt_partitions(ray_session, tmp_path):
+    """E2E for the restore-time cleanup: a crashed attempt's output for
+    rounds at/past the restored epoch (including rounds the rerun never
+    reaches again) must not survive into the final read."""
+    import os
+
+    from ptt_spider_go_ray.sources.storage import read_table
+
+    factory = functools.partial(make_transport, SPEC)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    part = run_crawl(
+        cfg_small(checkpoint_dir=ck), transport_factory=factory,
+        board="Beauty", pages=3, push_threshold=10, max_rounds=2, out_dir=out,
+    )
+    assert not part.finished
+
+    # plant a stale partition as if the crashed attempt got further than the
+    # checkpoint (round index the rerun may never re-reach)
+    stale = os.path.join(out, "docs", "round=99")
+    os.makedirs(stale)
+    import pyarrow.parquet as pq
+
+    dup = read_table(out, "docs")  # everything written so far
+    pq.write_table(dup, os.path.join(stale, "part-0.parquet"))
+
+    rest = run_crawl(
+        cfg_small(checkpoint_dir=ck), transport_factory=factory,
+        board="Beauty", pages=3, push_threshold=10, resume=True, out_dir=out,
+    )
+    assert rest.finished
+    assert not os.path.exists(stale)
+
+    full = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10,
+    )
+    got = read_table(out, "docs")
+    got_ids = sorted(got["doc_id"].to_pylist())
+    assert got_ids == sorted(full.docs["doc_id"].to_pylist())
+    assert len(got_ids) == len(set(got_ids))
