@@ -838,33 +838,37 @@ def q_asof_join(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
         tag_events, batch_format="pyarrow"
     )
-    # right side pre-deduped to one row per (key, ts): max order key — makes
-    # the as-of pick deterministic under date ties on both engines. The dedup
-    # is a distributed hash-shuffle groupby (scales with the orders table);
-    # the tag projection after it is an ordinary streaming map_batches.
-    from ray.data.aggregate import Max
-
-    od = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="order_key"))
-    )
-
+    # Right side needs one row per (key, ts): max order key — deterministic
+    # as-of pick under date ties on both engines. The dedup happens INSIDE
+    # the bucket stage (asof_bucket below): every key maps to exactly one
+    # bucket, so per-bucket max ≡ global max — and it saves a whole
+    # distributed groupby shuffle (two all-to-alls → one). A per-batch
+    # combiner here still thins the shuffle for duplicate-heavy batches.
     def tag_orders(t: pa.Table) -> pa.Table:
         # Arrow out so the union has uniform block types
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        tb = pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "order_key": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+        tb = tb.group_by(["key", "ts"]).aggregate([("order_key", "max")])
+        keys = tb["key"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "bucket": pa.array(_bucket_of(keys, n_buckets)),
-                "key": pc.cast(t["o_custkey"], pa.int64()),
-                "side": pa.array(["o"] * t.num_rows),
-                "event_id": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
-                "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
-                "order_key": pc.cast(t["order_key"], pa.int64()),
+                "key": tb["key"],
+                "side": pa.array(["o"] * tb.num_rows),
+                "event_id": pa.array(np.full(tb.num_rows, -1, dtype=np.int64)),
+                "ts": tb["ts"],
+                "order_key": pc.cast(tb["order_key_max"], pa.int64()),
             }
         )
 
-    od = od.map_batches(tag_orders, batch_format="pyarrow")
+    od = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # merge_asof(by="key"): C-level per-key backward as-of; both frames
@@ -872,8 +876,14 @@ def q_asof_join(sf_dir: str):
         left = g[g["side"] == "e"][["key", "event_id", "ts"]].sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        right = g[g["side"] == "o"][["key", "ts", "order_key"]].sort_values(
-            "ts", kind="mergesort"
+        # finish the (key, ts) dedup here: per-bucket max ≡ global max since
+        # a key lives entirely in this bucket (batch combiners already
+        # thinned within-batch duplicates)
+        right = (
+            g[g["side"] == "o"][["key", "ts", "order_key"]]
+            .groupby(["key", "ts"], as_index=False, sort=False)["order_key"]
+            .max()
+            .sort_values("ts", kind="mergesort")
         )
         if len(left) == 0:
             return pd.DataFrame(
