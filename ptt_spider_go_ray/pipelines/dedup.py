@@ -80,10 +80,31 @@ def _dedup_pairs(cand, pair_cols: tuple[str, str], n_buckets: int):
 # ---------------------------------------------------------------------------
 
 
+# Per-process memo of the materialized candidate-pair Dataset, keyed by
+# (ray job id, sf_dir, n_perm, n_bands): `dedup_minhash_lsh` and
+# `dedup_clusters` run the identical candidate pipeline, and the pair set is
+# a pure function of its inputs. The blocks live in the object store
+# (MaterializedDataset), not driver memory, so the cache is as scale-bounded
+# as the pipeline itself; a new Ray session invalidates it.
+_CAND_MEMO: dict[tuple, object] = {}
+
+
 def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     """documents → minhash signatures (actor pool) → band explode →
     groupby(band_key) → candidate pairs with signature-estimated Jaccard.
     Returns one row per candidate pair (a < b) with est_jaccard."""
+    import os
+
+    import ray
+
+    key = (
+        ray.get_runtime_context().get_job_id() if ray.is_initialized() else None,
+        os.path.realpath(sf_dir),
+        n_perm,
+        n_bands,
+    )
+    if key[0] is not None and key in _CAND_MEMO:
+        return _CAND_MEMO[key]
     ds = _docs(sf_dir)
     n_docs = ds.count()
     n_buckets = _coarse_buckets(n_docs * n_bands)
@@ -124,7 +145,10 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
 
     cand = banded.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     # same pair can surface from multiple bands → distributed pair dedup
-    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
+    out = _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets).materialize()
+    if key[0] is not None:
+        _CAND_MEMO[key] = out
+    return out
 
 
 def _band_explode(t: pa.Table, n_bands: int, n_buckets: int, payload: str) -> pa.Table:
