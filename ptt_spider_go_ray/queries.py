@@ -2495,6 +2495,173 @@ GROUP BY label, d.i
 """
 
 # ---------------------------------------------------------------------------
+# Q: row-based windowed aggregate — 3-row trailing window sum/count per user
+# ordered by (ts, event_id). The north-rule custom-op bullet names "windowed
+# aggregate" explicitly; the range-based variant is q_sliding_window, this is
+# the ROWS BETWEEN form. Bucket-parallel: hash(user) buckets, then one
+# global cumsum per bucket with the window resolved as csum[i+1]-csum[i-k]
+# (k = min(rows-into-user, 2)) — no per-user Python, cents stay integer.
+# ---------------------------------------------------------------------------
+
+_MW_ROWS = 3  # trailing window size (current row + 2 preceding)
+
+
+def q_moving_window(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        cc = pd.Series(1, index=g.index).groupby(uid, sort=False).cumcount().to_numpy()
+        k = np.minimum(cc, _MW_ROWS - 1)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        i = np.arange(len(g))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": uid.astype(np.int64),
+                "win_cents": csum[i + 1] - csum[i - k],
+                "win_n": (k + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+SQL_MOVING_WINDOW = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS win_cents,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_MW_ROWS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: deterministic weighted priority sample — top-50 events by
+# priority = u * weight, u a multiplicative hash of event_id masked to 32
+# bits, weight derived from value (positive, ≤ 2000). Every product stays
+# < 2^53, so int64 arithmetic is identical on both engines (no wrap /
+# HUGEINT divergence — see ADVICE r2 on q_hash_sample). Distributed as
+# per-batch partial top-k + tiny global sort, the q_top_events shape:
+# selection probability grows with weight, rows never all-to-all.
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+_WS_MULT = 1315423911  # id * MULT < 2^63 for id < 7e9 → no overflow either engine
+
+
+def q_weighted_sample(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prio(df: pd.DataFrame) -> pa.Table:
+        ids = df["event_id"].to_numpy().astype(np.int64)
+        w = np.abs(np.rint(df["value"].to_numpy() * 100).astype(np.int64)) % 2000 + 1
+        u = (ids * _WS_MULT) % 4294967296
+        out = pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "weight": w,
+                "priority": u * w,
+            }
+        )
+        return _arrow_out(
+            out.sort_values(["priority", "event_id"], ascending=[False, True]).head(_WS_K)
+        )
+
+    return (
+        ds.map_batches(prio, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .sort(["priority", "event_id"], descending=[True, False])
+        .limit(_WS_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         abs(CAST(round(value * 100) AS BIGINT)) % 2000 + 1 AS weight,
+         (event_id * {_WS_MULT}) % 4294967296 AS u
+  FROM events)
+SELECT event_id, user_id, CAST(weight AS BIGINT) AS weight,
+       CAST(u * weight AS BIGINT) AS priority
+FROM t ORDER BY priority DESC, event_id LIMIT {_WS_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-group z-score normalization (feature-normalization pattern): exact
+# integer (n, sum, sum²) combiner per event_type → tiny driver dict →
+# broadcast into a streaming map_batches. z quantized to e6 ints, both
+# engines running the identical IEEE-double expression tree (the corr_e6
+# precedent). The corpus never shuffles; only 5 combiner rows per block do.
+# ---------------------------------------------------------------------------
+
+
+def q_zscore_norm(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        m = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1, "s": c, "ss": c * c}
+        ).groupby("event_type", as_index=False).sum()
+        return _arrow_out(m.astype({c: "int64" for c in ("n", "s", "ss")}))
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        moments, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        for i, kk in enumerate(("n", "s", "ss")):
+            a[i] += int(r[kk])  # Python ints: exact at any scale
+    stats = {
+        t: (float(s) / n, math.sqrt(float(ss) / n - (float(s) / n) * (float(s) / n)))
+        for t, (n, s, ss) in acc.items()
+    }
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64).astype(np.float64)
+        mean = df["event_type"].map({t: m for t, (m, _) in stats.items()}).to_numpy()
+        sd = df["event_type"].map({t: s for t, (_, s) in stats.items()}).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "z_e6": np.rint((c - mean) / sd * 1e6).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pandas")
+
+
+SQL_ZSCORE_NORM = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+s AS (SELECT event_type, count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS s,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+      FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type,
+       CAST(round((CAST(c.c AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                  / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                         - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+                  * 1000000) AS BIGINT) AS z_e6
+FROM c JOIN s USING (event_type)
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2546,4 +2713,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "embedding_centroid": (q_embedding_centroid, SQL_EMBEDDING_CENTROID),
+    "moving_window": (q_moving_window, SQL_MOVING_WINDOW),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
 }
