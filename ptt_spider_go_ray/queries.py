@@ -2662,6 +2662,178 @@ FROM c JOIN s USING (event_type)
 """
 
 # ---------------------------------------------------------------------------
+# Q: grouped mode (most frequent value per group): per-batch (type, cents)
+# count combiner → driver histogram merge (bounded by the CENTS DOMAIN ×
+# #types, not the row count — the value_histogram/collision_rank pattern;
+# zero shuffles) → argmax per type. Ties break to the smallest cents value
+# so both engines are deterministic.
+# ---------------------------------------------------------------------------
+
+
+def q_mode_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def counts(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "c": np.rint(df["value"].to_numpy() * 100).astype(np.int64),
+                "n": 1,
+            }
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in ds.map_batches(
+        counts, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        h = hist.setdefault(r["event_type"], {})
+        h[int(r["c"])] = h.get(int(r["c"]), 0) + int(r["n"])
+    rows = [
+        (t, *max(h.items(), key=lambda kv: (kv[1], -kv[0])))
+        for t, h in sorted(hist.items())
+    ]
+    return pd.DataFrame(rows, columns=["event_type", "mode_cents", "n"]).astype(
+        {"mode_cents": "int64", "n": "int64"}
+    )
+
+
+SQL_MODE_PER_TYPE = """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+g AS (SELECT event_type, c, count(*) AS n FROM c GROUP BY event_type, c)
+SELECT event_type, c AS mode_cents, n
+FROM g
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, c) = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: set operations (INTERSECT / EXCEPT): users with a high-value click,
+# tagged 'both' if they also purchased, else 'click_only'. Distributed as a
+# per-batch boolean-flag combiner → one hash groupby Max over user flags —
+# set membership without materializing either distinct set on the driver.
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops_users(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def flags(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "hi": (
+                    (df["event_type"] == "click") & (df["value"] > 150.0)
+                ).astype("int64"),
+                "pur": (
+                    (df["event_type"] == "purchase") & (df["value"] > 150.0)
+                ).astype("int64"),
+            }
+        ).groupby("user_id", as_index=False).max()
+        return _arrow_out(g)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["hi"] == 1]
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64").to_numpy(),
+                "tag": np.where(df["pur"] == 1, "both", "click_only"),
+            }
+        )
+
+    return (
+        ds.map_batches(flags, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("user_id")
+        .aggregate(Max("hi", alias_name="hi"), Max("pur", alias_name="pur"))
+        .map_batches(tag, batch_format="pandas")
+    )
+
+
+SQL_SET_OPS_USERS = """
+WITH hi AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > 150.0),
+pur AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150.0)
+SELECT user_id, 'both' AS tag FROM (SELECT * FROM hi INTERSECT SELECT * FROM pur)
+UNION ALL
+SELECT user_id, 'click_only' AS tag
+FROM (SELECT * FROM hi EXCEPT SELECT * FROM pur)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-group percent_rank (rank()-based, ties share the min rank): pass 1
+# builds per-type value-cents histograms via the count combiner (the merged
+# histogram is bounded by the CENTS DOMAIN, not the row count — documented
+# driver-merge bound, same family as value_histogram); pass 2 broadcasts the
+# per-type sorted cents + cumulative counts and streams searchsorted over the
+# corpus. percent_rank = cnt_less / (n - 1), both engines evaluating the
+# identical IEEE-double expression quantized to e6.
+# ---------------------------------------------------------------------------
+
+
+def q_percent_rank(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def counts(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "c": np.rint(df["value"].to_numpy() * 100).astype(np.int64),
+                "n": 1,
+            }
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    hist: dict[str, dict[int, int]] = {}
+    for r in ds.map_batches(
+        counts, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        h = hist.setdefault(r["event_type"], {})
+        h[int(r["c"])] = h.get(int(r["c"]), 0) + int(r["n"])
+    tables = {}
+    for t, h in hist.items():
+        cents = np.array(sorted(h), dtype=np.int64)
+        cnt = np.array([h[c] for c in cents], dtype=np.int64)
+        less = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        tables[t] = (cents, less, int(cnt.sum()))
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        types = df["event_type"].to_numpy()
+        out = np.zeros(len(df), dtype=np.int64)
+        for t, (cents, less, n) in tables.items():
+            m = types == t
+            if n > 1 and m.any():
+                idx = np.searchsorted(cents, c[m], side="left")
+                # floor(x+0.5): DuckDB round() is half-away-from-zero, not
+                # banker's rounding; pr is non-negative so this matches.
+                out[m] = np.floor(less[idx] / (n - 1) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64").to_numpy(),
+                "event_type": types,
+                "pr_e6": out,
+            }
+        )
+
+    return ds.map_batches(pr, batch_format="pandas")
+
+
+SQL_PERCENT_RANK = """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_id, event_type,
+       CASE WHEN count(*) OVER (PARTITION BY event_type) > 1 THEN
+         CAST(round(CAST(rank() OVER (PARTITION BY event_type ORDER BY c) - 1
+                         AS DOUBLE)
+                    / (count(*) OVER (PARTITION BY event_type) - 1)
+                    * 1000000) AS BIGINT)
+       ELSE 0 END AS pr_e6
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2716,4 +2888,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "moving_window": (q_moving_window, SQL_MOVING_WINDOW),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
+    "mode_per_type": (q_mode_per_type, SQL_MODE_PER_TYPE),
+    "set_ops_users": (q_set_ops_users, SQL_SET_OPS_USERS),
+    "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
 }
