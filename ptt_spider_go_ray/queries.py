@@ -2834,6 +2834,263 @@ FROM c
 """
 
 # ---------------------------------------------------------------------------
+# Q: funnel analysis (ordered sequence match): furthest stage of
+# view → click → purchase each user reached, with strict timestamp
+# progression. Bucket-parallel: all of a user's events co-locate in one
+# bucket, where the stage times are three C-speed filtered groupby-mins +
+# merges — no per-user Python, no window sort over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_stage(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "u": g["user_id"].astype("int64").to_numpy(),
+                "ts": g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "t": g["event_type"].to_numpy(),
+            }
+        )
+        users = np.unique(df["u"].to_numpy())
+        t1 = df[df["t"] == "view"].groupby("u")["ts"].min()
+        c = df[df["t"] == "click"].merge(
+            t1.rename("t1"), left_on="u", right_index=True
+        )
+        t2 = c[c["ts"] > c["t1"]].groupby("u")["ts"].min()
+        p = df[df["t"] == "purchase"].merge(
+            t2.rename("t2"), left_on="u", right_index=True
+        )
+        done = p.loc[p["ts"] > p["t2"], "u"].unique()
+        stage = pd.Series(0, index=pd.Index(users, name="u"), dtype="int64")
+        stage.loc[t1.index] = 1
+        stage.loc[t2.index] = 2
+        stage.loc[done] = 3
+        return pd.DataFrame(
+            {"user_id": stage.index.to_numpy(), "stage": stage.to_numpy()}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+SQL_FUNNEL_STAGE = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT DISTINCT e.user_id FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: lag/lead window (time since the user's previous event, µs; first event
+# per user = -1). Bucket-parallel sorted diff — one vectorized pass per
+# bucket instead of a corpus-wide window sort.
+# ---------------------------------------------------------------------------
+
+
+def q_lag_delta(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.full(len(g), -1, dtype=np.int64)
+        if len(g) > 1:
+            d[1:] = np.where(u[1:] != u[:-1], -1, ts[1:] - ts[:-1])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": u.astype(np.int64),
+                "delta_us": d,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+SQL_LAG_DELTA = """
+SELECT event_id, user_id,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+            AS BIGINT) AS delta_us
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q: first_value/last_value window — each user's first and last event type
+# by (ts, event_id) plus their event count. Bucket-parallel sorted
+# groupby-first/last; ties share the deterministic event_id order.
+# ---------------------------------------------------------------------------
+
+
+def q_first_last_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def first_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out = g.groupby("user_id", as_index=False, sort=False).agg(
+            first_type=("event_type", "first"),
+            last_type=("event_type", "last"),
+            n_events=("event_type", "size"),
+        )
+        return out.astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_last, batch_format="pandas")
+    )
+
+
+SQL_FIRST_LAST_PER_USER = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rnd,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT a.user_id, a.event_type AS first_type, b.event_type AS last_type,
+       CAST(a.n_events AS BIGINT) AS n_events
+FROM (SELECT * FROM o WHERE rn = 1) a
+JOIN (SELECT * FROM o WHERE rnd = 1) b ON a.user_id = b.user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: context-window packing (concat-and-chunk): assign each document to the
+# token bin where its text starts when the corpus is concatenated in doc_id
+# order with a fixed token budget per bin — the standard LLM pretraining
+# sequence-packing layout. Distributed two-pass prefix sum: pass 1 is a
+# per-range token-sum combiner (driver sees O(n_ranges) rows), pass 2
+# computes within-range exclusive cumsums + the broadcast range offset, so
+# no task ever holds more than one contiguous doc_id range.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 8192  # whitespace tokens per context bin
+
+
+def q_pack_chunks(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_rows = ds.count()
+    n_ranges = max(64, -(-n_rows // _TARGET_BUCKET_ROWS))
+    # contiguous doc_id ranges; width estimated from the row count (sparse
+    # ids only skew range sizes, never correctness — any contiguous
+    # partition of the doc_id axis yields the same global prefix sums)
+    width = max(1, -(-n_rows // n_ranges))
+
+    def tok_of(df: pd.DataFrame) -> np.ndarray:
+        return (
+            df["text"].fillna("").str.split().str.len().astype("int64").to_numpy()
+        )
+
+    def range_sums(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {"rng": df["doc_id"].to_numpy() // width, "tok": tok_of(df)}
+        ).groupby("rng", as_index=False).sum()
+        return _arrow_out(g.astype({"rng": "int64", "tok": "int64"}))
+
+    sums: dict[int, int] = {}
+    for r in ds.map_batches(
+        range_sums, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        sums[int(r["rng"])] = sums.get(int(r["rng"]), 0) + int(r["tok"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for rng in sorted(sums):
+        offsets[rng] = acc
+        acc += sums[rng]
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = t["doc_id"].to_numpy(zero_copy_only=False) // width
+        return t.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    def bins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        tok = tok_of(g)
+        cumex = offsets[int(g["rng"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(tok)[:-1])
+        )
+        part = pd.DataFrame(
+            {"bin_id": cumex // _PACK_BUDGET, "n_docs": 1, "tok": tok}
+        ).groupby("bin_id", as_index=False).sum()
+        return part.astype({"bin_id": "int64", "n_docs": "int64", "tok": "int64"})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(bins, batch_format="pandas")
+        .groupby("bin_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"), Sum("tok", alias_name="total_tokens")
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+
+
+SQL_PACK_CHUNKS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT)
+         END AS tok
+  FROM documents
+),
+c AS (
+  SELECT tok,
+         COALESCE(sum(tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cumex
+  FROM t
+)
+SELECT CAST(cumex // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2891,4 +3148,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "mode_per_type": (q_mode_per_type, SQL_MODE_PER_TYPE),
     "set_ops_users": (q_set_ops_users, SQL_SET_OPS_USERS),
     "percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
+    "funnel_stage": (q_funnel_stage, SQL_FUNNEL_STAGE),
+    "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
+    "first_last_per_user": (q_first_last_per_user, SQL_FIRST_LAST_PER_USER),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
 }
