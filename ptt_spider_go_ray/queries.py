@@ -2683,18 +2683,22 @@ def q_mode_per_type(sf_dir: str):
         ).groupby(["event_type", "c"], as_index=False).sum()
         return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
 
-    hist: dict[str, dict[int, int]] = {}
-    for r in ds.map_batches(
+    # vectorized driver merge: partials arrive as one DataFrame (bounded by
+    # blocks × the cents domain), one C-speed groupby-sum, then an argmax
+    # per type via a (n desc, cents asc) sort + drop_duplicates
+    part = ds.map_batches(
         counts, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).take_all():
-        h = hist.setdefault(r["event_type"], {})
-        h[int(r["c"])] = h.get(int(r["c"]), 0) + int(r["n"])
-    rows = [
-        (t, *max(h.items(), key=lambda kv: (kv[1], -kv[0])))
-        for t, h in sorted(hist.items())
-    ]
-    return pd.DataFrame(rows, columns=["event_type", "mode_cents", "n"]).astype(
-        {"mode_cents": "int64", "n": "int64"}
+    ).to_pandas()
+    g = part.groupby(["event_type", "c"], as_index=False)["n"].sum()
+    g = g.sort_values(
+        ["event_type", "n", "c"], ascending=[True, False, True]
+    ).drop_duplicates("event_type")
+    return pd.DataFrame(
+        {
+            "event_type": g["event_type"].to_numpy(),
+            "mode_cents": g["c"].to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+        }
     )
 
 
@@ -2785,16 +2789,17 @@ def q_percent_rank(sf_dir: str):
         ).groupby(["event_type", "c"], as_index=False).sum()
         return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
 
-    hist: dict[str, dict[int, int]] = {}
-    for r in ds.map_batches(
+    # vectorized driver merge (bounded by blocks × the cents domain): one
+    # C-speed groupby-sum, then per-type sorted cents + exclusive cumsums
+    part = ds.map_batches(
         counts, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).take_all():
-        h = hist.setdefault(r["event_type"], {})
-        h[int(r["c"])] = h.get(int(r["c"]), 0) + int(r["n"])
+    ).to_pandas()
+    g = part.groupby(["event_type", "c"], as_index=False)["n"].sum()
+    g = g.sort_values(["event_type", "c"])
     tables = {}
-    for t, h in hist.items():
-        cents = np.array(sorted(h), dtype=np.int64)
-        cnt = np.array([h[c] for c in cents], dtype=np.int64)
+    for t, sub in g.groupby("event_type", sort=False):
+        cents = sub["c"].to_numpy().astype(np.int64)
+        cnt = sub["n"].to_numpy().astype(np.int64)
         less = np.concatenate(([0], np.cumsum(cnt)[:-1]))
         tables[t] = (cents, less, int(cnt.sum()))
 
