@@ -3096,6 +3096,55 @@ FROM c GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: dedup survivor mapping — for every document, the canonical (min doc_id)
+# survivor of its exact-duplicate cluster; the doc_id → survivor_id table a
+# dedup pipeline joins downstream to rewrite references. One bucketed
+# shuffle of (fingerprint, doc_id) pairs only — text never moves — and the
+# per-bucket min is a C-speed groupby-transform (a fingerprint's cluster
+# co-locates in one bucket by construction).
+# ---------------------------------------------------------------------------
+
+
+def q_dup_map(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        fp = _md5_col(df["text"].fillna("").tolist())
+        h = np.array([int(x[:12], 16) for x in fp], dtype=np.int64)
+        return _arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "fp": fp,
+                    "bucket": _bucket_of(h, n_buckets),
+                }
+            )
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        surv = g.groupby("fp", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "survivor_id": surv.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+
+SQL_DUP_MAP = """
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS survivor_id
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3157,4 +3206,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "lag_delta": (q_lag_delta, SQL_LAG_DELTA),
     "first_last_per_user": (q_first_last_per_user, SQL_FIRST_LAST_PER_USER),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "dup_map": (q_dup_map, SQL_DUP_MAP),
 }
