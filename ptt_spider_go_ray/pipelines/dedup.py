@@ -147,6 +147,10 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     # same pair can surface from multiple bands → distributed pair dedup
     out = _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets).materialize()
     if key[0] is not None:
+        # evict entries from finished jobs — their object-store blocks are
+        # unreachable once the session they belong to has ended
+        for stale in [k for k in _CAND_MEMO if k[0] != key[0]]:
+            _CAND_MEMO.pop(stale)
         _CAND_MEMO[key] = out
     return out
 

@@ -2226,13 +2226,15 @@ def q_heavy_hitters(sf_dir: str):
             s.update_many(words, counts)
         return s.to_table()
 
+    # ≤ capacity rows per block — summaries, not the vocab; the k-way MG
+    # merge (keyed-union count sum, one compress) is a vectorized pandas
+    # groupby, not a Python loop over blocks × capacity rows
     parts = ds.map_batches(
         partial, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).take_all()  # ≤ capacity rows per block — summaries, not the vocab
-    # k-way MG merge = keyed-union count sum, then one compress
+    ).to_pandas()
+    g = parts.groupby("key", as_index=False)["n"].sum()
     acc = SpaceSaving(_HH_CAPACITY)
-    for r in parts:
-        acc.counts[r["key"]] = acc.counts.get(r["key"], 0) + int(r["n"])
+    acc.counts = dict(zip(g["key"].tolist(), (int(x) for x in g["n"].tolist())))
     acc._compress()
     top = acc.top(_HH_K)
     return pd.DataFrame(
