@@ -80,6 +80,80 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_bits: int = 6,
+             n_tables: int = 4, probe_hamming: int = 1, seed: int = 41):
+    """LSH-bucketed ANN (the third method in the trio, after brute force and
+    IVF): random-hyperplane sign codes per table (Charikar 2002), queries
+    multi-probe every code within Hamming distance ``probe_hamming`` of their
+    own, candidates get an exact cosine rerank. Here the probe set filters
+    each batch (same shape as IVF's probe filter); at cluster scale the code
+    column becomes the shuffle key instead — the groupby-bucket form is
+    exercised by `pipelines/dedup.py::embedding_cosine_candidates`. With
+    ``probe_hamming >= n_bits`` every bucket is probed and the result is
+    exactly brute force — the pytest equivalence oracle."""
+    from itertools import combinations
+
+    import ray
+
+    ids, qmat = _query_matrix(sf_dir, n_queries)
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    powers = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def codes_of(mat: np.ndarray, tbl: int) -> np.ndarray:
+        return ((mat @ planes[tbl].T) > 0).astype(np.int64) @ powers
+
+    masks = [0]
+    for r in range(1, min(probe_hamming, n_bits) + 1):
+        masks.extend(sum(1 << b for b in c) for c in combinations(range(n_bits), r))
+    probes = []  # per table: {query_id: set of probed codes}
+    for t in range(n_tables):
+        qc = codes_of(qmat, t)
+        probes.append(
+            {int(q): {int(qc[qi]) ^ m for m in masks} for qi, q in enumerate(ids)}
+        )
+    state_ref = ray.put((ids, qmat, planes, probes))
+
+    def score(t: pa.Table, sref=state_ref) -> pa.Table:
+        q_ids, qn, pl, prb = ray.get(sref) if isinstance(sref, ray.ObjectRef) else sref
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        codes = [((mat @ pl[tb].T) > 0).astype(np.int64) @ powers
+                 for tb in range(len(pl))]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms) @ qn.T
+        out_q, out_n, out_c = [], [], []
+        for qi, q_id in enumerate(q_ids):
+            cand = np.zeros(len(vids), dtype=bool)
+            for tb in range(len(pl)):
+                cand |= np.isin(codes[tb], list(prb[tb][int(q_id)]))
+            cand &= vids != q_id
+            idx = np.nonzero(cand)[0]
+            top = idx[np.argsort(-cos[idx, qi], kind="stable")[:k]]
+            out_q.extend([q_id] * len(top))
+            out_n.extend(vids[top].tolist())
+            out_c.extend(cos[top, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partial = _embeddings(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nlist: int = 8,
              nprobe: int = 3, seed: int = 23):
     """IVF: centroids from a deterministic sample (k-means-lite: one Lloyd

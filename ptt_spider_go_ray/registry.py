@@ -186,6 +186,12 @@ def _ann_ivf(sf_dir: str):
     return ivf_topk(sf_dir, n_queries=5, k=10)
 
 
+def _ann_lsh(sf_dir: str):
+    from .pipelines.similarity import lsh_topk
+
+    return lsh_topk(sf_dir, n_queries=5, k=10)
+
+
 def _lang_id(sf_dir: str):
     from .pipelines.textanalysis import lang_id
 
@@ -293,6 +299,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_clusters": _dedup_clusters,
     "ann_ivf_topk": _ann_ivf,
+    "ann_lsh_topk": _ann_lsh,
     "lang_id": _lang_id,
     "quality_scores": _quality_scores,
     "token_counts_bpe": _token_counts,

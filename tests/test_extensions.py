@@ -455,6 +455,30 @@ def test_brute_force_vs_ivf_topk(ray_session):
         assert b == v
 
 
+def test_brute_force_vs_lsh_topk(ray_session):
+    from ptt_spider_go_ray.pipelines.similarity import brute_force_topk, lsh_topk
+
+    bf = brute_force_topk(SF, n_queries=3, k=5).to_pandas()
+    # probe_hamming == n_bits ⇒ every bucket probed ⇒ identical to brute force
+    full = lsh_topk(SF, n_queries=3, k=5, n_bits=4, n_tables=2,
+                    probe_hamming=4).to_pandas()
+    for q in (0, 1, 2):
+        b = bf[bf["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        v = full[full["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert b == v
+    # default multi-probe params: every query answered, recall vs brute force
+    # is meaningfully above chance (deterministic: fixed planes seed)
+    lsh = lsh_topk(SF, n_queries=3, k=5).to_pandas()
+    hits = total = 0
+    for q in (0, 1, 2):
+        b = set(bf[bf["query_id"] == q]["neighbor_id"])
+        v = set(lsh[lsh["query_id"] == q]["neighbor_id"])
+        assert len(v) > 0
+        hits += len(b & v)
+        total += len(b)
+    assert hits / total >= 0.4
+
+
 def test_lang_id_pipeline(ray_session):
     from ptt_spider_go_ray.pipelines.textanalysis import lang_id
 
