@@ -3098,6 +3098,57 @@ FROM c GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: unpivot (wide → long, the inverse of q_pivot_daily): three lineitem
+# measure columns melt into (measure, value_e2) rows. Pure per-batch
+# reshape — zero shuffles, 3× row fan-out, exact integer cents.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_MEASURES = ["discount", "extendedprice", "quantity"]
+
+
+def q_unpivot_measures(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        vals = np.concatenate(
+            [
+                np.rint(df[f"l_{m}"].to_numpy() * 100).astype(np.int64)
+                for m in _UNPIVOT_MEASURES
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": np.tile(df["l_orderkey"].to_numpy(np.int64), 3),
+                "l_linenumber": np.tile(
+                    df["l_linenumber"].to_numpy().astype(np.int64), 3
+                ),
+                "measure": np.repeat(np.array(_UNPIVOT_MEASURES, object), n),
+                "value_e2": vals,
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'quantity' AS measure,
+       CAST(round(l_quantity * 100) AS BIGINT) AS value_e2 FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice',
+       CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'discount',
+       CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
 # Q: dedup survivor mapping — for every document, the canonical (min doc_id)
 # survivor of its exact-duplicate cluster; the doc_id → survivor_id table a
 # dedup pipeline joins downstream to rewrite references. One bucketed
@@ -3209,4 +3260,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "first_last_per_user": (q_first_last_per_user, SQL_FIRST_LAST_PER_USER),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dup_map": (q_dup_map, SQL_DUP_MAP),
+    "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
 }
