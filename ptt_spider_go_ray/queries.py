@@ -3098,6 +3098,62 @@ FROM c GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: date-spine gap filling — daily counts of a RARE event (error, value >
+# 195) densified over the full [min day, max day] span with explicit zero
+# rows (the missing-period normalization every reporting pipeline needs).
+# Per-batch (day, n_total, n_match) combiner partials → driver merge bounded
+# by the DAY DOMAIN, spine generated driver-side — zero Ray shuffles.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_events_per_day_dense(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        day = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // _DAY_US * _DAY_US
+        )
+        match = (df["event_type"] == "error") & (df["value"].to_numpy() > 195.0)
+        g = pd.DataFrame(
+            {"day": day, "n_total": 1, "n_match": match.astype(np.int64)}
+        ).groupby("day", as_index=False).sum()
+        return _arrow_out(g.astype({"day": "int64", "n_total": "int64",
+                                    "n_match": "int64"}))
+
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    g = part.groupby("day", as_index=False)[["n_total", "n_match"]].sum()
+    lo, hi = int(g["day"].min()), int(g["day"].max())
+    spine = np.arange(lo, hi + _DAY_US, _DAY_US)
+    n = (
+        g.set_index("day")["n_match"].reindex(spine, fill_value=0).to_numpy()
+    )
+    return pd.DataFrame(
+        {
+            "day": spine.astype("datetime64[us]"),
+            "n_events": n.astype(np.int64),
+        }
+    )
+
+
+SQL_EVENTS_PER_DAY_DENSE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) FILTER (WHERE event_type = 'error' AND value > 195.0) AS n
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM bounds)
+SELECT spine.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN d ON spine.day = d.day
+"""
+
+# ---------------------------------------------------------------------------
 # Q: unpivot (wide → long, the inverse of q_pivot_daily): three lineitem
 # measure columns melt into (measure, value_e2) rows. Pure per-batch
 # reshape — zero shuffles, 3× row fan-out, exact integer cents.
@@ -3261,4 +3317,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "dup_map": (q_dup_map, SQL_DUP_MAP),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
+    "events_per_day_dense": (q_events_per_day_dense, SQL_EVENTS_PER_DAY_DENSE),
 }
