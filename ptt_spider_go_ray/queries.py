@@ -3098,6 +3098,91 @@ FROM c GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: Bloom-prefiltered semi join (sketch pushdown): lineitems whose part is
+# large (p_size ≥ 48, ~6% of parts). The build side's keys fold into a
+# 1 Mbit Bloom bitmap via per-batch partials OR-merged on the driver
+# (bitmaps are fixed-size and OR-mergeable — ships O(bits), never the key
+# set); the bitmap broadcasts into the probe scan, so only candidate rows
+# (true matches + ~FP rate) ever enter the join shuffle — the standard
+# runtime-filter pushdown that keeps a 100 TB probe side from shuffling
+# wholesale. An exact hash semi join over the survivors scrubs Bloom false
+# positives, so the result is EXACT (DuckDB-oracled) at any FP rate.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20  # 128 KiB bitmap
+_BLOOM_SEEDS = (
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
+)
+
+
+def _bloom_positions(keys: np.ndarray, seed: int) -> np.ndarray:
+    x = keys.astype(np.uint64) * np.uint64(seed)
+    x ^= x >> np.uint64(29)
+    return (x % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    import ray
+
+    build = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 48)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+        for seed in _BLOOM_SEEDS:
+            pos = _bloom_positions(keys, seed)
+            np.bitwise_or.at(
+                bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros(_BLOOM_BITS // 64, np.uint64)
+    for r in build.map_batches(
+        bloom_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        bits |= np.frombuffer(r["bitmap"], np.uint64)
+    bloom_ref = ray.put(bits)
+
+    def prefilter(t: pa.Table, bref=bloom_ref) -> pa.Table:
+        b = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok = np.ones(len(keys), bool)
+        for seed in _BLOOM_SEEDS:
+            pos = _bloom_positions(keys, seed)
+            ok &= ((b[pos >> 6] >> (pos & 63).astype(np.uint64)) & 1).astype(bool)
+        return t.filter(pa.array(ok))
+
+    probe = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    ).map_batches(prefilter, batch_format="pyarrow")
+    joined = probe.join(
+        build, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "part", "part"),
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM part
+              WHERE p_partkey = l_partkey AND p_size >= 48)
+"""
+
+# ---------------------------------------------------------------------------
 # Q: date-spine gap filling — daily counts of a RARE event (error, value >
 # 195) densified over the full [min day, max day] span with explicit zero
 # rows (the missing-period normalization every reporting pipeline needs).
@@ -3318,4 +3403,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "dup_map": (q_dup_map, SQL_DUP_MAP),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
     "events_per_day_dense": (q_events_per_day_dense, SQL_EVENTS_PER_DAY_DENSE),
+    "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
 }
