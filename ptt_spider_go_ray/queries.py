@@ -12,6 +12,7 @@ Design rules for oracle safety:
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 
 import numpy as np
@@ -3339,6 +3340,254 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q3-shaped multi-join plan — segment-filtered dimension, date-pruned
+# fact scan, lineitem revenue PRE-AGGREGATED per orderkey before the join
+# (shrinks the shuffle to one row per order), adaptive dim-side strategy
+# (broadcast semi-filter while the filtered key set is small, native hash
+# join above the threshold), partial per-block top-k before the final sort.
+# Money stays integer-exact: revenue in 1e-4 dollar units
+# (price_cents × (100 − discount_pct)).
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = datetime.datetime(1998, 6, 1)
+_Q3_BROADCAST_MAX = 5_000_000  # above this, dim side switches to native join
+
+
+def q_tpch_q3(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(_Q3_CUTOFF, pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+
+    n_cust = cust.count()
+    if n_cust <= _Q3_BROADCAST_MAX:
+        # broadcast semi-filter: ray.put once, np.isin per batch (sorted probe)
+        chunks = [
+            t["c_custkey"].to_numpy(zero_copy_only=False)
+            for t in cust.iter_batches(batch_format="pyarrow")
+        ] or [np.empty(0, np.int64)]
+        keys = np.sort(np.concatenate(chunks))
+        keys_ref = ray.put(keys)
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            return t.filter(
+                pa.array(np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), ks))
+            )
+
+        orders = orders.map_batches(semi, batch_format="pyarrow")
+    else:  # pragma: no cover - exercised only at cluster scale
+        orders = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "orders", "customer"),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+    orders = orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF, pa.timestamp("us")))
+        t = t.filter(keep)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_pct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev": price_c * (100 - disc_pct),
+            }
+        )
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return _arrow_out(g)
+
+    li = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_e4"))
+    )
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+        ).head(10)
+        # Ray's hash aggregate routes ts keys through numpy (may downcast);
+        # restore microseconds for dtype parity with the oracle
+        out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+        return _arrow_out(out)
+
+    return (
+        joined.map_batches(partial_topk, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .sort(["revenue_e4", "o_orderdate", "l_orderkey"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Q: salted two-phase aggregate — the explicit hot-key/skew pattern from the
+# north rule (frontier salts hot boards the same way; state/frontier.py).
+# Phase 1 shuffles on (event_type, salt) so one hot key spreads over
+# _SALT_FANOUT reducers; phase 2 merges the ≤ keys×fanout partials. For a
+# plain count/sum the map-side combiner already defuses skew — the salt is
+# load-bearing when per-key reduce state is heavy (holistic aggregates);
+# this operator demonstrates the wiring with integer-exact sums.
+# ---------------------------------------------------------------------------
+
+_SALT_FANOUT = 16
+
+
+def q_salted_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def phase1(t: pa.Table) -> pa.Table:
+        val_c = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "salt": (t["event_id"].to_numpy(zero_copy_only=False) % _SALT_FANOUT),
+                "n": np.int64(1),
+                "sum_cents": val_c,
+            }
+        )
+        g = df.groupby(["event_type", "salt"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        return _arrow_out(g)
+
+    salted = (
+        ds.map_batches(phase1, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+    return (
+        salted.groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": t["n"].cast(pa.int64()),
+                    "sum_cents": t["sum_cents"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: dedup survivorship by QUALITY (keep the longest copy, not the first) —
+# per exact-dup cluster keep the doc with max n_chars, ties to min doc_id.
+# The argmax is packed into one int64 (n_chars<<32 | ~doc_id) so the whole
+# reduction is a mergeable Max — no per-group Python, no hot-group
+# materialization; the oracle packs identically.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_best(sf_dir: str):
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def add_packed(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        assert (n_chars < (1 << 31)).all() and (doc_id < (1 << 32)).all()
+        packed = (n_chars.astype(np.int64) << 32) | ((1 << 32) - 1 - doc_id)
+        return pa.table(
+            {
+                "text_hash": pa.array(_md5_col(t["text"].to_pylist()), pa.string()),
+                "packed": pa.array(packed),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_packed, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Max("packed", alias_name="best"), Count(alias_name="n_copies"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        best = t["best"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "text_hash": t["text_hash"],
+                "keeper_id": pa.array((1 << 32) - 1 - (best & ((1 << 32) - 1))),
+                "best_chars": pa.array(best >> 32),
+                "n_copies": t["n_copies"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH p AS (
+  SELECT md5(text) AS text_hash,
+         n_chars * 4294967296 + (4294967295 - doc_id) AS packed
+  FROM documents
+)
+SELECT text_hash,
+       CAST(4294967295 - (max(packed) % 4294967296) AS BIGINT) AS keeper_id,
+       CAST(max(packed) // 4294967296 AS BIGINT) AS best_chars,
+       count(*) AS n_copies
+FROM p GROUP BY text_hash
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3404,4 +3653,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
     "events_per_day_dense": (q_events_per_day_dense, SQL_EVENTS_PER_DAY_DENSE),
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }

@@ -448,6 +448,48 @@ FROM h
 """
 
 
+def _quality_scores_sql() -> str:
+    """quality_score() replicated in SQL. Every float is an int/int division
+    of exactly-representable integers (IEEE-correctly-rounded in both Python
+    and DuckDB), and the 0.4/0.3/0.3 score sum is built left-associative in
+    the same order as functions/text.py:quality_score, so doubles bit-match."""
+    from .functions.text import EN_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return rf"""
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(length(txt) AS BIGINT) AS n_chars,
+         CASE WHEN trim(txt) = '' THEN CAST(0 AS BIGINT)
+              ELSE CAST(array_length(regexp_split_to_array(trim(txt), '\s+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(length(regexp_replace(txt, '\s', '', 'g')) AS BIGINT) AS nows_chars,
+         CAST(length(txt) - length(regexp_replace(txt, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(txt)), '\s+'),
+                              x -> list_contains([{sw}], x))) AS BIGINT) AS n_stop
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(nows_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+         CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+         CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stopword_ratio
+  FROM b
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12
+             THEN CAST(0.4 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        + CASE WHEN n_tokens >= 10 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+       + CASE WHEN stopword_ratio >= CAST(0.05 AS DOUBLE)
+              THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS quality
+FROM r
+"""
+
+
 def _lang_id_sql() -> str:
     """Stopword-profile language ID replicated in SQL: integer scores doubled
     (2·hits for word languages, cjk-count for zh ≡ 2·(cjk/2)) so the
@@ -500,6 +542,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "fingerprints": SQL_FINGERPRINTS,
     "lang_id": _lang_id_sql(),
+    "quality_scores": _quality_scores_sql(),
     # the parquet write→read roundtrip must reproduce flagship_spans exactly
     "flagship_write_roundtrip": SQL_FLAGSHIP_SPANS,
 }
