@@ -3356,11 +3356,9 @@ _Q3_BROADCAST_MAX = 5_000_000  # above this, dim side switches to native join
 
 def q_tpch_q3(sf_dir: str):
     import ray
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
-        expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
-    )
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(
@@ -3370,14 +3368,18 @@ def q_tpch_q3(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    n_cust = cust.count()
-    if n_cust <= _Q3_BROADCAST_MAX:
-        # broadcast semi-filter: ray.put once, np.isin per batch (sorted probe)
-        chunks = [
-            t["c_custkey"].to_numpy(zero_copy_only=False)
-            for t in cust.iter_batches(batch_format="pyarrow")
-        ] or [np.empty(0, np.int64)]
-        keys = np.sort(np.concatenate(chunks))
+    # adaptive dim side: the UNFILTERED row count (free, parquet footer)
+    # bounds the filtered key set; under the threshold, build the broadcast
+    # key set with a single column- and row-group-pruned read
+    n_cust_total = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust_total <= _Q3_BROADCAST_MAX:
+        keys = np.sort(
+            pq.read_table(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey"],
+                filters=[("c_mktsegment", "==", _Q3_SEGMENT)],
+            )["c_custkey"].to_numpy(zero_copy_only=False)
+        )
         keys_ref = ray.put(keys)
 
         def semi(t: pa.Table) -> pa.Table:
@@ -3387,7 +3389,10 @@ def q_tpch_q3(sf_dir: str):
             )
 
         orders = orders.map_batches(semi, batch_format="pyarrow")
-    else:  # pragma: no cover - exercised only at cluster scale
+    else:
+        cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+            expr=f"c_mktsegment == '{_Q3_SEGMENT}'"
+        )
         orders = orders.join(
             cust,
             join_type="inner",

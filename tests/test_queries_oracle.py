@@ -110,3 +110,14 @@ def test_value_histogram_constant_column(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
     want = con.sql(SQL_VALUE_HISTOGRAM).df()
     assert want["bin"].tolist() == [0] and want["n"].tolist() == [100]
+
+
+def test_tpch_q3_native_join_path(ray_session, monkeypatch):
+    """Force the dim side over the broadcast threshold so the native hash
+    join fallback runs; result must still match the broadcast path's oracle."""
+    import ptt_spider_go_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_Q3_BROADCAST_MAX", -1)
+    got = canon(to_pandas(Q.q_tpch_q3(SF)))
+    want = canon(duck_result(Q.SQL_TPCH_Q3))
+    pd.testing.assert_frame_equal(got, want)
