@@ -127,9 +127,12 @@ def run_query_suite(sf_dir: str) -> dict:
     for name in sorted(qs):
         t0 = time.time()
         res = qs[name](sf_dir)
-        # consume: Dataset → count via to_pandas (all results are small)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
+        # consume the way a production sink would: stream blocks to
+        # completion (executes the whole plan, no driver-side concat —
+        # unpivot_measures alone is 1.8M rows at sf0.1)
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
         times[name] = round(time.time() - t0, 3)
     return times
 
