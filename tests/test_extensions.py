@@ -670,3 +670,59 @@ def test_space_saving_error_bound_and_recovery():
     w, c = np.unique(stream % 50, return_counts=True)
     small.update_many(w, c)
     assert small.counts == dict(zip(w.tolist(), (c.astype(int)).tolist()))
+
+
+# --- new round-3 operators: salted agg / keep-best dedup ---------------------
+
+def test_salted_agg_equals_unsalted(ray_session, tmp_path):
+    """Salting must be semantics-free: the (event_type, salt) two-phase
+    reduction equals a direct single-key groupby on a skewed table (one key
+    holds 90% of rows — the case the salt exists for)."""
+    import pyarrow.parquet as pq
+    from ptt_spider_go_ray.queries import q_salted_agg
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    et = np.where(rng.random(n) < 0.9, "hot", rng.choice(["a", "b", "c"], n))
+    vals = rng.uniform(-50, 50, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(et.astype(object), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        q_salted_agg(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"event_type": et, "cents": np.floor(vals * 100).astype(np.int64)})
+        .groupby("event_type", as_index=False)
+        .agg(n=("cents", "size"), sum_cents=("cents", "sum"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["sum_cents"].tolist() == want["sum_cents"].tolist()
+
+
+def test_keep_best_packing_roundtrip():
+    """The packed-int64 argmax key must order by (n_chars DESC, doc_id ASC)
+    and decode losslessly across the full supported ranges."""
+    rng = np.random.default_rng(7)
+    n_chars = rng.integers(0, (1 << 31) - 1, 1000, dtype=np.int64)
+    doc_id = rng.integers(0, (1 << 32) - 1, 1000, dtype=np.int64)
+    packed = (n_chars << 32) | ((1 << 32) - 1 - doc_id)
+    # decode
+    assert (((1 << 32) - 1 - (packed & ((1 << 32) - 1))) == doc_id).all()
+    assert ((packed >> 32) == n_chars).all()
+    # argmax(packed) == lexicographic (max n_chars, then min doc_id)
+    order = np.lexsort((doc_id, -n_chars))
+    best = order[0]
+    assert packed.argmax() == best
