@@ -131,7 +131,9 @@ def run_query_suite(sf_dir: str) -> dict:
         # completion (executes the whole plan, no driver-side concat —
         # unpivot_measures alone is 1.8M rows at sf0.1)
         if hasattr(res, "iter_batches"):
-            for _ in res.iter_batches(batch_format="pyarrow"):
+            # batch_size=None yields whole blocks zero-copy (the default
+            # 256-row rebatch costs 8x on wide results like unpivot)
+            for _ in res.iter_batches(batch_size=None, batch_format="pyarrow"):
                 pass
         times[name] = round(time.time() - t0, 3)
     return times

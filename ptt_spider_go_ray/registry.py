@@ -257,6 +257,19 @@ def _approx_quantiles_sketch(sf_dir: str):
     )
 
 
+def _approx_quantiles_per_type(sf_dir: str):
+    """Grouped KLL quantile sketch over events.value per event_type
+    (approximate → rows-only; pytest asserts per-group rank error vs exact)."""
+    import ray.data
+
+    from .stages.sketch import approx_quantiles_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return approx_quantiles_by(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
 def _flagship_write_roundtrip(sf_dir: str):
     """The canonical Ray Data sink: stream the flagship span stats through
     ``Dataset.write_parquet`` (one file per block — resumable, never one
@@ -306,6 +319,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "fingerprints": _fingerprints,
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
+    "approx_quantiles_per_type": _approx_quantiles_per_type,
     "approx_distinct_users_per_type": _approx_distinct_users_per_type,
     "render_markdown": _render_markdown,
     "flagship_write_roundtrip": _flagship_write_roundtrip,

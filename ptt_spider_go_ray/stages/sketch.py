@@ -167,6 +167,44 @@ def approx_quantiles(ds, column: str, qs: tuple = (0.5, 0.9, 0.99),
     return {q: acc.quantile(q) for q in qs}
 
 
+def approx_quantiles_by(ds, key: str, column: str,
+                        qs: tuple = (0.5, 0.9, 0.99), k: int = 200):
+    """Grouped approximate quantiles: per-batch per-key partial KLL sketches,
+    merged DISTRIBUTEDLY with a groupby over the key — the shuffle moves
+    (key, O(k·log n) floats) rows per batch, never values, and no stage holds
+    one key's full rows. This is the scale path the exact `percentiles`
+    operator documents for the many-keys/hot-key regime (same shape as
+    :func:`approx_distinct_by`). Returns Dataset[(key, q50, q90, q99)]."""
+
+    def sketch_batch(df: pd.DataFrame) -> pa.Table:
+        keys, sketches = [], []
+        for kk, grp in df.groupby(key, sort=False):
+            s = QuantileSketch(k)
+            s.add_many(grp[column].to_numpy())
+            keys.append(kk)
+            sketches.append(s.to_bytes())
+        return pa.table(
+            {key: pa.array(keys), "sketch": pa.array(sketches, pa.large_binary())}
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = QuantileSketch(k)
+        for b in g["sketch"]:
+            acc.merge(QuantileSketch.from_bytes(b))
+        row: dict = {key: [g[key].iloc[0]]}
+        for q in qs:
+            row[f"q{int(round(q * 100))}"] = np.array(
+                [acc.quantile(q)], dtype=np.float64
+            )
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pandas", batch_size=65536)
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 def approx_distinct_by(ds, key: str, column: str, p: int = 12):
     """Grouped approximate COUNT(DISTINCT): per-batch per-key partial HLL
     sketches, merged DISTRIBUTEDLY with a groupby over the key — the shuffle

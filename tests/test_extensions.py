@@ -726,3 +726,21 @@ def test_keep_best_packing_roundtrip():
     order = np.lexsort((doc_id, -n_chars))
     best = order[0]
     assert packed.argmax() == best
+
+
+def test_approx_quantiles_by_accuracy(ray_session):
+    """Grouped KLL sketch: per-group rank error vs exact quantiles < 5%."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["approx_quantiles_per_type"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(got["event_type"]) == set(df["event_type"])
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df["event_type"] == row["event_type"], "value"].to_numpy())
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            rank = np.searchsorted(vals, row[col]) / len(vals)
+            assert abs(rank - q) < 0.05, (row["event_type"], q, rank)
