@@ -3593,6 +3593,165 @@ FROM p GROUP BY text_hash
 """
 
 # ---------------------------------------------------------------------------
+# Q: NTILE(4) windowed bucketing — the collision_rank two-pass total-order
+# rank (distributed sort → per-block group counts → driver offsets →
+# vectorized per-block rank) extended with DuckDB's NTILE bucket arithmetic
+# (first n%k buckets get one extra row), then a tiny per-(type, quartile)
+# aggregate merged on the driver. No task ever holds a full group.
+# ---------------------------------------------------------------------------
+
+_NTILE_K = 4
+
+
+def q_ntile_quartiles(sf_dir: str):
+    import ray
+    import ray.data
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "c": pa.array(
+                    np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    ds = (
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .sort(["event_type", "c", "event_id"])
+        .materialize()
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def block_type_counts(t: pa.Table) -> list[tuple]:
+        types = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        g = types.groupby(types, sort=True).size()
+        return [(et, int(n)) for et, n in g.items()]
+
+    per_block = ray.get([block_type_counts.remote(r) for r in refs])
+    running: dict[str, int] = {}
+    block_offsets: list[dict[str, int]] = []
+    for counts in per_block:
+        offs = {}
+        for et, n in counts:
+            offs[et] = running.get(et, 0)
+            running[et] = offs[et] + n
+        block_offsets.append(offs)
+    totals = dict(running)  # rows per event_type (small: one int per type)
+
+    @ray.remote
+    def bucket_block(t: pa.Table, offs: dict, totals: dict) -> pd.DataFrame:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        s = pd.Series(types)
+        local = s.groupby(s, sort=False).cumcount().to_numpy()
+        start = np.array([offs[et] for et in types], dtype=np.int64)
+        r = local + start  # 0-based total-order rank within the type
+        n = np.array([totals[et] for et in types], dtype=np.int64)
+        base, rem = n // _NTILE_K, n % _NTILE_K
+        big = rem * (base + 1)  # rows in the first rem (size base+1) buckets
+        in_big = r < big
+        q = np.where(
+            in_big,
+            r // np.maximum(base + 1, 1),
+            rem + (r - big) // np.maximum(base, 1),
+        ) + 1
+        part = pd.DataFrame({"event_type": types, "quartile": q.astype(np.int64), "c": c})
+        return part.groupby(["event_type", "quartile"], as_index=False).agg(
+            n=("c", "size"), sum_cents=("c", "sum")
+        )
+
+    parts = ray.get(
+        [bucket_block.remote(r, offs, totals) for r, offs in zip(refs, block_offsets)]
+    )
+    merged = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["event_type", "quartile"], as_index=False)
+        .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        .astype({"quartile": "int64", "n": "int64", "sum_cents": "int64"})
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+SQL_NTILE_QUARTILES = f"""
+WITH r AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         NTILE({_NTILE_K}) OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+           AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM r GROUP BY event_type, quartile
+"""
+
+# ---------------------------------------------------------------------------
+# Q: bigram frequency top-k — word_count's combiner shape over token PAIRS,
+# vectorized with a row-boundary mask over the flattened token stream (no
+# cross-document pairs, no per-token Python). The shuffle moves distinct
+# bigrams per batch, never the token stream.
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 20
+
+
+def q_bigram_top(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lists = [np.asarray(t, dtype=object) for t in toks if len(t) >= 2]
+        if not lists:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(lists)
+        ends = np.cumsum(np.fromiter((len(x) for x in lists), dtype=np.int64))
+        mask = np.ones(len(flat) - 1, dtype=bool)
+        mask[ends[:-1] - 1] = False  # drop pairs that straddle two documents
+        big = (flat[:-1][mask] + " ") + flat[1:][mask]
+        grams, counts = np.unique(big.astype(str), return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(grams.astype(str)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()  # aggregate-after-map scheduling barrier (see q_word_count)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+    return counted.sort(["n", "bigram"], descending=[True, False]).limit(BIGRAM_K)
+
+
+SQL_BIGRAM_TOP = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_K}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3661,4 +3820,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
+    "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
 }
