@@ -121,3 +121,31 @@ def test_tpch_q3_native_join_path(ray_session, monkeypatch):
     got = canon(to_pandas(Q.q_tpch_q3(SF)))
     want = canon(duck_result(Q.SQL_TPCH_Q3))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_ntile_degenerate_groups(ray_session, tmp_path):
+    """Groups smaller than the bucket count (n < 4) and single-row groups
+    must follow DuckDB's NTILE bucket arithmetic exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_NTILE_QUARTILES, q_ntile_quartiles
+
+    et = ["tiny"] * 3 + ["single"] + ["odd"] * 7 + ["normal"] * 40
+    rng = np.random.default_rng(9)
+    vals = list(np.round(rng.uniform(0, 100, len(et)), 2))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(et)), pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = canon(to_pandas(q_ntile_quartiles(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = canon(con.sql(SQL_NTILE_QUARTILES).df())
+    pd.testing.assert_frame_equal(got, want)
