@@ -149,3 +149,39 @@ def test_ntile_degenerate_groups(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
     want = canon(con.sql(SQL_NTILE_QUARTILES).df())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_overflow_guard(ray_session, tmp_path):
+    """A per-bucket event span beyond the 46-bit composite-key budget must
+    raise (clipping would silently produce wrong window counts)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import q_range_join
+
+    ts = [datetime.datetime(2000, 1, 1), datetime.datetime(2003, 6, 1)]  # ~3.4y
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([7, 7], pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_custkey": pa.array([7], pa.int64()),
+                "o_orderdate": pa.array([ts[0]], pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    with pytest.raises(Exception, match="46-bit"):
+        to_pandas(q_range_join(str(tmp_path)))
