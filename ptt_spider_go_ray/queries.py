@@ -3752,6 +3752,83 @@ ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_K}
 """
 
 # ---------------------------------------------------------------------------
+# Q: end-to-end training-corpus composition — exact-dedup survivors → quality
+# gate → token counts, as ONE pipeline. Scale shape: all text-derived metrics
+# are computed STREAMING before the dedup shuffle, so the bucketed
+# survivor-groupby moves only (id, fp, 3 ints) rows — never documents (the
+# repo-wide "shuffle ids and signatures, not bodies" rule). The quality gate
+# is integer-exact (20*n_stop >= n_tokens ⟺ stopword_ratio >= 0.05).
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_dedup_filter(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = _key_buckets(ds.count())
+    sw = set(EN_STOPWORDS)
+
+    def tag_and_measure(df: pd.DataFrame) -> pa.Table:
+        text = df["text"].fillna("")
+        fp = _md5_col(text.tolist())
+        h = np.array([int(x[:12], 16) for x in fp], dtype=np.int64)
+        n_tokens = text.str.split().str.len().astype("int64")
+        n_bpe = text.str.count(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]").astype("int64")
+        toks = text.str.lower().str.split().explode()
+        hits = toks[toks.isin(sw)].groupby(level=0).size()
+        n_stop = (
+            hits.reindex(df.index, fill_value=0).astype("int64")
+            if len(hits)
+            else pd.Series(0, index=df.index, dtype="int64")
+        )
+        return _arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "fp": fp,
+                    "bucket": _bucket_of(h, n_buckets),
+                    "n_tokens": n_tokens,
+                    "n_bpe_tokens": n_bpe,
+                    "n_stop": n_stop,
+                }
+            )
+        )
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        surv = g.groupby("fp", sort=False)["doc_id"].transform("min")
+        m = (
+            (g["doc_id"].to_numpy() == surv.to_numpy())
+            & (g["n_tokens"].to_numpy() >= 10)
+            & (20 * g["n_stop"].to_numpy() >= g["n_tokens"].to_numpy())
+        )
+        out = g.loc[m, ["doc_id", "n_tokens", "n_bpe_tokens"]]
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(tag_and_measure, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(keep, batch_format="pandas")
+    )
+
+
+SQL_CORPUS_DEDUP_FILTER = rf"""
+WITH m AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS survivor,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                     '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'),
+                              x -> list_contains([{_SW_LIST}], x))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens
+FROM m
+WHERE doc_id = survivor AND n_tokens >= 10 AND 20 * n_stop >= n_tokens
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3822,4 +3899,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
+    "corpus_dedup_filter": (q_corpus_dedup_filter, SQL_CORPUS_DEDUP_FILTER),
 }
