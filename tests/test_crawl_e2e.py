@@ -505,3 +505,40 @@ def test_resume_clears_crashed_attempt_partitions(ray_session, tmp_path):
     got_ids = sorted(got["doc_id"].to_pylist())
     assert got_ids == sorted(full.docs["doc_id"].to_pylist())
     assert len(got_ids) == len(set(got_ids))
+
+
+def test_resume_with_spill_media_and_interval(ray_session, tmp_path):
+    """The capstone production shape all at once: bounded frontier heaps
+    (exact disk spill), interval checkpoints, media fetching, kill after 2
+    rounds, resume — ledger, seen set, and combined doc/media outputs must
+    equal the uninterrupted unbounded run's."""
+    import pyarrow as pa
+
+    factory = functools.partial(make_transport, SPEC)
+    ck = str(tmp_path / "ck")
+
+    full = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10, fetch_media=True,
+    )
+    part = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2,
+                  frontier_max_mem_rows=8, spill_dir=str(tmp_path / "spill")),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        fetch_media=True, max_rounds=2, retain_ledger=True,
+    )
+    assert not part.finished and part.rounds == 2
+    rest = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2,
+                  frontier_max_mem_rows=8, spill_dir=str(tmp_path / "spill")),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        fetch_media=True, resume=True, retain_ledger=True,
+    )
+    assert rest.finished
+    assert rest.ledger == full.ledger
+    assert rest.seen_set == full.seen_set
+
+    docs = pa.concat_tables(t for t in (part.docs, rest.docs) if t is not None)
+    assert sorted(docs["doc_id"].to_pylist()) == sorted(full.docs["doc_id"].to_pylist())
+    media = pa.concat_tables(t for t in (part.media, rest.media) if t is not None)
+    assert sorted(media["url"].to_pylist()) == sorted(full.media["url"].to_pylist())
