@@ -218,3 +218,84 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nlist: int = 8,
         return g
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def kmeans_fit(sf_dir: str, k: int = 16, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column — the iterative
+    ML pattern on Ray Data: each round BROADCASTS the centroid matrix
+    (ray.put once), every batch computes assignments with one matmul and
+    emits (k × dim sums, k counts) PARTIALS, and the driver reduces
+    O(blocks) tiny partials into the next centroids. The shuffle never moves
+    vectors; per-round driver state is k × dim floats. Deterministic: init
+    is the first k vec_ids, ties in argmin go to the lowest centroid index.
+
+    Returns (centroids: ndarray[k, dim], inertia_per_iter: list[float])."""
+    import ray
+    import pyarrow.parquet as pq
+
+    # deterministic init: the first k vec_ids via a row-group-pruned read
+    # (raw vectors — k-means is on L2, not the normalized cosine space)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
+    cent = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+    # pin the input in the object store once: every Lloyd round rescans it
+    ds = _embeddings(sf_dir).materialize()
+    inertia_hist: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partials(tb: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = np.stack(tb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            # squared L2 via the expansion trick: one matmul per batch
+            d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+            a = d.argmin(1)
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            inertia = float(np.maximum(d[np.arange(len(a)), a], 0.0).sum())
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                    "sum": pa.array(list(sums)),
+                    "count": pa.array(counts),
+                    "inertia": pa.array([inertia] + [0.0] * (kk - 1), pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        g = parts.groupby("cluster", sort=True)
+        sums = np.stack(g["sum"].apply(lambda s: np.sum(np.stack(s.to_numpy()), axis=0)).to_numpy())
+        counts = g["count"].sum().to_numpy()
+        inertia_hist.append(float(parts["inertia"].sum()))
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent, inertia_hist
+
+
+def kmeans_assign(sf_dir: str, k: int = 16, iters: int = 5):
+    """Fit + streaming assignment: Dataset[(vec_id, cluster)] for the whole
+    table — one matmul per batch against the broadcast fitted centroids."""
+    import ray
+
+    cent, _hist = kmeans_fit(sf_dir, k=k, iters=iters)
+    cref = ray.put(cent)
+
+    def assign(tb: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = np.stack(tb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table(
+            {
+                "vec_id": tb["vec_id"],
+                "cluster": pa.array(d.argmin(1).astype(np.int64)),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow")

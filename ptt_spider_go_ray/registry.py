@@ -270,6 +270,16 @@ def _approx_quantiles_per_type(sf_dir: str):
     return approx_quantiles_by(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def _kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over embeddings (iterative ML on Ray Data:
+    broadcast centroids → per-batch matmul partials → driver reduce). Rows-only
+    driver check; pytest replays the identical iterations in pure numpy and
+    asserts assignment equality + non-increasing inertia."""
+    from .pipelines.similarity import kmeans_assign
+
+    return kmeans_assign(sf_dir, k=16, iters=5)
+
+
 def _flagship_write_roundtrip(sf_dir: str):
     """The canonical Ray Data sink: stream the flagship span stats through
     ``Dataset.write_parquet`` (one file per block — resumable, never one
@@ -320,6 +330,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
     "approx_quantiles_per_type": _approx_quantiles_per_type,
+    "kmeans_clusters": _kmeans_clusters,
     "approx_distinct_users_per_type": _approx_distinct_users_per_type,
     "render_markdown": _render_markdown,
     "flagship_write_roundtrip": _flagship_write_roundtrip,

@@ -744,3 +744,40 @@ def test_approx_quantiles_by_accuracy(ray_session):
         for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
             rank = np.searchsorted(vals, row[col]) / len(vals)
             assert abs(rank - q) < 0.05, (row["event_type"], q, rank)
+
+
+def test_kmeans_matches_numpy_lloyd(ray_session):
+    """Distributed k-means must equal a pure-numpy Lloyd replay (same init,
+    same iteration count) and show non-increasing inertia."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.similarity import kmeans_assign, kmeans_fit
+
+    K, ITERS = 8, 4
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cent = mat[df.index[df["vec_id"] < K]]
+
+    inertia_ref = []
+    for _ in range(ITERS):
+        d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(1)[None, :]
+        a = d.argmin(1)
+        inertia_ref.append(float(np.maximum(d[np.arange(len(a)), a], 0.0).sum()))
+        new = cent.copy()
+        for c in range(K):
+            m = a == c
+            if m.any():
+                new[c] = mat[m].mean(0)
+        cent = new
+
+    got_cent, got_hist = kmeans_fit(SF, k=K, iters=ITERS)
+    assert np.allclose(got_cent, cent, rtol=1e-9, atol=1e-9)
+    assert np.allclose(got_hist, inertia_ref, rtol=1e-9)
+    assert all(b <= a + 1e-6 for a, b in zip(got_hist, got_hist[1:]))
+
+    # final assignments equal the replay's next-round argmin
+    d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(1)[None, :]
+    want_assign = d.argmin(1)
+    got = kmeans_assign(SF, k=K, iters=ITERS).to_pandas().sort_values("vec_id")
+    assert (got["cluster"].to_numpy() == want_assign).all()
