@@ -59,6 +59,8 @@ class CrawlerConfig:
     seen_capacity: int = 1 << 16     # per-shard cuckoo filter slots
     checkpoint_dir: str = ""         # empty = no checkpointing
     politeness_rate: float = 0.0     # per-host req/s budget; 0 = unlimited.
+    politeness_burst_s: float = 2.0  # bucket capacity in seconds-of-rate: how much
+    # accrued budget survives the driver's round barrier (long-run rate unchanged).
     # Reference default budget ≈ workers/mean-delay = 10/1.25 s = 8 req/s
     # (config/config.go:89-92); set via politeness_rate=8.0 when pacing a
     # real host. The budget is split across the salt shards owning the host.

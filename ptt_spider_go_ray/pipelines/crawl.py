@@ -322,8 +322,12 @@ def run_crawl(
         RemoteShard.remote(
             i,
             seen_capacity=cc.seen_capacity,
-            # a host's URLs land on at most SALT_K shards → split its budget that way
-            politeness_rate=0.0 if deterministic else cc.politeness_rate / min(SALT_K, n_shards),
+            # each shard divides a host's FULL rate by the actual number of
+            # owning shards (shards_for_host) — salted hashes can collide,
+            # so dividing by SALT_K would under-run the ceiling
+            politeness_rate=0.0 if deterministic else cc.politeness_rate,
+            politeness_burst_s=cc.politeness_burst_s,
+            politeness_n_shards=n_shards,
             exact_seen=cc.exact_seen,
             max_mem_rows=cc.frontier_max_mem_rows,
             spill_dir=spill_dir,

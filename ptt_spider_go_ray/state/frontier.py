@@ -88,7 +88,9 @@ class FrontierShard:
     Default (0) keeps everything in memory."""
 
     def __init__(self, shard_id: int, seen_capacity: int = 1 << 16,
-                 politeness_rate: float = 0.0, exact_seen: bool = True,
+                 politeness_rate: float = 0.0, politeness_burst_s: float = 2.0,
+                 politeness_n_shards: int = 0,
+                 exact_seen: bool = True,
                  clock=None, max_mem_rows: int = 0, spill_dir: str = "",
                  robots_factory=None):
         self.shard_id = shard_id
@@ -112,7 +114,28 @@ class FrontierShard:
         self.segments: list[tuple] = []
         self._seg_counter = 0
         self.filter = CuckooFilter(capacity=seen_capacity, seed=shard_id)
-        kwargs = {"rate": politeness_rate}
+        # Per-host budget split: a host's URLs land on the shards in
+        # shards_for_host() — the SALT_K (host|salt) hashes can collide mod
+        # n_shards, so the ACTUAL owning-shard count may be < SALT_K.
+        # Dividing the host's full rate by that count (not by SALT_K) keeps
+        # the aggregate exactly at the configured ceiling. Bucket capacity =
+        # politeness_burst_s SECONDS of rate so the driver round barrier
+        # (~1-2 s) does not discard accrued budget (the reference's
+        # sleep-per-worker model has effective burst = workers ≈ 1.25 s of
+        # rate — from_delay_range precedent). Long-run rate is unchanged.
+        if politeness_rate > 0 and politeness_n_shards > 0:
+            full, ns = politeness_rate, politeness_n_shards
+
+            def _rate_for(host: str) -> float:
+                return full / len(shards_for_host(host, ns))
+
+            kwargs = {"rate": politeness_rate, "rate_for": _rate_for,
+                      "burst_s": politeness_burst_s}
+        else:
+            # direct-rate form (unit tests, standalone shards): legacy
+            # burst = max(1, rate); the burst_s smoothing applies only to
+            # the production rate_for path above
+            kwargs = {"rate": politeness_rate}
         if clock is not None:
             kwargs["clock"] = clock
         self.politeness = HostPoliteness(**kwargs)

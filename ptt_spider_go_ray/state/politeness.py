@@ -45,10 +45,18 @@ class HostPoliteness:
     """Per-host bucket map. rate==0 disables limiting (test/bench mode where
     determinism matters more than pacing)."""
 
-    def __init__(self, rate: float = 0.0, burst: float | None = None, clock=time.monotonic):
+    def __init__(self, rate: float = 0.0, burst: float | None = None, clock=time.monotonic,
+                 rate_for=None, burst_s: float = 1.0):
+        """``rate_for``: optional host → req/s callable for per-host budgets
+        (a frontier shard owning 1/k of a host's URLs passes the host's full
+        rate divided by the ACTUAL number of owning shards). When set,
+        ``rate`` is only the ==0 on/off switch and each host's bucket gets
+        rate_for(host) with capacity burst_s seconds of that rate."""
         self.rate = rate
         self.burst = burst if burst is not None else max(1.0, rate)
         self.clock = clock
+        self.rate_for = rate_for
+        self.burst_s = burst_s
         self._buckets: dict[str, TokenBucket] = {}
         self._cooldown_until: dict[str, float] = {}
 
@@ -72,7 +80,9 @@ class HostPoliteness:
             return n
         b = self._buckets.get(host)
         if b is None:
-            b = self._buckets[host] = TokenBucket(self.rate, self.burst, self.clock)
+            r = self.rate_for(host) if self.rate_for is not None else self.rate
+            cap = max(1.0, r * self.burst_s) if self.rate_for is not None else self.burst
+            b = self._buckets[host] = TokenBucket(r, cap, self.clock)
         granted = 0
         for _ in range(n):
             if not b.try_take():

@@ -383,3 +383,24 @@ def test_push_back_refunds_politeness_tokens():
     again = s.take(4)
     assert len(again) == 2
     assert [r["seq"] for r in again] == [0, 1]
+
+
+def test_politeness_split_by_actual_owning_shards():
+    """The salted (host|salt) hashes can collide mod n_shards, so a host may
+    be owned by fewer than SALT_K shards. The per-shard budget must divide
+    the host's FULL rate by the ACTUAL owning count — the aggregate across
+    owning shards equals the configured ceiling exactly."""
+    from ptt_spider_go_ray.state.frontier import FrontierShard, shards_for_host
+
+    host, n_shards, full = "www.ptt.cc", 4, 8.0
+    owning = shards_for_host(host, n_shards)
+    assert 1 <= len(owning) <= 4
+    t = [0.0]
+    shards = [
+        FrontierShard(i, politeness_rate=full, politeness_n_shards=n_shards,
+                      clock=lambda: t[0])
+        for i in sorted(owning)
+    ]
+    rates = [s.politeness.rate_for(host) for s in shards]
+    assert all(abs(r - full / len(owning)) < 1e-12 for r in rates)
+    assert abs(sum(rates) - full) < 1e-12
