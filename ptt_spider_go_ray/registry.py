@@ -280,6 +280,16 @@ def _kmeans_clusters(sf_dir: str):
     return kmeans_assign(sf_dir, k=16, iters=5)
 
 
+def _pagerank_chain(sf_dir: str):
+    """Distributed PageRank over the per-lang doc_id chain graph (edge set
+    stays distributed; per-round broadcast rank vector + per-block partial
+    contribution sums). Rows-only; pytest replays the identical power
+    iteration in dense numpy and asserts elementwise equality."""
+    from .pipelines.graph import pagerank
+
+    return pagerank(sf_dir, damping=0.85, iters=10)
+
+
 def _flagship_write_roundtrip(sf_dir: str):
     """The canonical Ray Data sink: stream the flagship span stats through
     ``Dataset.write_parquet`` (one file per block — resumable, never one
@@ -331,6 +341,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_quantiles_sketch": _approx_quantiles_sketch,
     "approx_quantiles_per_type": _approx_quantiles_per_type,
     "kmeans_clusters": _kmeans_clusters,
+    "pagerank_chain": _pagerank_chain,
     "approx_distinct_users_per_type": _approx_distinct_users_per_type,
     "render_markdown": _render_markdown,
     "flagship_write_roundtrip": _flagship_write_roundtrip,

@@ -781,3 +781,44 @@ def test_kmeans_matches_numpy_lloyd(ray_session):
     want_assign = d.argmin(1)
     got = kmeans_assign(SF, k=K, iters=ITERS).to_pandas().sort_values("vec_id")
     assert (got["cluster"].to_numpy() == want_assign).all()
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    """Distributed PageRank must equal a dense numpy power-iteration replay
+    (same edges, same dangling handling) elementwise; ranks sum to 1."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.graph import pagerank
+
+    D, ITERS = 0.85, 10
+    df = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    src, dst = [], []
+    for _, g in df.groupby("lang", sort=False):
+        ids = g["doc_id"].to_numpy()
+        src.extend(ids[:-1].tolist())
+        dst.extend(ids[1:].tolist())
+    node_ids = np.sort(df["doc_id"].to_numpy())
+    n = len(node_ids)
+    si = np.searchsorted(node_ids, np.array(src, dtype=np.int64))
+    di = np.searchsorted(node_ids, np.array(dst, dtype=np.int64))
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, si, 1)
+    rank = np.full(n, 1.0 / n)
+    nzm = outdeg > 0
+    for _ in range(ITERS):
+        share = np.zeros(n)
+        share[nzm] = rank[nzm] / outdeg[nzm]
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, share[si])
+        dangling = float(rank[~nzm].sum())
+        rank = (1.0 - D) / n + D * (contrib + dangling / n)
+
+    got = pagerank(SF, damping=D, iters=ITERS).to_pandas().sort_values("doc_id")
+    assert (got["doc_id"].to_numpy() == node_ids).all()
+    assert np.allclose(got["rank"].to_numpy(), rank, rtol=0, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
