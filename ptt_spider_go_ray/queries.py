@@ -3829,6 +3829,79 @@ WHERE doc_id = survivor AND n_tokens >= 10 AND 20 * n_stop >= n_tokens
 """
 
 # ---------------------------------------------------------------------------
+# Q: LEFT OUTER join rollup — every customer with its order count and spend,
+# ZEROS for order-less customers (the NULL→default reconciliation shape that
+# inner-join rollups cannot express). Scale plan: orders pre-aggregated per
+# custkey BEFORE the join (combiner + groupby Sum), so the left_outer shuffle
+# carries one row per customer/custkey, never the fact table.
+# ---------------------------------------------------------------------------
+
+
+def q_left_join_rollup(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "n_orders": np.int64(1),
+                "spend_cents": cents,
+            }
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), spend_cents=("spend_cents", "sum")
+        )
+        return _arrow_out(g)
+
+    per_cust = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(o_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("spend_cents", alias_name="spend_cents"),
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+
+    joined = cust.join(
+        per_cust,
+        join_type="left_outer",
+        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(df: pd.DataFrame) -> pa.Table:
+        return _arrow_out(
+            pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].astype("int64"),
+                    "c_mktsegment": df["c_mktsegment"],
+                    "n_orders": df["n_orders"].fillna(0).astype("int64"),
+                    "spend_cents": df["spend_cents"].fillna(0).astype("int64"),
+                }
+            )
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+SQL_LEFT_JOIN_ROLLUP = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(count(o_custkey), 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS spend_cents
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3900,4 +3973,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
     "corpus_dedup_filter": (q_corpus_dedup_filter, SQL_CORPUS_DEDUP_FILTER),
+    "left_join_rollup": (q_left_join_rollup, SQL_LEFT_JOIN_ROLLUP),
 }

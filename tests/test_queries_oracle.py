@@ -185,3 +185,40 @@ def test_range_join_overflow_guard(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="46-bit"):
         to_pandas(q_range_join(str(tmp_path)))
+
+
+def test_left_join_rollup_zero_order_customers(ray_session, tmp_path):
+    """Customers with NO orders must appear with exact zeros (the NULL→0
+    reconciliation path), matching DuckDB's LEFT JOIN + COALESCE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_LEFT_JOIN_ROLLUP, q_left_join_rollup
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(10), pa.int64()),
+                "c_mktsegment": pa.array(["A", "B"] * 5, pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    # only even custkeys have orders → 5 zero-order customers
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([0, 0, 2, 4, 6, 8], pa.int64()),
+                "o_totalprice": pa.array([10.5, 20.25, 3.0, 4.75, 5.0, 6.5]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = canon(to_pandas(q_left_join_rollup(str(tmp_path))))
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+    want = canon(con.sql(SQL_LEFT_JOIN_ROLLUP).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_orders"] == 0).sum() == 5
