@@ -3902,6 +3902,95 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 # ---------------------------------------------------------------------------
+# Q: streaming tumbling window with WATERMARK semantics (the task brief's
+# "streaming window" custom op): events arrive in event_id order, the
+# watermark is the running max event-time over arrivals, and an event whose
+# ts lags the watermark by more than the allowed lateness is DROPPED before
+# the 1-day tumbling count. Scale shape: distributed sort by arrival order →
+# per-block max-ts partials → driver exclusive prefix-max (O(blocks)
+# scalars) → per-block vectorized accumulate + late filter → combiner +
+# groupby Sum. No task holds more than one block; the watermark state that a
+# streaming engine would carry in an operator is here two passes over blocks.
+# ---------------------------------------------------------------------------
+
+_WM_LATENESS_US = 6 * 3600 * 1_000_000  # 6 hours
+_WM_WINDOW_US = 24 * 3600 * 1_000_000   # 1-day tumbling
+
+
+def q_windowed_watermark(sf_dir: str):
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "ts"])
+        .sort("event_id")
+        .materialize()
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def block_max_ts(t: pa.Table) -> int:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return int(ts.max()) if len(ts) else -(1 << 62)
+
+    maxes = ray.get([block_max_ts.remote(r) for r in refs])
+    prefix = []
+    run = -(1 << 62)
+    for m in maxes:  # exclusive prefix-max: watermark carried INTO each block
+        prefix.append(run)
+        run = max(run, m)
+
+    @ray.remote
+    def kept_window_counts(t: pa.Table, incoming: int) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.maximum.accumulate(np.maximum(ts, incoming))
+        keep = ts >= wm - _WM_LATENESS_US
+        win = (ts[keep] // _WM_WINDOW_US) * _WM_WINDOW_US
+        w, n = np.unique(win, return_counts=True)
+        return pa.table(
+            {
+                "window_start": pa.array(w.astype("datetime64[us]")),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    parts = ray.data.from_arrow_refs(
+        [kept_window_counts.remote(r, p) for r, p in zip(refs, prefix)]
+    )
+    return (
+        parts.groupby("window_start")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    # Ray's hash aggregate routes ts keys through numpy
+                    # (downcasts to [s]); restore [us] for dtype parity
+                    "window_start": t["window_start"].cast(pa.timestamp("us")),
+                    "n": t["n"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_WINDOWED_WATERMARK = """
+WITH wm AS (
+  SELECT ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS watermark
+  FROM events
+),
+kept AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start
+  FROM wm WHERE ts >= watermark - INTERVAL 6 HOUR
+)
+SELECT window_start, count(*) AS n FROM kept GROUP BY window_start
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3974,4 +4063,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
     "corpus_dedup_filter": (q_corpus_dedup_filter, SQL_CORPUS_DEDUP_FILTER),
     "left_join_rollup": (q_left_join_rollup, SQL_LEFT_JOIN_ROLLUP),
+    "windowed_watermark": (q_windowed_watermark, SQL_WINDOWED_WATERMARK),
 }

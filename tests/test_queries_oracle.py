@@ -222,3 +222,39 @@ def test_left_join_rollup_zero_order_customers(ray_session, tmp_path):
     want = canon(con.sql(SQL_LEFT_JOIN_ROLLUP).df())
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_orders"] == 0).sum() == 5
+
+
+def test_windowed_watermark_drops_late_events(ray_session, tmp_path):
+    """With arrival order (event_id) decorrelated from event time, the
+    watermark races ahead and late events must be dropped — exactly as
+    DuckDB's running-max replay does."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_WINDOWED_WATERMARK,
+        q_windowed_watermark,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    base = np.datetime64("2024-03-01", "us")
+    ts = base + rng.integers(0, 20 * 24 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),  # arrival ⊥ ts
+                "ts": pa.array(ts),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_windowed_watermark(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = canon(con.sql(SQL_WINDOWED_WATERMARK).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n"].sum() < n  # the late-drop path actually fired
