@@ -3991,6 +3991,67 @@ SELECT window_start, count(*) AS n FROM kept GROUP BY window_start
 """
 
 # ---------------------------------------------------------------------------
+# Q: DENSE_RANK window — rank of the DISTINCT value within the partition
+# (ties share a rank, no gaps). Completing the window-function family
+# (row_number=collision_rank, percent_rank, NTILE). Scale shape: the
+# distinct (lang, n_chars) set is domain-bounded (mode_per_type precedent),
+# reduced by combiner + groupby, broadcast sorted per lang, then one
+# vectorized searchsorted per batch assigns every row's rank — no per-key
+# Python, no row shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q_dense_rank(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def distinct_partial(df: pd.DataFrame) -> pa.Table:
+        g = df[["lang", "n_chars"]].drop_duplicates()
+        return _arrow_out(g)
+
+    distinct = (
+        ds.map_batches(distinct_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby(["lang", "n_chars"])
+        .count()
+        .to_pandas()
+    )
+    tables = {
+        lang: np.sort(sub["n_chars"].to_numpy().astype(np.int64))
+        for lang, sub in distinct.groupby("lang", sort=False)
+    }
+    tref = ray.put(tables)
+
+    def rank(df: pd.DataFrame) -> pa.Table:
+        t = ray.get(tref)
+        c = df["n_chars"].to_numpy().astype(np.int64)
+        langs = df["lang"].to_numpy()
+        out = np.zeros(len(df), dtype=np.int64)
+        for lang, vals in t.items():
+            m = langs == lang
+            if m.any():
+                out[m] = np.searchsorted(vals, c[m], side="left") + 1
+        return _arrow_out(
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "lang": langs,
+                    "n_chars": c,
+                    "dr": out,
+                }
+            )
+        )
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
+SQL_DENSE_RANK = """
+SELECT doc_id, lang, n_chars,
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS dr
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4064,4 +4125,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "corpus_dedup_filter": (q_corpus_dedup_filter, SQL_CORPUS_DEDUP_FILTER),
     "left_join_rollup": (q_left_join_rollup, SQL_LEFT_JOIN_ROLLUP),
     "windowed_watermark": (q_windowed_watermark, SQL_WINDOWED_WATERMARK),
+    "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
 }
