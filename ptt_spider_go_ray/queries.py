@@ -4052,6 +4052,159 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Q: repetition-ratio quality signals (Gopher-style repetition filters for a
+# training corpus): per-doc word total, distinct-word count, most-frequent-
+# word count, and the duplicate-word fraction. All counts are exact int64
+# (one C-speed pandas explode+groupby per batch, no shuffle at all — the
+# signal is per-document, so the stage streams); dup_frac is a single
+# int64/int64 IEEE division, so DuckDB doubles bit-match. Docs with zero
+# [a-z]+ words are excluded on both sides (0/0 is undefined).
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_ratio(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "top_n": pa.array([], pa.int64()),
+                    "dup_frac": pa.array([], pa.float64()),
+                }
+            )
+        per = ex.groupby([ex.index, ex]).size()
+        by_doc = per.groupby(level=0)
+        n_words = by_doc.sum()
+        n_distinct = by_doc.size()
+        top_n = by_doc.max()
+        doc_ids = df["doc_id"].reindex(n_words.index).astype("int64")
+        nw = n_words.to_numpy(dtype=np.int64)
+        nd = n_distinct.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.to_numpy()),
+                "n_words": pa.array(nw),
+                "n_distinct": pa.array(nd),
+                "top_n": pa.array(top_n.to_numpy(dtype=np.int64)),
+                "dup_frac": pa.array((nw - nd).astype(np.float64) / nw),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+SQL_REPETITION_RATIO = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+per AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_n,
+       CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac
+FROM per GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: benchmark decontamination — flag corpus documents sharing any word
+# 3-gram shingle with a held-out "benchmark" subset (doc_id % 37 == 0), the
+# standard eval-contamination check for a training corpus. Scale shape: the
+# benchmark side is distinct-shingled DISTRIBUTED (per-batch set partials →
+# driver union of a small result), broadcast once via ray.put, and probed
+# per batch with a numpy isin — the corpus side never shuffles. At 100 TB
+# the broadcast set would hold uint64 shingle hashes (or a Bloom filter)
+# instead of strings; string membership ≡ hash membership modulo collisions.
+# Docs with <3 words have no shingles and are excluded on both sides.
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 37
+
+
+def _shingles3(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch (doc_idx, shingle) arrays of DISTINCT word-3-gram shingles
+    per document; vectorized over the batch (one findall + one unique)."""
+    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+    lists = [(i, np.asarray(t, dtype=object)) for i, t in zip(df.index, toks) if len(t) >= 3]
+    if not lists:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    flat = np.concatenate([a for _, a in lists])
+    lens = np.fromiter((len(a) for _, a in lists), dtype=np.int64)
+    ends = np.cumsum(lens)
+    mask = np.ones(len(flat) - 2, dtype=bool)
+    mask[ends[:-1] - 1] = False  # trigram would straddle two documents
+    mask[ends[:-1] - 2] = False
+    sh = (flat[:-2][mask] + " ") + (flat[1:-1][mask] + " ") + flat[2:][mask]
+    idx = np.repeat(np.fromiter((i for i, _ in lists), dtype=np.int64), lens - 2)
+    dedup = pd.DataFrame({"i": idx, "s": sh}).drop_duplicates()
+    return dedup["i"].to_numpy(dtype=np.int64), dedup["s"].to_numpy()
+
+
+def q_decontaminate(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["doc_id"] % _DECON_MOD == 0]
+        _, sh = _shingles3(df.reset_index(drop=True))
+        return pa.table({"s": pa.array(np.unique(sh).astype(str))})
+
+    bench_parts = ds.map_batches(bench_partial, batch_format="pandas").take_all()
+    bench_ref = ray.put(frozenset(r["s"] for r in bench_parts))
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        df = df[df["doc_id"] % _DECON_MOD != 0].reset_index(drop=True)
+        idx, sh = _shingles3(df)
+        bench = ray.get(bench_ref)
+        hits = pd.Series(sh).isin(bench).to_numpy()
+        n_sh = np.bincount(idx, minlength=len(df)).astype(np.int64)
+        n_hit = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
+        keep = n_sh > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()[keep].astype(np.int64)),
+                "n_shingles": pa.array(n_sh[keep]),
+                "n_hits": pa.array(n_hit[keep]),
+                "contaminated": pa.array(n_hit[keep] > 0),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.s) AS BIGINT) AS n_hits,
+       count(b.s) > 0 AS contaminated
+FROM (SELECT * FROM sh WHERE doc_id % {_DECON_MOD} <> 0) c
+LEFT JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4126,4 +4279,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "left_join_rollup": (q_left_join_rollup, SQL_LEFT_JOIN_ROLLUP),
     "windowed_watermark": (q_windowed_watermark, SQL_WINDOWED_WATERMARK),
     "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
