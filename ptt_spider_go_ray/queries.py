@@ -4205,6 +4205,121 @@ GROUP BY c.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: sliding-window chunk plan — the training-data "chunk every document
+# into overlapping token windows" layout (window 32, stride 24), emitted as
+# integer offsets (doc_id, chunk_id, tok_start, tok_end) so the fan-out is
+# a pure np.repeat/arange vectorized flat-map with bit-exact SQL semantics
+# (chunk TEXT would just be words[tok_start:tok_end] downstream). Streams:
+# one map_batches, no shuffle; docs with zero words are excluded.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+def q_chunk_plan(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plan(df: pd.DataFrame) -> pa.Table:
+        n = (
+            df["text"].fillna("").str.lower().str.count(r"[a-z]+").astype("int64")
+        ).to_numpy()
+        keep = n > 0
+        doc = df["doc_id"].to_numpy()[keep].astype(np.int64)
+        n = n[keep]
+        c = (n + _CHUNK_S - 1) // _CHUNK_S  # ceil(n / stride) chunk starts
+        doc_rep = np.repeat(doc, c)
+        total = int(c.sum())
+        # chunk_id = 0..c_i-1 within each doc: global arange minus each
+        # doc's start offset, repeated
+        offs = np.concatenate(([0], np.cumsum(c)[:-1])) if len(c) else np.array([], dtype=np.int64)
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(offs, c)
+        start = chunk_id * _CHUNK_S
+        end = np.minimum(start + _CHUNK_W, np.repeat(n, c))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_id": pa.array(chunk_id),
+                "tok_start": pa.array(start),
+                "tok_end": pa.array(end),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pandas")
+
+
+SQL_CHUNK_PLAN = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS BIGINT) AS nw
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, nw,
+         unnest(range(0, (nw + {_CHUNK_S} - 1) // {_CHUNK_S})) AS i
+  FROM n WHERE nw > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {_CHUNK_S} AS BIGINT) AS tok_start,
+       CAST(least(i * {_CHUNK_S} + {_CHUNK_W}, nw) AS BIGINT) AS tok_end
+FROM ch
+"""
+
+# ---------------------------------------------------------------------------
+# Q: CDC upsert / changelog compaction — apply a change stream to produce
+# final table state: each event is a change record on key user_id
+# (event_type 'purchase' ⇒ DELETE, anything else ⇒ UPSERT); last writer by
+# (ts, event_id) wins, and a final DELETE suppresses the key. The log-
+# compaction primitive every ingest pipeline needs. Scale shape: hash-bucket
+# the keys, ONE C-speed sort + drop_duplicates(keep="last") per bucket —
+# only the winning record per key survives the stage; value stays the raw
+# double (carried, never aggregated, so it is bit-exact).
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_upsert(sf_dir: str):
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        last = g.drop_duplicates("user_id", keep="last")
+        live = last[last["event_type"] != "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": live["user_id"].astype("int64").to_numpy(),
+                "last_ts": live["ts"].to_numpy(),
+                "last_event_id": live["event_id"].astype("int64").to_numpy(),
+                "last_value": live["value"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(compact, batch_format="pandas")
+    )
+
+
+SQL_CDC_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4281,4 +4396,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
+    "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
 }
