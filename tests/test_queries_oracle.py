@@ -258,3 +258,93 @@ def test_windowed_watermark_drops_late_events(ray_session, tmp_path):
     want = canon(con.sql(SQL_WINDOWED_WATERMARK).df())
     pd.testing.assert_frame_equal(got, want)
     assert got["n"].sum() < n  # the late-drop path actually fired
+
+
+def test_chunk_plan_boundary_lengths(ray_session, tmp_path):
+    """Word counts straddling the window/stride boundaries (0, 1, s-1, s,
+    s+1, w-1, w, w+1, 2s, big) plus a NULL text must match DuckDB's range
+    arithmetic exactly; zero-word docs are excluded on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_CHUNK_PLAN, q_chunk_plan
+
+    texts = [
+        "",  # 0 words -> excluded
+        None,  # NULL -> excluded
+        "one",  # 1
+        " ".join(["w"] * 23),  # s-1
+        " ".join(["w"] * 24),  # s
+        " ".join(["w"] * 25),  # s+1
+        " ".join(["w"] * 31),  # w-1
+        " ".join(["w"] * 32),  # w
+        " ".join(["w"] * 33),  # w+1
+        " ".join(["w"] * 48),  # 2s
+        " ".join(["w"] * 100),
+        "UPPER only 123 %%%",  # 4 lowercase-word tokens after filtering
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = canon(to_pandas(q_chunk_plan(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_CHUNK_PLAN).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert 0 not in set(got["doc_id"]) and 1 not in set(got["doc_id"])
+    # every chunk end is bounded by its doc's word count and window size
+    assert (got["tok_end"] - got["tok_start"]).max() <= 32
+
+
+def test_cdc_upsert_tiebreak_and_delete(ray_session, tmp_path):
+    """Same-timestamp changes must resolve by event_id (last writer), and a
+    final 'purchase' (DELETE) must suppress the key entirely."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_CDC_UPSERT, q_cdc_upsert
+
+    t0 = np.datetime64("2024-05-01T00:00:00", "us")
+    rows = [
+        # user 1: two updates at the SAME ts -> event_id 11 wins
+        (10, 1, t0, "view", 1.0),
+        (11, 1, t0, "click", 2.0),
+        # user 2: last change is a delete -> no output row
+        (20, 2, t0, "view", 3.0),
+        (21, 2, t0 + np.timedelta64(1, "s"), "purchase", 4.0),
+        # user 3: delete then a later re-insert -> re-insert survives
+        (30, 3, t0, "purchase", 5.0),
+        (31, 3, t0 + np.timedelta64(2, "s"), "signup", 6.0),
+        # user 4: single event
+        (40, 4, t0, "error", 7.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows]),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_cdc_upsert(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = canon(con.sql(SQL_CDC_UPSERT).df())
+    pd.testing.assert_frame_equal(got, want)
+    out = got.set_index("user_id")
+    assert 2 not in out.index  # deleted key suppressed
+    assert out.loc[1, "last_event_id"] == 11  # event_id tiebreak
+    assert out.loc[3, "last_event_id"] == 31  # re-insert after delete
