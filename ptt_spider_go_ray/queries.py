@@ -4267,6 +4267,89 @@ FROM ch
 """
 
 # ---------------------------------------------------------------------------
+# Q: training-mixture interleave plan — assign every document a global
+# mixing position from its rank within source scaled by an integer source
+# weight (w = source_num % 4 + 1; step = 12 / w, 12 = lcm of the weights),
+# so merging by mix_pos interleaves sources at the target ratios and
+# `mix_pos < EPOCH` selects one epoch's proportional sample (a w=4 source
+# contributes 4× the docs of a w=1 source). Scale shape: per-source rank is
+# the pack_chunks two-pass prefix sum — contiguous doc_id ranges, per
+# (range, source) partial counts, driver exclusive offsets (bounded by
+# n_ranges × n_sources, sources being low-cardinality), then one C-speed
+# cumcount per range group — NO per-source hot group, no total sort.
+# ---------------------------------------------------------------------------
+
+_MIX_LCM = 12
+_MIX_EPOCH = 60
+
+
+def q_mixture_plan(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    n_rows = ds.count()
+    n_ranges = max(64, -(-n_rows // _TARGET_BUCKET_ROWS))
+    width = max(1, -(-n_rows // n_ranges))
+
+    def range_counts(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {"rng": df["doc_id"].to_numpy() // width, "source": df["source"], "n": 1}
+        ).groupby(["rng", "source"], as_index=False).sum()
+        return _arrow_out(g.astype({"rng": "int64", "n": "int64"}))
+
+    counts: dict[tuple[int, str], int] = {}
+    for r in ds.map_batches(
+        range_counts, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        k = (int(r["rng"]), r["source"])
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    offsets: dict[int, dict[str, int]] = {}
+    acc: dict[str, int] = {}
+    for rng, src in sorted(counts):
+        offsets.setdefault(rng, {})[src] = acc.get(src, 0)
+        acc[src] = acc.get(src, 0) + counts[(rng, src)]
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = t["doc_id"].to_numpy(zero_copy_only=False) // width
+        return t.append_column("rng", pa.array(rng.astype(np.int64)))
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"])
+        local = g.groupby("source", sort=False).cumcount().to_numpy()
+        offs = g["source"].map(offsets[int(g["rng"].iloc[0])]).to_numpy()
+        src_rank = (offs + local).astype(np.int64)
+        wt = (g["source"].str[3:].astype(np.int64).to_numpy() % 4) + 1
+        mix_pos = src_rank * (_MIX_LCM // wt)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "source": g["source"].to_numpy(),
+                "src_rank": src_rank,
+                "mix_pos": mix_pos,
+                "in_epoch": mix_pos < _MIX_EPOCH,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("rng")
+        .map_groups(plan, batch_format="pandas")
+    )
+
+
+SQL_MIXTURE_PLAN = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS wt,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS src_rank
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(src_rank * ({_MIX_LCM} // wt) AS BIGINT) AS mix_pos,
+       src_rank * ({_MIX_LCM} // wt) < {_MIX_EPOCH} AS in_epoch
+FROM w
+"""
+
+# ---------------------------------------------------------------------------
 # Q: CDC upsert / changelog compaction — apply a change stream to produce
 # final table state: each event is a change record on key user_id
 # (event_type 'purchase' ⇒ DELETE, anything else ⇒ UPSERT); last writer by
@@ -4398,4 +4481,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
+    "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
 }
