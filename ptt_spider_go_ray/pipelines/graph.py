@@ -124,3 +124,100 @@ def pagerank(sf_dir: str, damping: float = 0.85, iters: int = 10):
 
     out = pa.table({"doc_id": pa.array(node_ids), "rank": pa.array(rank)})
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# K-hop BFS neighborhood (the GNN-sampling / graph-exploration shape): min
+# hop distance (capped at K) from a seed set over a derived arithmetic doc
+# graph — i -> i+1 chain edges plus i -> 2i doubling shortcuts, so distances
+# are non-trivial (not rank arithmetic). The FIRST oracled iterative
+# operator: DuckDB verifies it with a WITH RECURSIVE CTE.
+# ---------------------------------------------------------------------------
+
+_BFS_K = 6
+_BFS_SEED_MOD = 97
+
+
+def arith_edges(sf_dir: str):
+    """Dataset[(src, dst)] of the derived arithmetic doc graph: doc_id ->
+    doc_id+1 and doc_id -> 2*doc_id (doc_id > 0), both bounded by the max
+    doc_id. Same derived-graph discipline as chain_edges; built by one
+    streaming vectorized map_batches (no shuffle). Assumes the synthetic
+    dense doc_id space (0..max), which the testdata tables guarantee."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    m = int(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .max()
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain = ids[ids + 1 <= m]
+        dbl = ids[(ids > 0) & (ids * 2 <= m)]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([chain, dbl])),
+                "dst": pa.array(np.concatenate([chain + 1, dbl * 2])),
+            }
+        )
+
+    return ds.map_batches(edges_of, batch_format="pyarrow")
+
+
+def bfs_hops(sf_dir: str, k: int = _BFS_K):
+    """pa.Table[(doc_id, hops)] — min hop distance (<= k) from the seed set
+    (doc_id % 97 == 0); nodes unreached within k rounds are excluded.
+
+    Execution shape: the edge set stays distributed and static (materialized
+    once); each of the <= k rounds broadcasts the frontier mask via ray.put,
+    every edge block returns the unique newly-reachable dst ids (tiny
+    partials), and the driver unions them into an O(nodes) distance vector —
+    the same documented broadcast bound as pagerank/CC; past it, the CC
+    bucketed-join propagation is the scale path."""
+    import pyarrow.parquet as pq
+    import ray
+
+    node_ids = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n = len(node_ids)
+    assert n <= _PR_BROADCAST_MAX, "past the broadcast bound: use bucketed joins"
+    edges = arith_edges(sf_dir).materialize()
+    erefs = [br for b in edges.iter_internal_ref_bundles() for br in b.block_refs]
+    ids_ref = ray.put(node_ids)
+
+    dist = np.full(n, -1, dtype=np.int64)
+    frontier = node_ids % _BFS_SEED_MOD == 0
+    dist[frontier] = 0
+
+    @ray.remote
+    def step(t: pa.Table, ids, fr):
+        src = np.searchsorted(ids, t["src"].to_numpy(zero_copy_only=False))
+        reached = t["dst"].to_numpy(zero_copy_only=False)[fr[src]]
+        return np.unique(reached)
+
+    for d in range(1, k + 1):
+        if not frontier.any():
+            break
+        fref = ray.put(frontier)
+        parts = [p for p in ray.get([step.remote(r, ids_ref, fref) for r in erefs]) if len(p)]
+        frontier = np.zeros(n, dtype=bool)
+        if parts:
+            reached = np.unique(np.concatenate(parts))
+            pos = np.searchsorted(node_ids, reached)
+            ok = (pos < n) & (node_ids[np.minimum(pos, n - 1)] == reached)
+            pos = pos[ok]
+            new = pos[dist[pos] < 0]
+            dist[new] = d
+            frontier[new] = True
+
+    mreach = dist >= 0
+    return pa.table(
+        {"doc_id": pa.array(node_ids[mreach]), "hops": pa.array(dist[mreach])}
+    )

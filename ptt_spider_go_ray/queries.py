@@ -4267,6 +4267,39 @@ FROM ch
 """
 
 # ---------------------------------------------------------------------------
+# Q: K-hop BFS neighborhood — min hop distance (capped at 6) from the seed
+# set (doc_id % 97 == 0) over the derived arithmetic doc graph (chain +
+# doubling edges; see pipelines/graph.py:arith_edges). The first ORACLED
+# iterative operator: DuckDB re-derives the same distances with a
+# WITH RECURSIVE CTE (UNION-deduped (node, d) pairs, capped at d < 6).
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_hops(sf_dir: str):
+    from .pipelines.graph import bfs_hops
+
+    return bfs_hops(sf_dir)
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, mx
+  WHERE doc_id + 1 <= m
+  UNION ALL
+  SELECT doc_id AS src, doc_id * 2 AS dst FROM documents, mx
+  WHERE doc_id > 0 AND doc_id * 2 <= m
+),
+walk(node, d) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 6
+)
+SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+
+# ---------------------------------------------------------------------------
 # Q: training-mixture interleave plan — assign every document a global
 # mixing position from its rank within source scaled by an integer source
 # weight (w = source_num % 4 + 1; step = 12 / w, 12 = lcm of the weights),
@@ -4482,4 +4515,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
+    "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
 }
