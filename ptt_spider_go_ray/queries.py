@@ -4267,6 +4267,133 @@ FROM ch
 """
 
 # ---------------------------------------------------------------------------
+# Q: Pareto front (skyline) of users over (sum spend, event count) — the
+# multi-objective dominance query. Distributed shape exploits the skyline
+# algebra: the global front ⊆ the union of per-block partial fronts, so each
+# block reduces its users to a tiny non-dominated partial and only partials
+# reach the driver for the final merge (same partial-then-merge discipline
+# as collision_rank). All integer (exact cents), tie pairs both survive
+# (dominance requires one strict inequality).
+# ---------------------------------------------------------------------------
+
+
+def _skyline(sum_cents: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Boolean mask of non-dominated (maximize both) points; ties on both
+    dims are mutually non-dominating and all survive."""
+    keep = np.zeros(len(sum_cents), dtype=bool)
+    order = np.lexsort((-n, -sum_cents))  # sum desc, then n desc
+    best_n = np.iinfo(np.int64).min  # max n among STRICTLY greater sums
+    i = 0
+    s, m = sum_cents[order], n[order]
+    while i < len(order):
+        j = i
+        while j < len(order) and s[j] == s[i]:
+            j += 1
+        run_max = m[i]  # n desc within the equal-sum run
+        # survives iff max-n within its sum (no same-sum strict dominator)
+        # and above every strictly-greater-sum point's n
+        keep[order[i:j]] = (m[i:j] == run_max) & (run_max > best_n)
+        best_n = max(best_n, run_max)
+        i = j
+    return keep
+
+
+def q_pareto_front(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "cents": pa.array(v)})
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="sum_cents"), Count(alias_name="n_events"))
+    )
+
+    def partial_front(df: pd.DataFrame) -> pa.Table:
+        k = _skyline(
+            df["sum_cents"].to_numpy(dtype=np.int64),
+            df["n_events"].to_numpy(dtype=np.int64),
+        )
+        out = df.loc[k, ["user_id", "sum_cents", "n_events"]]
+        return _arrow_out(
+            out.astype({"user_id": "int64", "sum_cents": "int64", "n_events": "int64"})
+        )
+
+    parts = agg.map_batches(partial_front, batch_format="pandas").to_pandas()
+    k = _skyline(
+        parts["sum_cents"].to_numpy(dtype=np.int64),
+        parts["n_events"].to_numpy(dtype=np.int64),
+    )
+    return parts.loc[k].reset_index(drop=True)
+
+
+SQL_PARETO_FRONT = """
+WITH agg AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, a.sum_cents, a.n_events FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.sum_cents >= a.sum_cents AND b.n_events >= a.n_events
+    AND (b.sum_cents > a.sum_cents OR b.n_events > a.n_events)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-user rolling median of the last 5 events (order-statistic window,
+# ROWS 4 PRECEDING) — distinct from every mean/sum window in the suite.
+# Bucket-parallel: all of a user's rows co-locate, then ONE C-speed pandas
+# groupby-rolling-median per bucket. Even-width medians are (a+b)/2 of the
+# same two float64 values on both engines, so doubles bit-match.
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_median(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        r = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(5, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "med5": r.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
 # Q: K-hop BFS neighborhood — min hop distance (capped at 6) from the seed
 # set (doc_id % 97 == 0) over the derived arithmetic doc graph (chain +
 # doubling edges; see pipelines/graph.py:arith_edges). The first ORACLED
@@ -4516,4 +4643,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
     "mixture_plan": (q_mixture_plan, SQL_MIXTURE_PLAN),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
 }
