@@ -348,3 +348,39 @@ def test_cdc_upsert_tiebreak_and_delete(ray_session, tmp_path):
     assert 2 not in out.index  # deleted key suppressed
     assert out.loc[1, "last_event_id"] == 11  # event_id tiebreak
     assert out.loc[3, "last_event_id"] == 31  # re-insert after delete
+
+
+def test_pareto_front_ties(ray_session, tmp_path):
+    """Identical (sum, count) pairs are mutually non-dominating (both kept);
+    a same-sum lower-count point is dominated; a same-count lower-sum point
+    is dominated — must match DuckDB's NOT EXISTS dominance exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_PARETO_FRONT, q_pareto_front
+
+    # user -> list of values (cents are value*100)
+    spec = {
+        1: [10.0, 10.0],   # sum 2000, n 2  (front)
+        2: [20.0],         # sum 2000, n 1  (dominated by 1: same sum, fewer)
+        3: [10.0, 10.0],   # sum 2000, n 2  (exact tie with 1: both kept)
+        4: [5.0, 5.0],     # sum 1000, n 2  (dominated by 1: same n, less sum)
+        5: [1.0, 1.0, 1.0] # sum 300,  n 3  (front: most events)
+    }
+    rows = [(uid, v) for uid, vs in spec.items() for v in vs]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "value": pa.array([r[1] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_pareto_front(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+    want = canon(con.sql(SQL_PARETO_FRONT).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["user_id"]) == {1, 3, 5}
