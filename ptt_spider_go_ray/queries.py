@@ -4563,6 +4563,698 @@ FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
 """
 
 # ---------------------------------------------------------------------------
+# Q: cohort retention — classic day-0 cohort grid. Each user's cohort is the
+# day of their first event; a cell (cohort_day, offset_days) counts distinct
+# users from that cohort active offset days later. Bucket-parallel: every
+# user's rows co-locate in one bucket, so per-bucket distinct counts sum
+# globally without double counting; partials are O(days²) rows per bucket,
+# merged on the driver (the collision-rank tiny-partials pattern).
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day})
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
+        df["cohort_day"] = cohort
+        df["offset_days"] = df["day"] - cohort
+        cells = df.drop_duplicates(["user_id", "offset_days"])
+        out = (
+            cells.groupby(["cohort_day", "offset_days"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out.astype(
+            {"cohort_day": "int64", "offset_days": "int64", "n_users": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby(["cohort_day", "offset_days"], as_index=False)["n_users"]
+        .sum()
+        .astype({"cohort_day": "int64", "offset_days": "int64", "n_users": "int64"})
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+a AS (
+  SELECT DISTINCT d.user_id, c.cohort, d.day - c.cohort AS offset_days
+  FROM d JOIN c USING (user_id)
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_day,
+       CAST(offset_days AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, offset_days
+"""
+
+# ---------------------------------------------------------------------------
+# Q: event-type transition counts (first-order Markov matrix) — for each
+# consecutive pair of a user's events (by ts, event_id), count src→dst
+# transitions. Bucket-parallel per-user shift; per-bucket partials are at
+# most |types|² rows, merged on the driver.
+# ---------------------------------------------------------------------------
+
+
+def q_transition_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"src_type": [], "dst_type": [], "n": []}).astype(
+                {"src_type": "object", "dst_type": "object", "n": "int64"}
+            )
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"src_type": et[:-1][same], "dst_type": et[1:][same]})
+        out = (
+            pairs.groupby(["src_type", "dst_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out.astype({"n": "int64"})
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby(["src_type", "dst_type"], as_index=False)["n"]
+        .sum()
+        .astype({"n": "int64"})
+    )
+
+
+SQL_TRANSITION_COUNTS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS src_type, next_type AS dst_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: prefix dedup — the C4/RefinedWeb trick of collapsing documents that
+# share the same leading text (boilerplate heads, mirrored pages): key is
+# the first 64 characters, survivor is min(doc_id). Per-batch combiner
+# pre-aggregates before the string-key hash shuffle; both engines slice by
+# code point (Python str slice ≡ DuckDB substr).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_prefix(sf_dir: str):
+    from ray.data.aggregate import Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"p": df["text"].str.slice(0, 64), "doc_id": df["doc_id"]}
+            )
+            .groupby("p", sort=False)
+            .agg(min_id=("doc_id", "min"), cnt=("doc_id", "size"))
+            .reset_index()
+        )
+        return _arrow_out(g.astype({"min_id": "int64", "cnt": "int64"}))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("p")
+        .aggregate(
+            Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="n_dups")
+        )
+    )
+
+    def out(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+                "n_dups": pa.array(df["n_dups"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return agg.map_batches(out, batch_format="pandas")
+
+
+SQL_DEDUP_PREFIX = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+GROUP BY p
+"""
+
+# ---------------------------------------------------------------------------
+# Q: inter-event gap histogram — distribution of per-user time between
+# consecutive events, binned to minutes and capped at 60 (the long tail
+# collapses into the last bin). Bucket-parallel lag + bincount; per-bucket
+# partials are ≤ 61 rows, merged on the driver.
+# ---------------------------------------------------------------------------
+
+_GAP_BIN_US = 60_000_000  # 1 minute
+_GAP_MAX_BIN = 60
+
+
+def q_event_gap_hist(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame({"gap_min_bin": [], "n": []}).astype(
+                {"gap_min_bin": "int64", "n": "int64"}
+            )
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        bins = np.minimum(gaps // _GAP_BIN_US, _GAP_MAX_BIN)
+        bc = np.bincount(bins, minlength=_GAP_MAX_BIN + 1)
+        nz = np.nonzero(bc)[0]
+        return pd.DataFrame(
+            {"gap_min_bin": nz.astype(np.int64), "n": bc[nz].astype(np.int64)}
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.groupby("gap_min_bin", as_index=False)["n"]
+        .sum()
+        .astype({"gap_min_bin": "int64", "n": "int64"})
+    )
+
+
+SQL_EVENT_GAP_HIST = f"""
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(least(gap_us // {_GAP_BIN_US}, {_GAP_MAX_BIN}) AS BIGINT) AS gap_min_bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY gap_min_bin
+"""
+
+# ---------------------------------------------------------------------------
+# Q: pairwise Jaccard similarity between event types over their distinct-user
+# sets — the set-similarity primitive behind audience overlap / co-occurrence
+# analysis. Bucket-parallel: users co-locate, each bucket builds a 0/1
+# user×type membership matrix and emits the tiny types×types Gram matrix
+# (diagonal = per-type distinct-user counts, off-diagonal = intersections);
+# the driver sums the matrices and does ONE int/int division per pair, so
+# doubles bit-match DuckDB. Zero-intersection pairs are absent on both sides.
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def gram(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.drop_duplicates(["user_id", "event_type"])
+        codes, types = pd.factorize(p["event_type"], sort=True)
+        ucodes = pd.factorize(p["user_id"])[0]
+        m = np.zeros((ucodes.max() + 1, len(types)), dtype=np.int64)
+        m[ucodes, codes] = 1
+        gram = m.T @ m
+        ia, ib = np.triu_indices(len(types))
+        return pd.DataFrame(
+            {
+                "type_a": types[ia],
+                "type_b": types[ib],
+                "n": gram[ia, ib].astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gram, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    sizes = dict(
+        zip(
+            tot.loc[tot.type_a == tot.type_b, "type_a"],
+            tot.loc[tot.type_a == tot.type_b, "n"],
+        )
+    )
+    off = tot[(tot.type_a != tot.type_b) & (tot.n > 0)].reset_index(drop=True)
+    inter = off["n"].to_numpy(dtype=np.int64)
+    union = np.array(
+        [sizes[a] + sizes[b] for a, b in zip(off["type_a"], off["type_b"])],
+        dtype=np.int64,
+    ) - inter
+    return pd.DataFrame(
+        {
+            "type_a": off["type_a"],
+            "type_b": off["type_b"],
+            "n_inter": inter,
+            "n_union": union,
+            "jaccard": inter / union,
+        }
+    )
+
+
+SQL_JACCARD_TYPES = """
+WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, count(*) AS n FROM p GROUP BY event_type),
+i AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_inter
+  FROM p a JOIN p b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(ca.n + cb.n - i.n_inter AS BIGINT) AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter) AS jaccard
+FROM i
+JOIN c ca ON ca.event_type = i.type_a
+JOIN c cb ON cb.event_type = i.type_b
+"""
+
+# ---------------------------------------------------------------------------
+# Q: deterministic train/val/test split summary — the standard corpus-split
+# assignment by document-id hash (90/5/5), reported as per-split doc and
+# char totals. Same uint64-masked Knuth hash as hash_sample on both engines;
+# per-batch combiner partials, driver merge of ≤ 3×blocks rows.
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN = int(0.90 * _SAMPLE_MOD)
+_SPLIT_VAL = int(0.95 * _SAMPLE_MOD)
+
+
+def q_split_assign(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did % _SAMPLE_MOD) * _SAMPLE_MULT) % _SAMPLE_MOD
+        split = np.where(
+            h < _SPLIT_TRAIN, "train", np.where(h < _SPLIT_VAL, "val", "test")
+        )
+        df = pd.DataFrame(
+            {
+                "split": split,
+                "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby("split", sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return _arrow_out(
+            out.reset_index().astype({"n_docs": "int64", "sum_chars": "int64"})
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    return (
+        parts.groupby("split", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .astype({"n_docs": "int64", "sum_chars": "int64"})
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH h AS (
+  SELECT (CAST(doc_id % {_SAMPLE_MOD} AS HUGEINT) * {_SAMPLE_MULT})
+           % {_SAMPLE_MOD} AS hv,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN hv < {_SPLIT_TRAIN} THEN 'train'
+            WHEN hv < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM h GROUP BY split
+"""
+
+# ---------------------------------------------------------------------------
+# Q: FULL OUTER join — per-user event rollup ⟗ a customer slice (c_custkey
+# % 3 == 0, so BOTH null sides are exercised at every scale factor). The
+# missing join shape in the suite: inner/left/semi/anti/asof/range exist.
+# Bucket-parallel: both sides hash to the same key bucket, one C-speed
+# pandas outer merge per bucket; null integers coalesce to 0 and null
+# strings to '' so dtypes stay exact on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_rollup(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    cu = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    n_buckets = _key_buckets(ev.count(), cu.count())
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        # per-batch combiner: (user, n, sum_cents) partials before the shuffle
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"key": u, "cents": cents})
+            .groupby("key", sort=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        keys = g["key"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
+                "key": pa.array(keys),
+                "side": pa.array(["e"] * len(g)),
+                "n_events": pa.array(g["n_events"].to_numpy(dtype=np.int64)),
+                "sum_cents": pa.array(g["sum_cents"].to_numpy(dtype=np.int64)),
+                "c_mktsegment": pa.nulls(len(g), pa.string()),
+            }
+        )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = keys % 3 == 0
+        keys = keys[keep]
+        seg = t.filter(pa.array(keep))["c_mktsegment"]
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
+                "key": pa.array(keys),
+                "side": pa.array(["c"] * len(keys)),
+                "n_events": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "sum_cents": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                "c_mktsegment": seg,
+            }
+        )
+
+    def outer_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = (
+            g[g["side"] == "e"]
+            .groupby("key", as_index=False, sort=False)[["n_events", "sum_cents"]]
+            .sum()  # finish the per-key rollup: a key lives entirely here
+        )
+        right = g[g["side"] == "c"][["key", "c_mktsegment"]]
+        m = left.merge(right, on="key", how="outer")
+        return pd.DataFrame(
+            {
+                "join_key": m["key"].astype("int64"),
+                "n_events": m["n_events"].fillna(0).astype("int64"),
+                "sum_cents": m["sum_cents"].fillna(0).astype("int64"),
+                "c_mktsegment": m["c_mktsegment"].fillna("").astype(object),
+            }
+        )
+
+    return (
+        ev.map_batches(tag_events, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .union(cu.map_batches(tag_cust, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(outer_bucket, batch_format="pandas")
+    )
+
+
+SQL_FULL_OUTER_ROLLUP = """
+WITH e AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY user_id
+),
+c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+SELECT CAST(COALESCE(e.user_id, c.c_custkey) AS BIGINT) AS join_key,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.sum_cents, 0) AS sum_cents,
+       COALESCE(c.c_mktsegment, '') AS c_mktsegment
+FROM e FULL OUTER JOIN c ON e.user_id = c.c_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q: time-weighted value per user — each interval between consecutive events
+# carries the STARTING value for floor((t2-t1)/1s) seconds; the sum and the
+# time-weighted average are exact int64 arithmetic plus ONE int/int division
+# (so doubles bit-match DuckDB). Users with no positive-duration interval
+# are excluded on both engines. Bucket-parallel lag, per-user exact sums.
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_value(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"user_id": [], "weight_sum": [], "dur_s": [], "twa_cents": []}
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "weight_sum": "int64",
+                    "dur_s": "int64",
+                    "twa_cents": "float64",
+                }
+            )
+        same = u[1:] == u[:-1]
+        dt_s = (ts[1:] - ts[:-1]) // 1_000_000
+        w = cents[:-1] * dt_s
+        df = pd.DataFrame(
+            {"user_id": u[:-1][same], "w": w[same], "d": dt_s[same]}
+        )
+        out = df.groupby("user_id", as_index=False, sort=False).agg(
+            weight_sum=("w", "sum"), dur_s=("d", "sum")
+        )
+        out = out[out["dur_s"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "weight_sum": out["weight_sum"].astype("int64"),
+                "dur_s": out["dur_s"].astype("int64"),
+                "twa_cents": out["weight_sum"].to_numpy(dtype=np.int64)
+                / out["dur_s"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(twa, batch_format="pandas")
+    )
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts)) // 1000000 AS dt_s
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(cents * dt_s) AS BIGINT) AS weight_sum,
+         CAST(sum(dt_s) AS BIGINT) AS dur_s
+  FROM iv WHERE dt_s IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, weight_sum, dur_s,
+       CAST(weight_sum AS DOUBLE) / dur_s AS twa_cents
+FROM agg WHERE dur_s > 0
+"""
+
+# ---------------------------------------------------------------------------
+# Q: distributed triangle counting — the generic wedge-join algorithm (NOT a
+# locality shortcut): edges (i → i+j, j ∈ 1..3) over the dense doc_id space;
+# stage 1 joins E(a,b) ⋈ E(b,c) per b-bucket into wedges, stage 2 verifies
+# each wedge's closing (a,c) edge per pair-hash bucket. All edges are
+# src < dst so each triangle counts exactly once. The oracle re-counts with
+# a three-way SQL self-join.
+# ---------------------------------------------------------------------------
+
+_TRI_JMAX = 3
+
+
+def _tri_edges(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    m = int(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .max()
+    )
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, _TRI_JMAX + 1):
+            keep = ids + j <= m
+            srcs.append(ids[keep])
+            dsts.append(ids[keep] + j)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs)),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(edges_of, batch_format="pyarrow")
+
+
+def _pair_bucket(a: np.ndarray, c: np.ndarray, n_buckets: int) -> np.ndarray:
+    h = (a.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) ^ c.astype(np.uint64)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def q_triangle_count(sf_dir: str):
+    edges = _tri_edges(sf_dir).materialize()
+    n_buckets = _key_buckets(edges.count())
+
+    # stage 1: wedges (a,b,c) = E(a,b) ⋈ E(b,c), bucketed by the middle node
+    def tag_ab(t: pa.Table) -> pa.Table:
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(b, n_buckets)),
+                "side": pa.array(["ab"] * t.num_rows),
+                "x": t["src"],
+                "mid": t["dst"],
+            }
+        )
+
+    def tag_bc(t: pa.Table) -> pa.Table:
+        b = t["src"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(b, n_buckets)),
+                "side": pa.array(["bc"] * t.num_rows),
+                "x": t["dst"],
+                "mid": t["src"],
+            }
+        )
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "ab"][["x", "mid"]].rename(columns={"x": "a"})
+        right = g[g["side"] == "bc"][["x", "mid"]].rename(columns={"x": "c"})
+        w = left.merge(right, on="mid")
+        return pd.DataFrame(
+            {"a": w["a"].astype("int64"), "c": w["c"].astype("int64")}
+        )
+
+    wedges = (
+        edges.map_batches(tag_ab, batch_format="pyarrow")
+        .union(edges.map_batches(tag_bc, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(wedge_bucket, batch_format="pandas")
+    )
+
+    # stage 2: closing-edge verify, bucketed by the (a,c) pair hash
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_pair_bucket(a, c, n_buckets)),
+                "side": pa.array(["w"] * t.num_rows),
+                "a": pa.array(a),
+                "c": pa.array(c),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_pair_bucket(a, c, n_buckets)),
+                "side": pa.array(["e"] * t.num_rows),
+                "a": pa.array(a),
+                "c": pa.array(c),
+            }
+        )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["side"] == "w"][["a", "c"]]
+        e = g[g["side"] == "e"][["a", "c"]].drop_duplicates()
+        n = len(w.merge(e, on=["a", "c"]))
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+
+    parts = (
+        wedges.map_batches(tag_wedge, batch_format="pyarrow")
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_triangles": pd.Series([parts["n"].sum()], dtype="int64")})
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e AS (
+  SELECT doc_id AS src, doc_id + j.j AS dst
+  FROM documents, mx, (VALUES (1), (2), (3)) AS j(j)
+  WHERE doc_id + j.j <= m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4645,4 +5337,13 @@ SQL_QUERIES: dict[str, tuple] = {
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
     "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "transition_counts": (q_transition_counts, SQL_TRANSITION_COUNTS),
+    "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
+    "event_gap_hist": (q_event_gap_hist, SQL_EVENT_GAP_HIST),
+    "jaccard_types": (q_jaccard_types, SQL_JACCARD_TYPES),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "full_outer_rollup": (q_full_outer_rollup, SQL_FULL_OUTER_ROLLUP),
+    "time_weighted_value": (q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }
