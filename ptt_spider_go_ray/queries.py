@@ -5255,6 +5255,169 @@ JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """
 
 # ---------------------------------------------------------------------------
+# Q: bigram PMI (collocation mining) — for the top-20 bigrams by count, the
+# pointwise-mutual-information ratio p(ab) / (p(a)·p(b)) against unigram
+# frequencies. All counts are exact int64 from distributed combiners; the
+# double is computed in ONE fixed IEEE op order — (n_ab/B) / ((n_a/N)·(n_b/N))
+# — mirrored verbatim in the SQL, so it bit-matches. The tiny top-K and its
+# ≤ 2K unigrams resolve driver-side (O(K) rows); corpora never materialize.
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_pmi(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        flat = (
+            np.concatenate([np.array(t, dtype=object) for t in toks])
+            if len(toks)
+            else np.array([], dtype=object)
+        )
+        if not len(flat):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        words, counts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table(
+            {"word": pa.array(words.astype(str)), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    def bi_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lists = [np.asarray(t, dtype=object) for t in toks if len(t) >= 2]
+        if not lists:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(lists)
+        ends = np.cumsum(np.fromiter((len(x) for x in lists), dtype=np.int64))
+        mask = np.ones(len(flat) - 1, dtype=bool)
+        mask[ends[:-1] - 1] = False
+        big = (flat[:-1][mask] + " ") + flat[1:][mask]
+        grams, counts = np.unique(big.astype(str), return_counts=True)
+        return pa.table(
+            {"bigram": pa.array(grams.astype(str)), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    n_total = int(uni.sum("n"))
+    b_total = int(bi.sum("n"))
+    top = bi.sort(["n", "bigram"], descending=[True, False]).limit(BIGRAM_K).to_pandas()
+    words = set()
+    for g in top["bigram"]:
+        a, b = g.split(" ")
+        words.update((a, b))
+    wanted = sorted(words)
+    # distributed filter → ≤ 2K unigram rows reach the driver
+    ucnt = {
+        r["word"]: int(r["n"])
+        for r in uni.filter(
+            expr=f"word in {wanted!r}"
+        ).take_all()
+    }
+    n_ab = top["n"].to_numpy(dtype=np.int64)
+    n_a = np.array([ucnt[g.split(" ")[0]] for g in top["bigram"]], dtype=np.int64)
+    n_b = np.array([ucnt[g.split(" ")[1]] for g in top["bigram"]], dtype=np.int64)
+    pmi = (n_ab / b_total) / ((n_a / n_total) * (n_b / n_total))
+    return pd.DataFrame(
+        {
+            "bigram": top["bigram"],
+            "n_ab": n_ab,
+            "n_a": n_a,
+            "n_b": n_b,
+            "pmi_ratio": pmi,
+        }
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+u AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+nn AS (SELECT sum(n) AS n_total FROM uc),
+b AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+bt AS (SELECT sum(n) AS b_total FROM bc),
+top AS (SELECT bigram, n FROM bc ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_K})
+SELECT top.bigram,
+       CAST(top.n AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a,
+       CAST(ub.n AS BIGINT) AS n_b,
+       (CAST(top.n AS DOUBLE) / bt.b_total)
+         / ((CAST(ua.n AS DOUBLE) / nn.n_total)
+            * (CAST(ub.n AS DOUBLE) / nn.n_total)) AS pmi_ratio
+FROM top
+CROSS JOIN bt CROSS JOIN nn
+JOIN uc ua ON ua.w = split_part(top.bigram, ' ', 1)
+JOIN uc ub ON ub.w = split_part(top.bigram, ' ', 2)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-dimension embedding extremes — min/max over every coordinate of the
+# list<float> column (feature-range audit before normalization). Per-batch
+# vectorized partials (2 rows × dims), driver merge; float32 → float64 is
+# exact, and min/max never reorder-drift. Oracle uses DuckDB's zipped unnest.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_extremes(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0).astype(np.float64)),
+                "hi": pa.array(m.max(axis=0).astype(np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    out = parts.groupby("dim", as_index=False).agg(lo=("lo", "min"), hi=("hi", "max"))
+    return out.astype({"dim": "int64", "lo": "float64", "hi": "float64"})
+
+
+SQL_EMBEDDING_DIM_EXTREMES = """
+WITH x AS (
+  SELECT unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(min(val) AS DOUBLE) AS lo,
+       CAST(max(val) AS DOUBLE) AS hi
+FROM x GROUP BY dim
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5346,4 +5509,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "full_outer_rollup": (q_full_outer_rollup, SQL_FULL_OUTER_ROLLUP),
     "time_weighted_value": (q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "embedding_dim_extremes": (q_embedding_dim_extremes, SQL_EMBEDDING_DIM_EXTREMES),
 }

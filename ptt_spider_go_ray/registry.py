@@ -270,6 +270,25 @@ def _approx_quantiles_per_type(sf_dir: str):
     return approx_quantiles_by(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def _cms_user_counts(sf_dir: str):
+    """Count-Min sketch point frequencies for a deterministic probe set
+    (user_id % 7 == 0, first 64): per-batch partial sketches merged on the
+    driver — approximate (always ≥ exact) → rows-only; pytest asserts the
+    e·N/width overestimate bound vs exact counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .stages.sketch import cms_estimate_by
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hi = ds.max("user_id")
+    probes = np.arange(0, hi + 1, dtype=np.int64)
+    probes = probes[probes % 7 == 0][:64]
+    est, _n = cms_estimate_by(ds, "user_id", probes)
+    return pd.DataFrame({"user_id": probes, "est_n": est.astype(np.int64)})
+
+
 def _kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over embeddings (iterative ML on Ray Data:
     broadcast centroids → per-batch matmul partials → driver reduce). Rows-only
@@ -343,6 +362,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "kmeans_clusters": _kmeans_clusters,
     "pagerank_chain": _pagerank_chain,
     "approx_distinct_users_per_type": _approx_distinct_users_per_type,
+    "cms_user_counts": _cms_user_counts,
     "render_markdown": _render_markdown,
     "flagship_write_roundtrip": _flagship_write_roundtrip,
 }

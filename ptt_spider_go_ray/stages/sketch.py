@@ -309,3 +309,86 @@ class SpaceSaving:
         s = cls(capacity)
         s.counts = dict(zip(t["key"].to_pylist(), t["n"].to_pylist()))
         return s
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth×width counter
+    matrix; point estimates are the MIN over depth rows, always ≥ the true
+    count, with overestimate ≤ e·N/width at probability 1 − e^−depth. The d
+    row hashes derive from one 64-bit hash via Kirsch–Mitzenmacher double
+    hashing (h1 + i·h2). Mergeable by elementwise sum — at 100 TB each block
+    contributes one depth×width int64 matrix and the shuffle never moves the
+    key-frequency distribution itself (same discipline as HLL/KLL above)."""
+
+    def __init__(self, width: int = 8192, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n_total = 0
+
+    @staticmethod
+    def _h12(values) -> tuple[np.ndarray, np.ndarray]:
+        arr = np.asarray(values, dtype=object)
+        h1 = pd.util.hash_array(arr)
+        h2 = pd.util.hash_array(arr, hash_key="cms2cms2cms2cms2") | np.uint64(1)
+        return h1, h2
+
+    def add_many(self, values, counts=None) -> None:
+        h1, h2 = self._h12(values)
+        c = (
+            np.ones(len(h1), dtype=np.int64)
+            if counts is None
+            else np.asarray(counts, dtype=np.int64)
+        )
+        for i in range(self.depth):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.table[i], idx, c)
+        self.n_total += int(c.sum())
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        self.n_total += other.n_total
+        return self
+
+    def estimate_many(self, values) -> np.ndarray:
+        h1, h2 = self._h12(values)
+        est = np.full(len(h1), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.depth):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(self.width)).astype(np.int64)
+            np.minimum(est, self.table[i][idx], out=est)
+        return est
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.width, self.depth, self.n_total], dtype=np.int64)
+        return head.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        head = np.frombuffer(b[:24], dtype=np.int64)
+        s = cls(int(head[0]), int(head[1]))
+        s.n_total = int(head[2])
+        s.table = (
+            np.frombuffer(b[24:], dtype=np.int64)
+            .reshape(s.depth, s.width)
+            .copy()
+        )
+        return s
+
+
+def cms_estimate_by(ds, column: str, probes, width: int = 8192, depth: int = 4):
+    """Frequency point-estimates for ``probes`` from a CMS built with
+    per-batch partial sketches merged on the driver (each partial is
+    depth×width int64 — no value shuffle). Returns (estimates, n_total)."""
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth)
+        keys, counts = np.unique(
+            np.asarray(t[column].to_pylist(), dtype=object), return_counts=True
+        )
+        s.add_many(keys, counts)
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.large_binary())})
+
+    acc = CountMinSketch(width, depth)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        acc.merge(CountMinSketch.from_bytes(row["sketch"]))
+    return acc.estimate_many(probes), acc.n_total

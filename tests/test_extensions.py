@@ -518,6 +518,52 @@ def test_approx_distinct_pipeline(ray_session):
     assert abs(est - exact) / max(exact, 1) < 0.1
 
 
+# --- Count-Min sketch --------------------------------------------------------
+
+
+def test_cms_bound_and_merge():
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    keys = rng.zipf(1.5, size=20000) % 500  # skewed key distribution
+    a, b = CountMinSketch(width=2048, depth=4), CountMinSketch(width=2048, depth=4)
+    a.add_many(keys[:10000])
+    b.add_many(keys[10000:])
+    a.merge(b)
+    probes = np.arange(500)
+    est = a.estimate_many(probes)
+    exact = np.bincount(keys.astype(np.int64), minlength=500)
+    assert (est >= exact).all()  # CMS never underestimates
+    bound = np.e * len(keys) / 2048  # ε·N with ε = e/width
+    assert (est - exact <= bound).all()
+    # serialization roundtrip preserves estimates exactly
+    c = CountMinSketch.from_bytes(a.to_bytes())
+    assert (c.estimate_many(probes) == est).all()
+    assert c.n_total == a.n_total == 20000
+
+
+def test_cms_pipeline_vs_exact(ray_session):
+    import duckdb
+    import numpy as np
+
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+
+    got = EXTRA_QUERIES["cms_user_counts"](SF)
+    exact = duckdb.sql(
+        f"SELECT user_id, count(*) AS n FROM read_parquet('{SF}/events.parquet') "
+        "GROUP BY user_id"
+    ).df()
+    em = dict(zip(exact["user_id"], exact["n"]))
+    n_total = int(exact["n"].sum())
+    bound = np.e * n_total / 8192
+    for uid, est in zip(got["user_id"], got["est_n"]):
+        true = int(em.get(uid, 0))
+        assert est >= true
+        assert est - true <= bound
+
+
 # --- CC broadcast guard (adversarial all-dups input) ------------------------
 
 
