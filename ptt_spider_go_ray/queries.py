@@ -5418,6 +5418,179 @@ FROM x GROUP BY dim
 """
 
 # ---------------------------------------------------------------------------
+# Q: dense top-k VALUES with ties (dense_rank ≤ 3) — every event whose value
+# is among its type's 3 highest DISTINCT values. Different semantics from
+# row_number top-k (top3_per_user): ties all survive. Two-phase: per-batch
+# partial top-3 distinct values per type (tiny), driver merge → broadcast
+# threshold set → streaming filter. No shuffle at all.
+# ---------------------------------------------------------------------------
+
+_DENSE_K = 3
+
+
+def q_dense_topk_values(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        top = (
+            df[["event_type", "value"]]
+            .drop_duplicates()
+            .sort_values("value", ascending=False)
+            .groupby("event_type", sort=False)
+            .head(_DENSE_K)
+        )
+        return _arrow_out(top)
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    top = (
+        parts.drop_duplicates()
+        .sort_values("value", ascending=False)
+        .groupby("event_type", sort=False)
+        .head(_DENSE_K)
+    )
+    keep = {
+        t: set(g["value"]) for t, g in top.groupby("event_type", sort=False)
+    }
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            v in keep.get(t, ())
+            for t, v in zip(df["event_type"], df["value"])
+        ]
+        out = df[np.asarray(mask, dtype=bool)]
+        return out[["event_id", "event_type", "value"]]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+SQL_DENSE_TOPK_VALUES = f"""
+WITH r AS (
+  SELECT event_id, event_type, value,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS dr
+  FROM events
+)
+SELECT event_id, event_type, value FROM r WHERE dr <= {_DENSE_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: pagination (ORDER BY ... LIMIT k OFFSET n) — rows 1000..1019 of the
+# global (value DESC, event_id ASC) order. Distributed: sort once, then the
+# driver reads only per-block ROW COUNTS (O(blocks) scalars) to locate the
+# offset window, and slices just the one or two blocks that intersect it —
+# no block outside the window is ever fetched.
+# ---------------------------------------------------------------------------
+
+_PAGE_OFFSET = 1000
+_PAGE_LIMIT = 20
+
+
+def q_page_slice(sf_dir: str):
+    import ray
+
+    ds = (
+        _read(sf_dir, "events", columns=["event_id", "value"])
+        .sort(["value", "event_id"], descending=[True, False])
+        .materialize()
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def slice_block(t: pa.Table, lo: int, hi: int) -> pa.Table:
+        return t.slice(lo, hi - lo)
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    lo, hi = _PAGE_OFFSET, _PAGE_OFFSET + _PAGE_LIMIT
+    picked = []
+    start = 0
+    for r, n in zip(refs, counts):
+        end = start + n
+        if end > lo and start < hi:
+            picked.append(slice_block.remote(r, max(lo - start, 0), min(hi - start, n)))
+        start = end
+    parts = [t for t in ray.get(picked) if t.num_rows]
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {"event_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+    )
+    df = out.to_pandas()
+    df["page_rank"] = np.arange(_PAGE_OFFSET, _PAGE_OFFSET + len(df), dtype=np.int64)
+    return df
+
+
+SQL_PAGE_SLICE = f"""
+SELECT event_id, value,
+       CAST(row_number() OVER (ORDER BY value DESC, event_id ASC) - 1 AS BIGINT)
+         AS page_rank
+FROM events
+ORDER BY value DESC, event_id ASC
+LIMIT {_PAGE_LIMIT} OFFSET {_PAGE_OFFSET}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: correlated-subquery shape — orders strictly above their customer's
+# average order value. The comparison is EXACT integer cross-multiplication
+# (price_cents · n_orders > sum_cents ⟺ price > avg), so no float-average
+# drift can split the engines. Bucket-parallel per-customer rollup + filter
+# in one co-located pass.
+# ---------------------------------------------------------------------------
+
+
+def q_above_avg_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "cents": cents,
+            }
+        )
+        grp = df.groupby("o_custkey", sort=False)["cents"]
+        n = grp.transform("size").to_numpy(dtype=np.int64)
+        s = grp.transform("sum").to_numpy(dtype=np.int64)
+        keep = df["cents"].to_numpy() * n > s
+        out = df[keep]
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "o_custkey": out["o_custkey"].astype("int64"),
+                "price_cents": out["cents"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+SQL_ABOVE_AVG_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         count(*) OVER (PARTITION BY o_custkey) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS s
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, price_cents
+FROM o WHERE price_cents * n > s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5511,4 +5684,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bigram_pmi": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "embedding_dim_extremes": (q_embedding_dim_extremes, SQL_EMBEDDING_DIM_EXTREMES),
+    "dense_topk_values": (q_dense_topk_values, SQL_DENSE_TOPK_VALUES),
+    "page_slice": (q_page_slice, SQL_PAGE_SLICE),
+    "above_avg_orders": (q_above_avg_orders, SQL_ABOVE_AVG_ORDERS),
 }
