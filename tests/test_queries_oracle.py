@@ -384,3 +384,154 @@ def test_pareto_front_ties(ray_session, tmp_path):
     want = canon(con.sql(SQL_PARETO_FRONT).df())
     pd.testing.assert_frame_equal(got, want)
     assert set(got["user_id"]) == {1, 3, 5}
+
+
+def _duck_on(tmp_path, sql: str, tables: list[str]) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def test_full_outer_rollup_both_null_sides(ray_session, tmp_path):
+    """Users without a matching customer AND customers without events must
+    both survive with coalesced zero/'' fills, exactly as the SQL does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_FULL_OUTER_ROLLUP, q_full_outer_rollup
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "user_id": pa.array([0, 1, 1, 2], pa.int64()),  # 1,2 ∉ slice
+                "value": pa.array([10.0, 5.0, 5.0, 7.5], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([0, 3, 6, 7], pa.int64()),  # 3,6 no events
+                "c_mktsegment": pa.array(["A", "B", "C", "D"], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    got = canon(to_pandas(q_full_outer_rollup(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_FULL_OUTER_ROLLUP, ["events", "customer"]))
+    pd.testing.assert_frame_equal(got, want)
+    # event-only users got '' segments; customer-only keys got 0 counts
+    assert set(got.loc[got["c_mktsegment"] == "", "join_key"]) == {1, 2}
+    assert set(got.loc[got["n_events"] == 0, "join_key"]) == {3, 6}
+
+
+def test_time_weighted_value_zero_duration_and_singletons(ray_session, tmp_path):
+    """Users whose intervals all floor to 0 s and single-event users are
+    excluded on both engines; a normal user's sums are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_TIME_WEIGHTED_VALUE,
+        q_time_weighted_value,
+    )
+
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: two events 10s apart, value 2.00 at start → weight 200*10
+        (0, 1, base, 2.0),
+        (1, 1, base + 10_000_000, 9.0),
+        # user 2: two events 1 us apart (floors to 0s) → excluded
+        (2, 2, base, 5.0),
+        (3, 2, base + 1, 6.0),
+        # user 3: single event → excluded
+        (4, 3, base, 7.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_time_weighted_value(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_TIME_WEIGHTED_VALUE, ["events"]))
+    pd.testing.assert_frame_equal(got, want)
+    assert got["user_id"].tolist() == [1]
+    assert got["weight_sum"].tolist() == [2000]
+    assert got["dur_s"].tolist() == [10]
+
+
+def test_page_slice_input_smaller_than_offset(ray_session, tmp_path):
+    """A table smaller than the OFFSET yields an empty page on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_PAGE_SLICE, q_page_slice
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(50), pa.int64()),
+                "value": pa.array([float(i) for i in range(50)], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = to_pandas(q_page_slice(str(tmp_path)))
+    want = _duck_on(tmp_path, SQL_PAGE_SLICE, ["events"])
+    assert len(got) == 0 and len(want) == 0
+    assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_triangle_count_k4(ray_session, tmp_path):
+    """docs 0..3 with (+1,+2,+3) edges form K4 → exactly C(4,3)=4 triangles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_TRIANGLE_COUNT, q_triangle_count
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())}),
+        tmp_path / "documents.parquet",
+    )
+    got = to_pandas(q_triangle_count(str(tmp_path)))
+    want = _duck_on(tmp_path, SQL_TRIANGLE_COUNT, ["documents"])
+    assert got["n_triangles"].tolist() == want["n_triangles"].tolist() == [4]
+
+
+def test_dense_topk_values_ties_all_kept(ray_session, tmp_path):
+    """A tie at the 3rd-highest DISTINCT value keeps every tied row (the
+    dense_rank ≤ 3 semantics that row_number top-k would break)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_DENSE_TOPK_VALUES, q_dense_topk_values
+
+    vals = [9.0, 9.0, 8.0, 7.0, 7.0, 7.0, 6.0, 5.0]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "event_type": pa.array(["t"] * len(vals), pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_dense_topk_values(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_DENSE_TOPK_VALUES, ["events"]))
+    pd.testing.assert_frame_equal(got, want)
+    # distinct top-3 values are 9,8,7 → six rows (three 7.0 ties all kept)
+    assert len(got) == 6
