@@ -1051,17 +1051,23 @@ FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 
 def _join_partitions(sf_dir: str, left: str, right: str,
                      rows_per_partition: int = 2_000_000) -> int:
-    """Partition count for native hash joins: 8 until the combined input
-    outgrows rows_per_partition-per-partition, then linear in data size.
-    Each partition costs a shuffle-aggregator actor, so over-partitioning
-    small inputs is pure overhead (measured: 8 -> 32 partitions on a 750k-row
-    join triples wall time on this box)."""
+    """Partition count for native hash joins: 1 for tiny inputs, 8 until the
+    combined input outgrows rows_per_partition-per-partition, then linear in
+    data size. Each partition costs a shuffle-aggregator actor, so
+    over-partitioning small inputs is pure overhead (measured: 8 -> 32
+    partitions on a 750k-row join triples wall time on this box). The
+    single-partition floor for <50k rows also sidesteps a Ray 2.49 flake
+    where an aggregator can finalize a partition that received no blocks
+    from one side, handing acero a zero-column table ("No match ... for key
+    field reference" crash, seen at sf0.001 under num_cpus=32)."""
     import pyarrow.parquet as pq
 
     n = sum(
         pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
         for t in (left, right)
     )
+    if n < 50_000:
+        return 1
     return max(8, -(-n // rows_per_partition))
 
 
@@ -5450,17 +5456,11 @@ def q_dense_topk_values(sf_dir: str):
         .groupby("event_type", sort=False)
         .head(_DENSE_K)
     )
-    keep = {
-        t: set(g["value"]) for t, g in top.groupby("event_type", sort=False)
-    }
+    keep = pd.MultiIndex.from_arrays([top["event_type"], top["value"]])
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
-        mask = [
-            v in keep.get(t, ())
-            for t, v in zip(df["event_type"], df["value"])
-        ]
-        out = df[np.asarray(mask, dtype=bool)]
-        return out[["event_id", "event_type", "value"]]
+        mask = pd.MultiIndex.from_arrays([df["event_type"], df["value"]]).isin(keep)
+        return df.loc[mask, ["event_id", "event_type", "value"]]
 
     return ds.map_batches(flt, batch_format="pandas")
 
@@ -5591,6 +5591,57 @@ FROM o WHERE price_cents * n > s
 """
 
 # ---------------------------------------------------------------------------
+# Q: cumulative DISTINCT count window — each event's running number of
+# distinct event types its user has seen so far (the "novelty curve"; plain
+# SQL window frames can't COUNT(DISTINCT), so both engines derive it as a
+# running sum of first-occurrence flags). Bucket-parallel: per-user sorted
+# duplicated() + cumsum, all C-speed.
+# ---------------------------------------------------------------------------
+
+
+def q_cum_distinct_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def curve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        first = (~g.duplicated(["user_id", "event_type"])).astype(np.int64)
+        run = first.groupby(g["user_id"], sort=False).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "n_types_seen": run.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(curve, batch_format="pandas")
+    )
+
+
+SQL_CUM_DISTINCT_TYPES = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_types_seen
+FROM f
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5687,4 +5738,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "dense_topk_values": (q_dense_topk_values, SQL_DENSE_TOPK_VALUES),
     "page_slice": (q_page_slice, SQL_PAGE_SLICE),
     "above_avg_orders": (q_above_avg_orders, SQL_ABOVE_AVG_ORDERS),
+    "cum_distinct_types": (q_cum_distinct_types, SQL_CUM_DISTINCT_TYPES),
 }
