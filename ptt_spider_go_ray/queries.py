@@ -5642,6 +5642,452 @@ FROM f
 """
 
 # ---------------------------------------------------------------------------
+# Q: GROUPING SETS rollup — (status, priority) / (status) / () subtotal
+# levels from ONE combiner pass: per-batch partials at the finest grain
+# (bounded by the status×priority domain, ~15 rows each), a driver merge,
+# then the coarser levels are derived by re-aggregating the merged finest
+# level. Exact integer cents; zero shuffles; the multi-level analog of
+# q_orders_rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(sf_dir: str):
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "n": 1,
+                "cents": np.rint(df["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        ).groupby(["o_orderstatus", "o_orderpriority"], as_index=False).sum()
+        return _arrow_out(g.astype({"n": "int64", "cents": "int64"}))
+
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    fine = part.groupby(
+        ["o_orderstatus", "o_orderpriority"], as_index=False
+    )[["n", "cents"]].sum()
+    mid = fine.groupby("o_orderstatus", as_index=False)[["n", "cents"]].sum()
+    mid["o_orderpriority"] = None
+    top = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n": [fine["n"].sum()],
+            "cents": [fine["cents"].sum()],
+        }
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "n", "cents"]
+    out = pd.concat(
+        [fine[cols], mid[cols], top[cols]], ignore_index=True
+    ).rename(columns={"n": "n_orders", "cents": "total_cents"})
+    # object dtype for the nullable key columns (matches DuckDB's strings)
+    out["o_orderstatus"] = out["o_orderstatus"].astype(object)
+    out["o_orderpriority"] = out["o_orderpriority"].astype(object)
+    return out.astype({"n_orders": "int64", "total_cents": "int64"})
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-user Shannon entropy of the event-type distribution — a behavioral
+# feature / corpus-diversity signal. Bucket-parallel: counts per (user,
+# type) are a C-speed pandas groupby inside each hash bucket, the entropy
+# itself is one vectorized -p·log2(p) pass. Counts are exact integers; only
+# the final log/divide is floating point, rounded to 1e-6 on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_user_entropy(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        n = c.groupby("user_id", sort=False)["c"].transform("sum").to_numpy()
+        p = c["c"].to_numpy() / n
+        terms = pd.DataFrame({"user_id": c["user_id"], "t": -p * np.log2(p)})
+        out = terms.groupby("user_id", as_index=False, sort=False)["t"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64").to_numpy(),
+                "entropy_e6": np.rint(out["t"].to_numpy() * 1e6).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(entropy, batch_format="pandas")
+        .select_columns(["user_id", "entropy_e6"])
+    )
+
+
+SQL_USER_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(round(sum(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                      * log2(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS entropy_e6
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: median absolute deviation per group — NESTED exact order statistics
+# (median of |x - median(x)|) in two histogram passes, zero shuffles: each
+# pass emits per-batch (type, cents, n) partials merged on the driver
+# (bounded by the CENTS DOMAIN × #types, the value_histogram/collision_rank
+# assumption — not the row count). All selection is exact integer
+# arithmetic in HALF-cents (2c − 2·median avoids the x.5-cent median); the
+# final quarter-cent division is exact in binary floating point, so the
+# interpolated result matches DuckDB's median() bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _median2_from_hist(merged: pd.DataFrame) -> dict[str, int]:
+    """Per-type 2×median (exact int) from a merged (event_type, c, n)
+    histogram: rank floor/ceil((n−1)/2) via cumsum + searchsorted."""
+    out: dict[str, int] = {}
+    for et, sub in merged.groupby("event_type"):
+        sub = sub.sort_values("c")
+        w = sub["n"].to_numpy()
+        v = sub["c"].to_numpy()
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        out[et] = lo + hi
+    return out
+
+
+def q_mad_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "c": c, "n": 1}
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    part = ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    med2 = _median2_from_hist(
+        part.groupby(["event_type", "c"], as_index=False)["n"].sum()
+    )
+
+    def dev_partial(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        m2 = df["event_type"].map(med2).to_numpy(dtype=np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "c": np.abs(2 * c - m2),
+                "n": 1,
+            }
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    dev = ds.map_batches(
+        dev_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    mad4 = _median2_from_hist(
+        dev.groupby(["event_type", "c"], as_index=False)["n"].sum()
+    )  # 4×MAD in half-cent units
+    ets = sorted(mad4)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "mad_cents": np.array([mad4[e] for e in ets], np.float64) / 4.0,
+        }
+    )
+
+
+SQL_MAD_PER_TYPE = """
+WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, median(c) AS med FROM c GROUP BY 1),
+d AS (SELECT c.event_type, abs(CAST(c.c AS DOUBLE) - m.med) AS dev
+      FROM c JOIN m USING (event_type))
+SELECT event_type, median(dev) AS mad_cents FROM d GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: sweep-line max concurrency — the maximum number of simultaneously open
+# intervals [ts, ts + value seconds) per event_type. Each event becomes a
+# (+1 at start, −1 at end) delta; after ONE distributed sort by (type, t,
+# d) the per-type max prefix sum is a SEGMENTED SCAN: every block computes
+# (sum, max-prefix) per contiguous type run in parallel, and the driver
+# folds O(blocks × types) tiny partials with the associative combine
+# (s1,m1)⊕(s2,m2) = (s1+s2, max(m1, s1+m2)). Ends sort before starts at
+# the same instant, so zero-length and back-to-back intervals don't count
+# as overlapping — the same tie rule the SQL window uses.
+# ---------------------------------------------------------------------------
+
+
+def q_max_concurrency(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        et = t["event_type"].to_pandas().to_numpy()
+        n = len(et)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate([et, et])),
+                "t": pa.array(np.concatenate([ts_us, ts_us + dur])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), -np.ones(n, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    dd = (
+        ds.map_batches(deltas, batch_format="pyarrow")
+        .sort(["event_type", "t", "d"])
+        .materialize()
+    )
+    refs = [br for b in dd.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def seg_partial(t: pa.Table) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        d = t["d"].to_numpy(zero_copy_only=False)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        segs = []
+        for i in range(len(bounds) - 1):
+            cs = np.cumsum(d[bounds[i]:bounds[i + 1]])
+            segs.append((et[bounds[i]], int(cs[-1]), int(cs.max())))
+        return segs
+
+    out_et: list[str] = []
+    out_max: list[int] = []
+    cur = None
+    csum = 0
+    cmax = -(10 ** 18)
+    for segs in ray.get([seg_partial.remote(r) for r in refs]):
+        for et, s, m in segs:
+            if et != cur:
+                if cur is not None:
+                    out_et.append(cur)
+                    out_max.append(cmax)
+                cur, csum, cmax = et, 0, -(10 ** 18)
+            cmax = max(cmax, csum + m)
+            csum += s
+    if cur is not None:
+        out_et.append(cur)
+        out_max.append(cmax)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(out_et, dtype=object),
+            "max_concurrent": np.array(out_max, np.int64),
+        }
+    )
+
+
+SQL_MAX_CONCURRENCY = """
+WITH pts AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) + CAST(round(value*1000000) AS BIGINT),
+         -1
+  FROM events
+),
+run AS (SELECT event_type,
+               sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS cur
+        FROM pts)
+SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q: deterministic multi-epoch training-shuffle plan — every document gets
+# a seeded pseudo-random POSITION per epoch (the "global shuffle" a
+# training loader needs, reproducible across runs and resumable mid-epoch).
+# The hash is masked 32-bit multiplicative (identical integer arithmetic on
+# both engines); the per-epoch rank is a distributed sort + per-block row
+# offsets (the page_slice pattern) — no driver-side rows, output stays a
+# Dataset via from_arrow_refs.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_EPOCHS = 2
+
+
+def q_epoch_shuffle(sf_dir: str):
+    import ray
+    import ray.data
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        outs = []
+        for ep in range(_SHUFFLE_EPOCHS):
+            h = (
+                (ids % np.uint64(2 ** 32)) * np.uint64(_SAMPLE_MULT)
+                + np.uint64(ep * 40503)
+            ) % np.uint64(2 ** 32)
+            outs.append(
+                pa.table(
+                    {
+                        "epoch": pa.array(np.full(len(ids), ep, np.int64)),
+                        "doc_id": pa.array(ids.astype(np.int64)),
+                        "h": pa.array(h.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    dd = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .sort(["epoch", "h", "doc_id"])
+        .materialize()
+    )
+    refs = [br for b in dd.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def epoch_runs(t: pa.Table) -> list[tuple]:
+        ep = t["epoch"].to_numpy(zero_copy_only=False)
+        if len(ep) == 0:
+            return []
+        change = np.nonzero(ep[1:] != ep[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(ep)]]).astype(np.int64)
+        return [
+            (int(ep[bounds[i]]), int(bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
+
+    cum: dict[int, int] = {}
+    per_block_offs: list[list[tuple]] = []
+    for runs in ray.get([epoch_runs.remote(r) for r in refs]):
+        offs = []
+        for ep, n in runs:
+            offs.append((ep, cum.get(ep, 0), n))
+            cum[ep] = cum.get(ep, 0) + n
+        per_block_offs.append(offs)
+
+    @ray.remote
+    def assign(t: pa.Table, offs: list[tuple]) -> pa.Table:
+        pos = np.empty(t.num_rows, np.int64)
+        i = 0
+        for _ep, start, n in offs:
+            pos[i:i + n] = np.arange(start, start + n, dtype=np.int64)
+            i += n
+        return t.select(["epoch", "doc_id"]).append_column(
+            "pos", pa.array(pos)
+        )
+
+    return ray.data.from_arrow_refs(
+        [assign.remote(r, offs) for r, offs in zip(refs, per_block_offs)]
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+h AS (SELECT epoch, doc_id,
+        (CAST(doc_id % 4294967296 AS HUGEINT) * {_SAMPLE_MULT}
+         + epoch * 40503) % 4294967296 AS h
+      FROM documents CROSS JOIN e)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# Q: tokenizer fertility per language — tokens-per-character by lang, the
+# standard multilingual corpus-budgeting statistic. Exact integer sums via
+# per-batch combiner partials; one tiny driver merge (≤ #langs rows).
+# ---------------------------------------------------------------------------
+
+
+def q_fertility_per_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        text = df["text"].fillna("")
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "n_docs": 1,
+                "n_tokens": text.str.split().str.len().astype("int64"),
+                "n_chars": text.str.len().astype("int64"),
+            }
+        ).groupby("lang", as_index=False).sum()
+        return _arrow_out(
+            g.astype({"n_docs": "int64", "n_tokens": "int64", "n_chars": "int64"})
+        )
+
+    part = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    out = part.groupby("lang", as_index=False)[
+        ["n_docs", "n_tokens", "n_chars"]
+    ].sum()
+    out["fert_e6"] = np.rint(
+        out["n_tokens"].to_numpy() / out["n_chars"].to_numpy() * 1e6
+    ).astype(np.int64)
+    out["lang"] = out["lang"].astype(object)
+    return out.astype(
+        {"n_docs": "int64", "n_tokens": "int64", "n_chars": "int64"}
+    )
+
+
+SQL_FERTILITY_PER_LANG = r"""
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)
+     AS BIGINT) AS n_tokens,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(round(CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)
+     AS DOUBLE) / sum(length(text)) * 1000000) AS BIGINT) AS fert_e6
+FROM documents GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5739,4 +6185,10 @@ SQL_QUERIES: dict[str, tuple] = {
     "page_slice": (q_page_slice, SQL_PAGE_SLICE),
     "above_avg_orders": (q_above_avg_orders, SQL_ABOVE_AVG_ORDERS),
     "cum_distinct_types": (q_cum_distinct_types, SQL_CUM_DISTINCT_TYPES),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "user_entropy": (q_user_entropy, SQL_USER_ENTROPY),
+    "mad_per_type": (q_mad_per_type, SQL_MAD_PER_TYPE),
+    "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
+    "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
 }
