@@ -299,3 +299,65 @@ def kmeans_assign(sf_dir: str, k: int = 16, iters: int = 5):
         )
 
     return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
+    """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means the embedding space, then
+    inside each cluster drop every vector whose cosine to an already-kept
+    vector exceeds `threshold`, keeping the LOWEST vec_id of each
+    semantic-duplicate group (deterministic greedy in vec_id order).
+
+    Scale shape: the O(n²) cosine stage is confined to one CLUSTER
+    (~n/k rows) inside a per-cluster task after a hash groupby — the
+    all-pairs matrix never spans the table, and assignment itself is one
+    broadcast-centroid matmul per batch. Partitioning assumption: a
+    cluster fits a worker; grow k with corpus size (k ≈ n / 10⁵ at
+    100 TB) or recurse a second k-means level inside oversized clusters.
+
+    Returns Dataset[(vec_id, cluster)] of SURVIVORS."""
+    import ray
+
+    cent, _hist = kmeans_fit(sf_dir, k=k, iters=iters)
+    cref = ray.put(cent)
+
+    def assign_keep_vec(tb: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = np.stack(tb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        d = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table(
+            {
+                "vec_id": tb["vec_id"],
+                "cluster": pa.array(d.argmin(1).astype(np.int64)),
+                "embedding": tb["embedding"],
+            }
+        )
+
+    assigned = _embeddings(sf_dir).map_batches(
+        assign_keep_vec, batch_format="pyarrow"
+    )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        cos = mat @ mat.T
+        kept: list[int] = []
+        for i in range(len(g)):
+            if not kept or not np.any(cos[i, kept] >= threshold):
+                kept.append(i)
+        out = g.iloc[kept]
+        return pd.DataFrame(
+            {
+                "vec_id": out["vec_id"].astype("int64").to_numpy(),
+                "cluster": out["cluster"].astype("int64").to_numpy(),
+            }
+        )
+
+    return (
+        assigned.groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+        .select_columns(["vec_id", "cluster"])
+    )

@@ -368,6 +368,18 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
 }
 
 
+def _semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup survivors (k-means + in-cluster cosine
+    prune). No SQL oracle (iterative clustering); exact semantics gated by
+    the planted-duplicate pytest in tests/test_extensions.py."""
+    from .pipelines.similarity import semdedup
+
+    return semdedup(sf_dir)
+
+
+EXTRA_QUERIES["semdedup"] = _semdedup
+
+
 def _crawl_file_mode(sf_dir: str):
     """File-mode crawl (S2): deterministic seed lines from the synthetic
     site; titles resolved from article content (P8)."""

@@ -868,3 +868,44 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
     assert (got["doc_id"].to_numpy() == node_ids).all()
     assert np.allclose(got["rank"].to_numpy(), rank, rtol=0, atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_semdedup_survivors_match_global_greedy(ray_session, dup_docs_dir):
+    """SemDeDup survivors vs an independent plain-numpy GLOBAL greedy prune
+    at the same threshold: at cosine ≥0.999 the only duplicate pair in the
+    fixture is the planted 0≡9001 (random vectors never reach 0.999), so the
+    cluster-partitioned engine result must equal the unpartitioned oracle —
+    9001 dropped (0 kept, lowest-id-wins) and nothing else pruned."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.similarity import semdedup
+
+    got = semdedup(dup_docs_dir, k=8, iters=3, threshold=0.999).to_pandas()
+    survivors = set(got["vec_id"].astype(int))
+
+    emb = pq.read_table(f"{dup_docs_dir}/embeddings.parquet").to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    kept: list[int] = []
+    for i in range(len(emb)):
+        if not kept or not np.any(cos[i, kept] >= 0.999):
+            kept.append(i)
+    want = set(emb["vec_id"].iloc[kept].astype(int))
+
+    assert survivors == want
+    assert 0 in survivors and 9001 not in survivors
+    # each vec_id appears at most once (greedy emits survivors, not pairs)
+    assert got["vec_id"].is_unique
+
+
+def test_semdedup_threshold_above_one_keeps_everything(ray_session, dup_docs_dir):
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.similarity import semdedup
+
+    got = semdedup(dup_docs_dir, k=8, iters=2, threshold=1.01).to_pandas()
+    n = pq.read_metadata(f"{dup_docs_dir}/embeddings.parquet").num_rows
+    assert len(got) == n and got["vec_id"].is_unique
