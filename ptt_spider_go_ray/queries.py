@@ -5965,9 +5965,13 @@ def q_epoch_shuffle(sf_dir: str):
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         outs = []
         for ep in range(_SHUFFLE_EPOCHS):
+            # the epoch seed is added BEFORE the multiply: the odd multiplier
+            # is a bijection mod 2^32, so each epoch is a genuinely different
+            # permutation (an additive post-multiply offset would shift every
+            # hash equally and leave the order unchanged)
             h = (
-                (ids % np.uint64(2 ** 32)) * np.uint64(_SAMPLE_MULT)
-                + np.uint64(ep * 40503)
+                ((ids + np.uint64(ep * 40503)) % np.uint64(2 ** 32))
+                * np.uint64(_SAMPLE_MULT)
             ) % np.uint64(2 ** 32)
             outs.append(
                 pa.table(
@@ -6027,8 +6031,8 @@ def q_epoch_shuffle(sf_dir: str):
 SQL_EPOCH_SHUFFLE = f"""
 WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
 h AS (SELECT epoch, doc_id,
-        (CAST(doc_id % 4294967296 AS HUGEINT) * {_SAMPLE_MULT}
-         + epoch * 40503) % 4294967296 AS h
+        (CAST((doc_id + epoch * 40503) % 4294967296 AS HUGEINT)
+         * {_SAMPLE_MULT}) % 4294967296 AS h
       FROM documents CROSS JOIN e)
 SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
        CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1

@@ -535,3 +535,123 @@ def test_dense_topk_values_ties_all_kept(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # distinct top-3 values are 9,8,7 → six rows (three 7.0 ties all kept)
     assert len(got) == 6
+
+
+def test_mad_degenerate_groups(ray_session, tmp_path):
+    """Constant group (MAD 0), single row, and even-count groups with an
+    interpolated x.5-cent median must match DuckDB's median() exactly —
+    the half-cent/quarter-cent arithmetic is the risky path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_MAD_PER_TYPE, q_mad_per_type
+
+    rng = np.random.default_rng(11)
+    et = ["const"] * 40 + ["single"] + ["even"] * 4 + ["normal"] * 201
+    vals = (
+        [3.33] * 40 + [9.99] + [1.00, 2.00, 4.00, 8.00]
+        + list(np.round(rng.uniform(0, 50, 201), 2))
+    )
+    tbl = pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_mad_per_type(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_MAD_PER_TYPE).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert float(got.loc[got["event_type"] == "const", "mad_cents"].iloc[0]) == 0.0
+    assert float(got.loc[got["event_type"] == "single", "mad_cents"].iloc[0]) == 0.0
+
+
+def test_max_concurrency_tie_rules(ray_session, tmp_path):
+    """Zero-duration intervals never count as open, and back-to-back
+    intervals (end == next start) don't overlap — ends sort before starts
+    at the same instant on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_MAX_CONCURRENCY, q_max_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # b2b: [0,10) then [10,20) — max 1
+        ("b2b", base, 10.0), ("b2b", base + pd.Timedelta(seconds=10), 10.0),
+        # zero: a zero-length interval inside an open one — still max 1
+        ("zero", base, 100.0), ("zero", base + pd.Timedelta(seconds=5), 0.0),
+        # nest: three nested opens — max 3
+        ("nest", base, 100.0),
+        ("nest", base + pd.Timedelta(seconds=1), 50.0),
+        ("nest", base + pd.Timedelta(seconds=2), 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_max_concurrency(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_MAX_CONCURRENCY).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["event_type"], got["max_concurrent"]))
+    assert by == {"b2b": 1, "zero": 1, "nest": 3}
+
+
+def test_user_entropy_degenerate(ray_session, tmp_path):
+    """Single-event-type user has entropy exactly 0; a uniform 4-type user
+    has entropy exactly 2 bits (both integer-exact after e6 rounding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_USER_ENTROPY, q_user_entropy
+
+    users = [1] * 7 + [2, 2, 2, 2]
+    types = ["click"] * 7 + ["a", "b", "c", "d"]
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_user_entropy(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_USER_ENTROPY).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["user_id"], got["entropy_e6"]))
+    assert by == {1: 0, 2: 2_000_000}
+
+
+def test_epoch_shuffle_is_reproducible_permutation(ray_session):
+    """Every epoch's pos is a permutation of 0..n-1, the two epochs order
+    documents differently, and a second invocation is bit-identical (the
+    resumable-training contract)."""
+    import numpy as np
+
+    from ptt_spider_go_ray.queries import q_epoch_shuffle
+
+    a = to_pandas(q_epoch_shuffle(SF)).sort_values(["epoch", "pos"]).reset_index(drop=True)
+    b = to_pandas(q_epoch_shuffle(SF)).sort_values(["epoch", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    n = a["doc_id"].nunique()
+    for ep, sub in a.groupby("epoch"):
+        assert sorted(sub["pos"]) == list(range(n))
+    e0 = a[a["epoch"] == 0]["doc_id"].to_numpy()
+    e1 = a[a["epoch"] == 1]["doc_id"].to_numpy()
+    assert not np.array_equal(e0, e1)
