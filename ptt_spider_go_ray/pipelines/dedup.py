@@ -784,3 +784,81 @@ def dedup_clusters(sf_dir: str, est_threshold: float = 0.9,
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def streaming_dedup(sf_dir: str, n_shards: int = 8):
+    """Streaming exact dedup through a SHARDED SEEN-SET actor tier — the
+    same first-wins state shape the crawl frontier uses for URL dedup
+    (state/frontier.py seen-set + cuckoo), applied to the documents table:
+    batches stream through ``map_batches``, each batch's text hashes are
+    routed to their owning shard (hash % n_shards), and a shard admits a
+    hash exactly once across the whole run. Unlike the hash-partition +
+    groupby-first dedup (q_dedup_exact) this never shuffles document rows
+    and emits survivors INCREMENTALLY — the shape for a dedup that must
+    run inside an ingest stream rather than as a batch job.
+
+    WHICH duplicate survives is arrival-order-dependent (first-wins under
+    parallel batches); the survivor SET per text group is always exactly
+    one. Scale: shard state is O(distinct hashes / n_shards); grow
+    n_shards with corpus size, or swap the exact set for the cuckoo
+    filter + collision-confirm tier the frontier uses at 10^10 keys."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class SeenShard:
+        def __init__(self) -> None:
+            self._seen: set[int] = set()
+
+        def add_new(self, hashes: list[int]) -> list[bool]:
+            out = []
+            for h in hashes:
+                fresh = h not in self._seen
+                if fresh:
+                    self._seen.add(h)
+                out.append(fresh)
+            return out
+
+    shards = [SeenShard.remote() for _ in range(n_shards)]
+
+    class Dedup:
+        def __init__(self, handles):
+            self._shards = handles
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import hashlib
+
+            texts = t["text"].to_pylist()
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5((x or "").encode("utf-8")).digest()[:8],
+                        "little",
+                    )
+                    for x in texts
+                ],
+                dtype=np.uint64,
+            )
+            owner = (hs % np.uint64(len(self._shards))).astype(np.int64)
+            keep = np.zeros(len(hs), dtype=bool)
+            pending = []
+            for s in range(len(self._shards)):
+                idx = np.nonzero(owner == s)[0]
+                if len(idx):
+                    pending.append(
+                        (idx, self._shards[s].add_new.remote(
+                            [int(h) for h in hs[idx]]
+                        ))
+                    )
+            for idx, ref in pending:
+                keep[idx] = ray.get(ref)
+            return t.filter(pa.array(keep))
+
+    # concurrency 2: leaves CPU slots for the read stage even in a 4-CPU
+    # test session (an actor pool sized to the whole cluster starves its
+    # own upstream); scale concurrency with cluster size in production
+    return _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+        Dedup,
+        fn_constructor_args=(shards,),
+        concurrency=2,
+        batch_format="pyarrow",
+    ).select_columns(["doc_id"])

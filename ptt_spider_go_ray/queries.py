@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import re as _re_mod
 
 import numpy as np
 import pandas as pd
@@ -6092,6 +6093,158 @@ FROM documents GROUP BY lang
 """
 
 # ---------------------------------------------------------------------------
+# Q: blocked fuzzy entity matching — candidate pairs of customers whose
+# fixed-width names differ in at most one character position, found WITHOUT
+# the O(n²) cross product: names are blocked on a 7-digit prefix of the
+# numeric suffix, the all-pairs Hamming matrix is computed only INSIDE a
+# block (≤ ~100 names) as one vectorized uint8 broadcast comparison, and
+# blocks run in parallel via a hash groupby. The standard record-linkage
+# blocking shape: at 100 TB the block key is the unit of shuffle, and the
+# quadratic stage never sees more than a block.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_HAMMING = 1
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def tag(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "blk": pa.array(
+                    df["c_name"].str.slice(9, 16).astype(np.int64)
+                ),
+                "c_custkey": pa.array(df["c_custkey"].astype("int64")),
+                "c_name": pa.array(df["c_name"]),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("c_custkey").reset_index(drop=True)
+        names = g["c_name"].to_numpy()
+        width = len(names[0])
+        mat = np.frombuffer(
+            "".join(names).encode("ascii"), np.uint8
+        ).reshape(-1, width)
+        dist = (mat[:, None, :] != mat[None, :, :]).sum(2)
+        ii, jj = np.nonzero(
+            np.triu(dist <= _FUZZY_MAX_HAMMING, k=1)
+        )
+        keys = g["c_custkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "key_a": keys[ii].astype(np.int64),
+                "key_b": keys[jj].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("blk")
+        .map_groups(block_pairs, batch_format="pandas")
+        .select_columns(["key_a", "key_b"])
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = f"""
+WITH b AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
+           FROM customer)
+SELECT a.c_custkey AS key_a, c.c_custkey AS key_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.c_custkey < c.c_custkey
+WHERE hamming(a.c_name, c.c_name) <= {_FUZZY_MAX_HAMMING}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: character-bigram language-model quality score (the KenLM-perplexity
+# filter shape from public corpus pipelines, reduced to a bigram model the
+# oracle can replicate): pass 1 counts corpus bigrams (exact-int combiner
+# partials, driver-merged — bounded by the CHARSET², not rows; swap the
+# driver merge for a groupby-sum when the charset is CJK-sized), pass 2
+# broadcasts the add-one-smoothed -log2 p(bigram) table and scores every
+# doc as the mean NLL of its bigrams. Extraction is character-based
+# (explode + shift, no per-row Python), matching SQL substr semantics.
+# ---------------------------------------------------------------------------
+
+_ANY_CHAR = _re_mod.compile(r".", _re_mod.DOTALL)
+
+
+def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+    s = df["text"].fillna("")
+    keep = s.str.len() >= 2
+    s = s[keep]
+    if not len(s):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "bg": pd.Series([], dtype=object)})
+    chars = s.str.findall(_ANY_CHAR).explode()
+    idx = chars.index.to_numpy()
+    vals = chars.to_numpy()
+    nxt = np.roll(vals, -1)
+    ok = np.concatenate([idx[1:] == idx[:-1], [False]])
+    bg = np.add(vals[ok], nxt[ok])
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].loc[idx[ok]].astype("int64").to_numpy(),
+            "bg": bg,
+        }
+    )
+
+
+def q_charlm_score(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        g = _doc_bigrams(df).groupby("bg", as_index=False).size()
+        return _arrow_out(g.rename(columns={"size": "n"}).astype({"n": "int64"}))
+
+    part = ds.map_batches(
+        count_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    counts = part.groupby("bg")["n"].sum()
+    total = int(counts.sum())
+    vocab = len(counts)
+    logp = {
+        bg: -math.log2((int(n) + 1) / (total + vocab))
+        for bg, n in counts.items()
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        b = _doc_bigrams(df)
+        b["nll"] = b["bg"].map(logp)
+        out = b.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("nll", "size"), m=("nll", "mean")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_bigrams": out["n_bigrams"].astype("int64"),
+                "nll_e3": np.rint(out["m"].to_numpy() * 1e3).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+SQL_CHARLM_SCORE = """
+WITH bg AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg
+  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 2)
+),
+c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        FROM c),
+lp AS (SELECT bg, -log2((CAST(c AS DOUBLE) + 1) / (n + v)) AS nll
+       FROM c, tot)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(round(avg(nll) * 1000) AS BIGINT) AS nll_e3
+FROM bg JOIN lp USING (bg)
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6195,4 +6348,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "charlm_score": (q_charlm_score, SQL_CHARLM_SCORE),
 }

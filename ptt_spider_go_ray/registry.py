@@ -380,6 +380,19 @@ def _semdedup(sf_dir: str):
 EXTRA_QUERIES["semdedup"] = _semdedup
 
 
+def _streaming_dedup(sf_dir: str):
+    """Streaming exact dedup via sharded seen-set actors (the crawl
+    frontier's first-wins state shape over the documents table). Survivor
+    IDENTITY is arrival-order-dependent, so no SQL oracle; the
+    one-survivor-per-text-group invariant is pytest-gated."""
+    from .pipelines.dedup import streaming_dedup
+
+    return streaming_dedup(sf_dir)
+
+
+EXTRA_QUERIES["streaming_dedup"] = _streaming_dedup
+
+
 def _crawl_file_mode(sf_dir: str):
     """File-mode crawl (S2): deterministic seed lines from the synthetic
     site; titles resolved from article content (P8)."""

@@ -909,3 +909,20 @@ def test_semdedup_threshold_above_one_keeps_everything(ray_session, dup_docs_dir
     got = semdedup(dup_docs_dir, k=8, iters=2, threshold=1.01).to_pandas()
     n = pq.read_metadata(f"{dup_docs_dir}/embeddings.parquet").num_rows
     assert len(got) == n and got["vec_id"].is_unique
+
+
+def test_streaming_dedup_one_survivor_per_text_group(ray_session, dup_docs_dir):
+    """Invariants that hold regardless of batch arrival order: exactly one
+    survivor per distinct text, every distinct text represented, and the
+    planted duplicate pair {0, 9001} contributes exactly one survivor."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.dedup import streaming_dedup
+
+    got = streaming_dedup(dup_docs_dir).to_pandas()
+    docs = pq.read_table(f"{dup_docs_dir}/documents.parquet").to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    surv_texts = [text_of[d] for d in got["doc_id"]]
+    assert len(surv_texts) == len(set(surv_texts))          # ≤1 per group
+    assert set(surv_texts) == set(docs["text"])             # ≥1 per group
+    assert len({0, 9001} & set(got["doc_id"].astype(int))) == 1
