@@ -6245,6 +6245,148 @@ GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: debounce — the streaming rate-limit filter: keep an event only if the
+# SAME (user, event_type) stream has been quiet for 12 h. Bucket-parallel
+# lag: one sort + shift per hash bucket, boundaries where the composite
+# key changes count as quiet. The dedup-in-time analog of dedup_exact.
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_US = 12 * 3600 * 1_000_000
+
+
+def q_debounce(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def quiet(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keep = np.ones(len(g), dtype=bool)
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        keep[1:] = ~same | ((ts[1:] - ts[:-1]) > _DEBOUNCE_US)
+        out = g[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64").to_numpy(),
+                "user_id": out["user_id"].astype("int64").to_numpy(),
+                "event_type": out["event_type"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(quiet, batch_format="pandas")
+        .select_columns(["event_id", "user_id", "event_type"])
+    )
+
+
+SQL_DEBOUNCE = """
+SELECT event_id, user_id, event_type
+FROM (SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR ts - prev > INTERVAL 12 HOUR
+"""
+
+# ---------------------------------------------------------------------------
+# Q: first-touch attribution — for every purchase, the age of the user's
+# most recent prior (or simultaneous-but-earlier-id) click. A conditional
+# running max per user: bucket-parallel sort + C-speed groupby cummax over
+# click timestamps (sentinel −1 = no click yet), exact integer µs ages.
+# The event-type-conditional as-of SELF-join, vectorized without merge_asof.
+# ---------------------------------------------------------------------------
+
+
+def q_attribution(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        click_ts = np.where(g["event_type"].to_numpy() == "click", ts, -1)
+        last = (
+            pd.Series(click_ts).groupby(g["user_id"], sort=False).cummax().to_numpy()
+        )
+        buy = g["event_type"].to_numpy() == "purchase"
+        age = np.where(last[buy] >= 0, ts[buy] - last[buy], -1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[buy].astype(np.int64),
+                "user_id": g["user_id"].to_numpy()[buy].astype(np.int64),
+                "click_age_us": age.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+        .select_columns(["event_id", "user_id", "click_age_us"])
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click
+  FROM events)
+SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts) - epoch_us(last_click), -1) AS BIGINT)
+         AS click_age_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+# ---------------------------------------------------------------------------
+# Q: PII-shaped redaction — mask every digit run in the props payload and
+# report the redacted fingerprint + digits-removed count. Pure map-only
+# text rewrite (the anonymization pass a corpus pipeline runs before
+# training), vectorized pandas str kernels, md5 fingerprints so the oracle
+# compares transformed TEXT, not just counts.
+# ---------------------------------------------------------------------------
+
+
+def q_redact(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["props"].fillna("")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "n_digits": p.str.count(r"[0-9]").astype("int64"),
+                "red_fp": _md5_col(
+                    p.str.replace(r"[0-9]+", "#", regex=True).tolist()
+                ),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+SQL_REDACT = r"""
+SELECT event_id,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digits,
+       md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS red_fp
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6350,4 +6492,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "charlm_score": (q_charlm_score, SQL_CHARLM_SCORE),
+    "debounce": (q_debounce, SQL_DEBOUNCE),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "redact": (q_redact, SQL_REDACT),
 }
