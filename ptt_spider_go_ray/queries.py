@@ -6387,6 +6387,78 @@ FROM events
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-group OLS trend — the drift-detection regression aggregate:
+# slope of value-cents over day index per event_type, computed from EXACT
+# integer moments (n, Σx, Σy, Σx², Σxy as per-batch int64 combiner
+# partials, merged on the driver as Python bignums), so the only float op
+# is the single final division — identical IEEE result on both engines.
+# The moments are mergeable, making this a one-pass distributed aggregate.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_trend_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        x = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // _DAY_US
+        )
+        y = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        m = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return _arrow_out(
+            m.astype({c: "int64" for c in ("n", "sx", "sy", "sxx", "sxy")})
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        moments, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+        for i, kk in enumerate(("n", "sx", "sy", "sxx", "sxy")):
+            a[i] += int(r[kk])  # Python ints: exact at any scale
+    ets = sorted(acc)
+    slopes = []
+    for et in ets:
+        n, sx, sy, sxx, sxy = acc[et]
+        slopes.append(
+            int(round(float(n * sxy - sx * sy) / float(n * sxx - sx * sx) * 1e9))
+        )
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "n": np.array([acc[e][0] for e in ets], np.int64),
+            "slope_e9": np.array(slopes, np.int64),
+        }
+    )
+
+
+SQL_TREND_PER_TYPE = """
+WITH m AS (SELECT event_type,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+       CAST(round(value*100) AS BIGINT) AS y FROM events),
+s AS (SELECT event_type, count(*) AS n,
+       sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+      FROM m GROUP BY 1)
+SELECT event_type, n,
+  CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             * 1000000000) AS BIGINT) AS slope_e9
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6495,4 +6567,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "debounce": (q_debounce, SQL_DEBOUNCE),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "redact": (q_redact, SQL_REDACT),
+    "trend_per_type": (q_trend_per_type, SQL_TREND_PER_TYPE),
 }

@@ -655,3 +655,64 @@ def test_epoch_shuffle_is_reproducible_permutation(ray_session):
     e0 = a[a["epoch"] == 0]["doc_id"].to_numpy()
     e1 = a[a["epoch"] == 1]["doc_id"].to_numpy()
     assert not np.array_equal(e0, e1)
+
+
+def test_charlm_unicode_and_short_docs(ray_session, tmp_path):
+    """Character-based bigrams (CJK chars count as ONE char, matching SQL
+    substr), exactly-2-char docs included, <2-char docs excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_CHARLM_SCORE, q_charlm_score
+
+    texts = ["中文字串測試", "ab", "x", "", "hello world", "中a中a中"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_charlm_score(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_CHARLM_SCORE).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["doc_id"]) == {0, 1, 4, 5}  # 1-char and empty excluded
+    by = dict(zip(got["doc_id"], got["n_bigrams"]))
+    assert by[0] == 5 and by[1] == 1 and by[5] == 4
+
+
+def test_fuzzy_pairs_singleton_and_tie_blocks(ray_session, tmp_path):
+    """A block with one name yields no pairs; identical names (hamming 0)
+    and one-char-apart names both pair; two-apart names don't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_FUZZY_NAME_PAIRS, q_fuzzy_name_pairs
+
+    names = [
+        "Customer#000000100",  # block 0000001: pairs with next two
+        "Customer#000000101",  # hamming 1 vs ...100
+        "Customer#000000100",  # hamming 0 vs ...100 (dup name, other key)
+        "Customer#000000199",  # hamming 2 vs ...100 AND ...101 — no pairs
+        "Customer#000009900",  # block 0000099: singleton
+    ]
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_name": pa.array(names, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+    got = canon(to_pandas(q_fuzzy_name_pairs(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{tmp_path}/customer.parquet')"
+    )
+    want = canon(con.sql(SQL_FUZZY_NAME_PAIRS).df())
+    pd.testing.assert_frame_equal(got, want)
+    pairs = set(zip(got["key_a"], got["key_b"]))
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
