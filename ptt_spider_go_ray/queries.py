@@ -6459,6 +6459,86 @@ FROM s
 """
 
 # ---------------------------------------------------------------------------
+# Q: interval self-overlap join cardinality — per user, how many PAIRS of
+# that user's event intervals [ts, ts + value s) overlap. The O(n²) pair
+# join is replaced by the sweep complement: overlapping = C(n,2) −
+# disjoint, and disjoint pairs are one vectorized searchsorted of starts
+# into the user's sorted ends (end ≤ start ⟺ disjoint, the strict-overlap
+# predicate's complement), with exact corrections for zero-length
+# intervals that would otherwise self-count or double-count. Bucket-
+# parallel by user hash; per-user work is O(n log n) numpy.
+# ---------------------------------------------------------------------------
+
+
+def q_overlap_pairs(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def count_overlaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id", kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = s + np.rint(g["value"].to_numpy() * 1e6).astype(np.int64)
+        out_u, out_n = [], []
+        bounds = np.concatenate(
+            [[0], np.nonzero(u[1:] != u[:-1])[0] + 1, [len(u)]]
+        ).astype(np.int64)
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            ss, ee = s[lo:hi], np.sort(e[lo:hi])
+            # pairs with some end ≤ some start (disjoint), minus zero-length
+            # self-counts, minus the double count of co-located zero-length
+            # pairs (e_i≤s_j and e_j≤s_i both hold only for those)
+            disjoint = int(np.searchsorted(ee, ss, side="right").sum())
+            zl = e[lo:hi] == ss  # zero-length intervals (duration 0)
+            disjoint -= int(zl.sum())  # self e_j ≤ s_j counts
+            if zl.any():
+                zs = np.sort(ss[zl])
+                runs = np.diff(
+                    np.concatenate(
+                        [[0], np.nonzero(zs[1:] != zs[:-1])[0] + 1, [len(zs)]]
+                    )
+                )
+                disjoint -= int((runs * (runs - 1) // 2).sum())
+            total = n * (n - 1) // 2
+            if total - disjoint > 0:
+                out_u.append(int(u[lo]))
+                out_n.append(total - disjoint)
+        return pd.DataFrame(
+            {
+                "user_id": np.array(out_u, np.int64),
+                "n_overlaps": np.array(out_n, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_overlaps, batch_format="pandas")
+        .select_columns(["user_id", "n_overlaps"])
+    )
+
+
+SQL_OVERLAP_PAIRS = """
+WITH iv AS (SELECT event_id, user_id,
+    CAST(epoch_us(ts) AS BIGINT) AS s,
+    CAST(epoch_us(ts) AS BIGINT) + CAST(round(value*1000000) AS BIGINT) AS e
+  FROM events)
+SELECT a.user_id, count(*) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.user_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6568,4 +6648,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "redact": (q_redact, SQL_REDACT),
     "trend_per_type": (q_trend_per_type, SQL_TREND_PER_TYPE),
+    "overlap_pairs": (q_overlap_pairs, SQL_OVERLAP_PAIRS),
 }

@@ -716,3 +716,50 @@ def test_fuzzy_pairs_singleton_and_tie_blocks(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     pairs = set(zip(got["key_a"], got["key_b"]))
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_overlap_pairs_zero_length_and_colocated(ray_session, tmp_path):
+    """The complement-count corrections: a zero-length point strictly inside
+    a covering interval DOES overlap it, co-located zero-length pairs do
+    NOT overlap each other (and must not be double-subtracted), back-to-back
+    intervals don't overlap, and nested intervals count exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_OVERLAP_PAIRS, q_overlap_pairs
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: three nested → 3 pairs; plus one disjoint after → 0 more
+        (1, at(0), 100.0), (1, at(1), 50.0), (1, at(2), 10.0), (1, at(200), 5.0),
+        # user 2: two co-located zero-length points (no pair between them)
+        # inside a covering interval (2 pairs with it)
+        (2, at(5), 0.0), (2, at(5), 0.0), (2, at(0), 100.0),
+        # user 3: back-to-back (end == start) → 0 pairs
+        (3, at(0), 10.0), (3, at(10), 10.0),
+        # user 4: single event → absent from output
+        (4, at(0), 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_overlap_pairs(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_OVERLAP_PAIRS).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert dict(zip(got["user_id"], got["n_overlaps"])) == {1: 3, 2: 2}
