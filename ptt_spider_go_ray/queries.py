@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 
 from .functions.parse import decode_push_rate
 from .functions.text import EN_STOPWORDS
+from .state.cuckoo import hash64
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -4702,9 +4703,14 @@ GROUP BY event_type, next_type
 
 
 def q_dedup_prefix(sf_dir: str):
-    from ray.data.aggregate import Min, Sum
-
+    """Per-batch (prefix, min_id, cnt) combiner partials, then an
+    INT-bucket shuffle (hash64 of the prefix → bucket key) with one
+    C-speed pandas groupby per bucket — the full prefix string rides
+    along only for partials, so hash collisions can't merge distinct
+    prefixes, and the sort-based string-key shuffle (measured 4× slower
+    here) is avoided. Bucket count scales with input (_key_buckets)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = _key_buckets(ds.count())
 
     def partial(df: pd.DataFrame) -> pa.Table:
         g = (
@@ -4715,25 +4721,29 @@ def q_dedup_prefix(sf_dir: str):
             .agg(min_id=("doc_id", "min"), cnt=("doc_id", "size"))
             .reset_index()
         )
+        h = np.fromiter(
+            (hash64(x) for x in g["p"]), np.uint64, len(g)
+        )
+        g["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return _arrow_out(g.astype({"min_id": "int64", "cnt": "int64"}))
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
-        .groupby("p")
-        .aggregate(
-            Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="n_dups")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p", sort=False, as_index=False).agg(
+            doc_id=("min_id", "min"), n_dups=("cnt", "sum")
         )
-    )
-
-    def out(df: pd.DataFrame) -> pa.Table:
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
-                "n_dups": pa.array(df["n_dups"].to_numpy(dtype=np.int64)),
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_dups": out["n_dups"].astype("int64"),
             }
         )
 
-    return agg.map_batches(out, batch_format="pandas")
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .select_columns(["doc_id", "n_dups"])
+    )
 
 
 SQL_DEDUP_PREFIX = """
