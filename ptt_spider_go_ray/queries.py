@@ -6176,28 +6176,27 @@ WHERE hamming(a.c_name, c.c_name) <= {_FUZZY_MAX_HAMMING}
 # (explode + shift, no per-row Python), matching SQL substr semantics.
 # ---------------------------------------------------------------------------
 
-_ANY_CHAR = _re_mod.compile(r".", _re_mod.DOTALL)
-
-
-def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+def _batch_bigram_keys(df: pd.DataFrame) -> tuple:
+    """Vectorized character-bigram extraction: the batch's texts are joined,
+    decoded once to a UTF-32 codepoint array (one uint32 per CHARACTER —
+    identical to SQL substr semantics for CJK), and each bigram becomes an
+    integer key cp_a·2²¹ | cp_b. No per-character Python objects. Returns
+    (keys uint64 in doc order, doc_row_index per key) — separator slots and
+    cross-doc pairs are masked positionally, so texts may contain any
+    codepoint."""
     s = df["text"].fillna("")
-    keep = s.str.len() >= 2
-    s = s[keep]
-    if not len(s):
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "bg": pd.Series([], dtype=object)})
-    chars = s.str.findall(_ANY_CHAR).explode()
-    idx = chars.index.to_numpy()
-    vals = chars.to_numpy()
-    nxt = np.roll(vals, -1)
-    ok = np.concatenate([idx[1:] == idx[:-1], [False]])
-    bg = np.add(vals[ok], nxt[ok])
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"].loc[idx[ok]].astype("int64").to_numpy(),
-            "bg": bg,
-        }
-    )
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    joined = "\x00".join(s.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    if len(cp) < 2:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    rep = np.repeat(np.arange(len(lens), dtype=np.int64), lens + 1)[: len(cp)]
+    sep = np.zeros(len(cp), dtype=bool)
+    if len(lens) > 1:
+        sep[np.cumsum(lens + 1)[:-1] - 1] = True
+    ok = ~sep[:-1] & ~sep[1:] & (rep[:-1] == rep[1:])
+    keys = (cp[:-1] << np.uint64(21)) | cp[1:]
+    return keys[ok], rep[:-1][ok]
 
 
 def q_charlm_score(sf_dir: str):
@@ -6206,8 +6205,14 @@ def q_charlm_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count_partial(df: pd.DataFrame) -> pa.Table:
-        g = _doc_bigrams(df).groupby("bg", as_index=False).size()
-        return _arrow_out(g.rename(columns={"size": "n"}).astype({"n": "int64"}))
+        keys, _rows = _batch_bigram_keys(df)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(uk.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
 
     part = ds.map_batches(
         count_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
@@ -6215,22 +6220,26 @@ def q_charlm_score(sf_dir: str):
     counts = part.groupby("bg")["n"].sum()
     total = int(counts.sum())
     vocab = len(counts)
-    logp = {
-        bg: -math.log2((int(n) + 1) / (total + vocab))
-        for bg, n in counts.items()
-    }
+    # broadcast table: sorted key array + nll array (searchsorted lookup)
+    lp_keys = counts.index.to_numpy(dtype=np.uint64)
+    lp_vals = np.array(
+        [-math.log2((int(n) + 1) / (total + vocab)) for n in counts.to_numpy()],
+        np.float64,
+    )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        b = _doc_bigrams(df)
-        b["nll"] = b["bg"].map(logp)
-        out = b.groupby("doc_id", as_index=False).agg(
-            n_bigrams=("nll", "size"), m=("nll", "mean")
-        )
+        keys, rows = _batch_bigram_keys(df)
+        nll = lp_vals[np.searchsorted(lp_keys, keys)]
+        nb = np.bincount(rows, minlength=len(df))
+        has = nb > 0
+        starts = np.zeros(len(df), np.int64)
+        starts[1:] = np.cumsum(nb)[:-1]
+        sums = np.add.reduceat(nll, starts[has]) if has.any() else np.empty(0)
         return pd.DataFrame(
             {
-                "doc_id": out["doc_id"].astype("int64"),
-                "n_bigrams": out["n_bigrams"].astype("int64"),
-                "nll_e3": np.rint(out["m"].to_numpy() * 1e3).astype(np.int64),
+                "doc_id": df["doc_id"].to_numpy()[has].astype(np.int64),
+                "n_bigrams": nb[has].astype(np.int64),
+                "nll_e3": np.rint(sums / nb[has] * 1e3).astype(np.int64),
             }
         )
 
