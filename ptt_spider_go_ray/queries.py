@@ -6558,6 +6558,175 @@ GROUP BY a.user_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: within-doc duplicate n-gram fraction — the FineWeb/Gopher repetition
+# signal "fraction of word 3-grams that are repeats of an earlier 3-gram
+# in the same document". Pure streaming map_batches: explode → two shifts
+# → one drop_duplicates per batch; the fraction is a SINGLE int/int IEEE
+# division so doubles bit-match the SQL oracle. Docs with <3 words are
+# excluded on both engines.
+# ---------------------------------------------------------------------------
+
+_DUP_N = 3
+
+
+def q_dup_ngram_frac(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def frac(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        keep = lens >= _DUP_N
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                    "dup_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        sub = toks[keep]
+        ex = sub.explode()
+        d = ex.index.to_numpy()
+        w = ex.to_numpy()
+        w1 = np.roll(w, -1)
+        w2 = np.roll(w, -2)
+        ok = np.zeros(len(w), dtype=bool)
+        ok[:-2] = (d[:-2] == d[1:-1]) & (d[1:-1] == d[2:])
+        ng = np.add(np.add(np.add(np.add(w[ok], " "), w1[ok]), " "), w2[ok])
+        distinct = (
+            pd.DataFrame({"d": d[ok], "ng": ng})
+            .drop_duplicates()
+            .groupby("d", sort=False)
+            .size()
+        )
+        ids = df["doc_id"][keep].astype("int64")
+        n = lens[keep] - (_DUP_N - 1)
+        uniq = distinct.reindex(ids.index).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids.to_numpy(),
+                "n_grams": n,
+                "n_dup": n - uniq,
+                "dup_frac": (n - uniq) / n,  # single int/int IEEE division
+            }
+        )
+
+    return ds.map_batches(frac, batch_format="pandas")
+
+
+SQL_DUP_NGRAM_FRAC = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word,
+         unnest(range(1, array_length(regexp_split_to_array(trim(text), '\s+'))
+                         + 1)) AS pos
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', word,
+           lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS ng,
+         count(*) OVER (PARTITION BY doc_id) AS nw
+  FROM w
+),
+f AS (SELECT doc_id, ng FROM g WHERE pos + 2 <= nw)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(count(*) - count(DISTINCT ng) AS BIGINT) AS n_dup,
+       CAST(count(*) - count(DISTINCT ng) AS DOUBLE) / count(*) AS dup_frac
+FROM f GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: winsorized mean — robust statistics: clamp each value to its group's
+# exact [P10, P90] DISCRETE quantiles (rank ceil(q·n)−1, DuckDB's
+# quantile_disc convention — no interpolation, so the bounds are actual
+# cents values and everything stays integer-exact), then one combiner-sum
+# pass over the clipped values; the mean is a SINGLE int/int IEEE
+# division. Two histogram/sum passes, zero shuffles, driver state bounded
+# by the cents domain × #types.
+# ---------------------------------------------------------------------------
+
+
+def _disc_quantiles_from_hist(
+    merged: pd.DataFrame, qs: tuple
+) -> dict[str, tuple]:
+    out: dict[str, tuple] = {}
+    for et, sub in merged.groupby("event_type"):
+        sub = sub.sort_values("c")
+        w = sub["n"].to_numpy()
+        v = sub["c"].to_numpy()
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        picks = []
+        for q in qs:
+            rank = max(0, -(-int(q * n * 1e9) // 10 ** 9) - 1)  # ceil(q·n)−1
+            picks.append(int(v[np.searchsorted(cum, rank + 1)]))
+        out[et] = tuple(picks)
+    return out
+
+
+def q_winsorized_mean(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "c": c, "n": 1}
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    part = ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    bounds = _disc_quantiles_from_hist(
+        part.groupby(["event_type", "c"], as_index=False)["n"].sum(),
+        (0.1, 0.9),
+    )
+
+    def clip_partial(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        lo = pd.Series(et).map({k: v[0] for k, v in bounds.items()}).to_numpy(np.int64)
+        hi = pd.Series(et).map({k: v[1] for k, v in bounds.items()}).to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"event_type": et, "s": np.clip(c, lo, hi), "n": 1}
+        ).groupby("event_type", as_index=False).sum()
+        return _arrow_out(g.astype({"s": "int64", "n": "int64"}))
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        clip_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0])
+        a[0] += int(r["s"])
+        a[1] += int(r["n"])
+    ets = sorted(acc)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "n": np.array([acc[e][1] for e in ets], np.int64),
+            "wmean_cents": np.array(
+                [float(acc[e][0]) / acc[e][1] for e in ets], np.float64
+            ),
+        }
+    )
+
+
+SQL_WINSORIZED_MEAN = """
+WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+q AS (SELECT event_type, quantile_disc(c, 0.1) AS lo,
+             quantile_disc(c, 0.9) AS hi
+      FROM c GROUP BY 1),
+s AS (SELECT c.event_type,
+        sum(CAST(least(greatest(c.c, q.lo), q.hi) AS HUGEINT)) AS s,
+        count(*) AS n
+      FROM c JOIN q USING (event_type) GROUP BY 1)
+SELECT event_type, n, CAST(s AS DOUBLE) / n AS wmean_cents FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6668,4 +6837,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "redact": (q_redact, SQL_REDACT),
     "trend_per_type": (q_trend_per_type, SQL_TREND_PER_TYPE),
     "overlap_pairs": (q_overlap_pairs, SQL_OVERLAP_PAIRS),
+    "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
+    "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
 }

@@ -763,3 +763,67 @@ def test_overlap_pairs_zero_length_and_colocated(ray_session, tmp_path):
     want = canon(con.sql(SQL_OVERLAP_PAIRS).df())
     pd.testing.assert_frame_equal(got, want)
     assert dict(zip(got["user_id"], got["n_overlaps"])) == {1: 3, 2: 2}
+
+
+def test_winsorized_mean_small_group_rank_convention(ray_session, tmp_path):
+    """n=4 and n=5 groups are exactly where ceil(q·n)−1 (DuckDB's
+    quantile_disc) differs from floor(q·(n−1)) — the engine must follow
+    the former. Constant group sanity-checks clamp-to-self."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_WINSORIZED_MEAN, q_winsorized_mean
+
+    et = ["four"] * 4 + ["five"] * 5 + ["const"] * 10
+    vals = [1.0, 2.0, 3.0, 4.0] + [1.0, 2.0, 3.0, 4.0, 5.0] + [7.0] * 10
+    tbl = pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_winsorized_mean(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_WINSORIZED_MEAN).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["event_type"], got["wmean_cents"]))
+    assert by["const"] == 700.0
+    # four: P10=100 (rank 0), P90=400 (rank ceil(3.6)-1=3) → untouched mean
+    assert by["four"] == 250.0
+
+
+def test_dup_ngram_frac_planted_repetition(ray_session, tmp_path):
+    """A doc that repeats a phrase must report the exact duplicate 3-gram
+    fraction; an all-unique doc reports 0; short docs are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_DUP_NGRAM_FRAC, q_dup_ngram_frac
+
+    texts = [
+        "a b c a b c a b c",   # 7 grams, distinct {abc,bca,cab} → 4 dups
+        "one two three four",  # 2 grams, 0 dups
+        "x y",                 # <3 words → excluded
+        "",                    # excluded
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_dup_ngram_frac(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_DUP_NGRAM_FRAC).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["doc_id"]) == {0, 1}
+    r0 = got[got["doc_id"] == 0].iloc[0]
+    assert (r0["n_grams"], r0["n_dup"]) == (7, 4) and r0["dup_frac"] == 4 / 7
