@@ -6727,6 +6727,70 @@ SELECT event_type, n, CAST(s AS DOUBLE) / n AS wmean_cents FROM s
 """
 
 # ---------------------------------------------------------------------------
+# Q: Gini coefficient per group — the inequality/skew statistic, computed
+# EXACTLY from the merged cents histogram: a value v occupying ranks
+# p+1..p+w contributes v·(w·(2p+w+1)/2) to the rank-weighted sum, so
+# Σ rank·value needs no per-row ranking and is tie-invariant. Everything
+# is Python-bignum integer until the single final division, mirrored in
+# SQL as CAST(numerator)/CAST(denominator). One combiner pass, zero
+# shuffles, driver state bounded by cents-domain × #types.
+# ---------------------------------------------------------------------------
+
+
+def q_gini_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "c": c, "n": 1}
+        ).groupby(["event_type", "c"], as_index=False).sum()
+        return _arrow_out(g.astype({"c": "int64", "n": "int64"}))
+
+    part = ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    merged = part.groupby(["event_type", "c"], as_index=False)["n"].sum()
+    ets, ns, ginis = [], [], []
+    for et, sub in merged.groupby("event_type"):
+        sub = sub.sort_values("c")
+        w = sub["n"].to_numpy()
+        v = sub["c"].to_numpy()
+        n = int(w.sum())
+        sv = s1 = 0
+        p = 0
+        for wi, vi in zip(w.tolist(), v.tolist()):
+            sv += vi * wi
+            s1 += vi * (wi * (2 * p + wi + 1) // 2)
+            p += wi
+        ets.append(et)
+        ns.append(n)
+        ginis.append(float(2 * s1 - (n + 1) * sv) / float(n * sv))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "n": np.array(ns, np.int64),
+            "gini": np.array(ginis, np.float64),
+        }
+    )
+
+
+SQL_GINI_PER_TYPE = """
+WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk
+      FROM c),
+s AS (SELECT event_type, count(*) AS n,
+        sum(CAST(c AS HUGEINT)) AS sv,
+        sum(CAST(rk AS HUGEINT) * c) AS s1
+      FROM r GROUP BY 1)
+SELECT event_type, n,
+  CAST(2*s1 - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE) AS gini
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6839,4 +6903,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "overlap_pairs": (q_overlap_pairs, SQL_OVERLAP_PAIRS),
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
+    "gini_per_type": (q_gini_per_type, SQL_GINI_PER_TYPE),
 }
