@@ -6791,6 +6791,129 @@ FROM s
 """
 
 # ---------------------------------------------------------------------------
+# Q: lag-1 autocorrelation per group — temporal dependence statistic over
+# ADJACENT pairs in time order. One distributed sort by (type, ts, id),
+# then a SEGMENTED STITCH: every block emits, per contiguous type run,
+# exact int64 moments of its INTERNAL adjacent pairs plus the run's first
+# and last value; the driver folds O(blocks × types) partials in block
+# order, adding the one boundary pair wherever consecutive runs share a
+# type. All moments stay Python-bignum exact; the final
+# numerator / sqrt(d1·d2) is the same IEEE op sequence the SQL computes.
+# ---------------------------------------------------------------------------
+
+
+def q_autocorr1(sf_dir: str):
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        y = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "y": pa.array(y),
+            }
+        )
+
+    dd = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["event_type", "ts", "event_id"])
+        .materialize()
+    )
+    refs = [br for b in dd.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def run_partials(t: pa.Table) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        y = t["y"].to_numpy(zero_copy_only=False)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        out = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            # int64 is exact here: per-block sums of cents products are
+            # bounded by cents-domain² × block rows (~2.5e9 × 1e6 « 2^63);
+            # the cross-block fold upgrades to Python bignums
+            a, b = y[lo:hi - 1], y[lo + 1:hi]
+            out.append(
+                (
+                    et[lo],
+                    int(y[lo]),
+                    int(y[hi - 1]),
+                    len(a),
+                    int(a.sum()),
+                    int(b.sum()),
+                    int((a * a).sum()),
+                    int((b * b).sum()),
+                    int((a * b).sum()),
+                )
+            )
+        return out
+
+    acc: dict[str, list[int]] = {}
+    prev: tuple | None = None  # (event_type, last_value)
+    for runs in ray.get([run_partials.remote(r) for r in refs]):
+        for et, first, last, n, sx, sy, sxx, syy, sxy in runs:
+            m = acc.setdefault(et, [0, 0, 0, 0, 0, 0])
+            if prev is not None and prev[0] == et:
+                px = prev[1]  # boundary pair (prev_last, first)
+                m[0] += 1
+                m[1] += px
+                m[2] += first
+                m[3] += px * px
+                m[4] += first * first
+                m[5] += px * first
+            m[0] += n
+            m[1] += sx
+            m[2] += sy
+            m[3] += sxx
+            m[4] += syy
+            m[5] += sxy
+            prev = (et, last)
+    ets = sorted(acc)
+    rs = []
+    for et in ets:
+        n, sx, sy, sxx, syy, sxy = acc[et]
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        rs.append(float(num) / math.sqrt(float(d1) * float(d2)))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "n": np.array([acc[e][0] for e in ets], np.int64),
+            "r1": np.array(rs, np.float64),
+        }
+    )
+
+
+SQL_AUTOCORR1 = """
+WITH o AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS y,
+                  ts, event_id FROM events),
+p AS (SELECT event_type, y,
+        lead(y) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y2
+      FROM o),
+m AS (SELECT event_type, count(*) AS n,
+        sum(CAST(y AS HUGEINT)) AS sx, sum(CAST(y2 AS HUGEINT)) AS sy,
+        sum(CAST(y AS HUGEINT)*y) AS sxx, sum(CAST(y2 AS HUGEINT)*y2) AS syy,
+        sum(CAST(y AS HUGEINT)*y2) AS sxy
+      FROM p WHERE y2 IS NOT NULL GROUP BY 1)
+SELECT event_type, n,
+  CAST(n*sxy - sx*sy AS DOUBLE)
+  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r1
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6904,4 +7027,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "dup_ngram_frac": (q_dup_ngram_frac, SQL_DUP_NGRAM_FRAC),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "gini_per_type": (q_gini_per_type, SQL_GINI_PER_TYPE),
+    "autocorr1": (q_autocorr1, SQL_AUTOCORR1),
 }
