@@ -13,6 +13,7 @@ Design rules for oracle safety:
 from __future__ import annotations
 
 import datetime
+import functools
 import hashlib
 import re as _re_mod
 
@@ -6914,6 +6915,79 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# Q: incremental view maintenance — a grouped aggregate kept up to date by
+# a SIGNED delta stream instead of a recompute: the base snapshot
+# (orderkey%10≠0) is aggregated once, the changelog (inserts of the %10
+# rows, retractions of the base's %7 rows) flows through the SAME
+# combiner with a ±1 sign column, and the driver merges the two partial
+# sets with plain addition — aggregate ⊕ delta, the Flink/Materialize
+# retraction algebra on Ray Data. Neither stream shuffles; both reduce to
+# ≤ #groups combiner partials per batch. The oracle collapses the
+# base∖retract∪insert set algebra into one weighted aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_agg(sf_dir: str):
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def signed_partial(df: pd.DataFrame, which: str) -> pa.Table:
+        k = df["o_orderkey"].to_numpy()
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        if which == "base":
+            sel = k % 10 != 0
+            sign = np.ones(len(df), np.int64)
+        else:  # changelog: +1 inserts of %10 rows, −1 retractions of %7 base rows
+            ins = k % 10 == 0
+            ret = (k % 7 == 0) & ~ins
+            sel = ins | ret
+            sign = np.where(ins, 1, -1).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"].to_numpy()[sel],
+                "n": sign[sel],
+                "cents": sign[sel] * cents[sel],
+            }
+        ).groupby("o_orderstatus", as_index=False).sum()
+        return _arrow_out(g.astype({"n": "int64", "cents": "int64"}))
+
+    acc: dict[str, list[int]] = {}
+    for which in ("base", "delta"):
+        part = ds.map_batches(
+            functools.partial(signed_partial, which=which),
+            batch_format="pandas",
+            batch_size=_COMBINE_BATCH,
+        )
+        for r in part.take_all():
+            a = acc.setdefault(r["o_orderstatus"], [0, 0])
+            a[0] += int(r["n"])
+            a[1] += int(r["cents"])
+    sts = sorted(acc)
+    return pd.DataFrame(
+        {
+            "o_orderstatus": pd.Series(sts, dtype=object),
+            "n_orders": np.array([acc[s][0] for s in sts], np.int64),
+            "total_cents": np.array([acc[s][1] for s in sts], np.int64),
+        }
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+WITH weighted AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN 1
+              WHEN o_orderkey % 7 = 0 THEN 0
+              ELSE 1 END AS w,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderstatus, CAST(sum(w) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(w AS HUGEINT) * cents) AS BIGINT) AS total_cents
+FROM weighted GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7028,4 +7102,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
     "gini_per_type": (q_gini_per_type, SQL_GINI_PER_TYPE),
     "autocorr1": (q_autocorr1, SQL_AUTOCORR1),
+    "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
 }
