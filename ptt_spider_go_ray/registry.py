@@ -393,6 +393,23 @@ def _streaming_dedup(sf_dir: str):
 EXTRA_QUERIES["streaming_dedup"] = _streaming_dedup
 
 
+def _kmv_intersect_users(sf_dir: str):
+    """Estimated overlap of the click- and view-audience user sets via
+    mergeable KMV (theta) sketches — the intersection HLL cannot compute.
+    Approximate, so no SQL oracle; error bounds pytest-gated."""
+    import ray.data
+
+    from .stages.sketch import kmv_intersect_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return kmv_intersect_by(ds, "event_type", "user_id", "click", "view")
+
+
+EXTRA_QUERIES["kmv_intersect_users"] = _kmv_intersect_users
+
+
 def _crawl_file_mode(sf_dir: str):
     """File-mode crawl (S2): deterministic seed lines from the synthetic
     site; titles resolved from article content (P8)."""

@@ -392,3 +392,98 @@ def cms_estimate_by(ds, column: str, probes, width: int = 8192, depth: int = 4):
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         acc.merge(CountMinSketch.from_bytes(row["sketch"]))
     return acc.estimate_many(probes), acc.n_total
+
+
+class KMV:
+    """K-Minimum-Values (theta) sketch — the mergeable distinct-count
+    sketch that, unlike HLL, also supports SET-INTERSECTION estimates
+    (Beyer et al. 2007 / the theta-sketch framework): keep the k smallest
+    distinct 64-bit hashes; the k-th smallest fixes the sampling threshold
+    θ, and any sets' sketches can be intersected below min(θ_a, θ_b).
+    Each sketch is ≤ 8k bytes, merge = union + truncate, so partials
+    stream through map_batches and only sketches ever move."""
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.hashes = np.empty(0, dtype=np.uint64)
+
+    @staticmethod
+    def _hash(values) -> np.ndarray:
+        return pd.util.hash_array(np.asarray(values, dtype=object))
+
+    def add_many(self, values) -> None:
+        h = np.unique(self._hash(values))
+        self.hashes = np.unique(np.concatenate([self.hashes, h]))[: self.k]
+
+    def merge(self, other: "KMV") -> "KMV":
+        self.hashes = np.unique(
+            np.concatenate([self.hashes, other.hashes])
+        )[: self.k]
+        return self
+
+    def _threshold(self) -> int:
+        """Exclusive upper hash bound below which the sketch is an exact
+        distinct-sample: the k-th smallest hash when full, else 2^64."""
+        if len(self.hashes) < self.k:
+            return 1 << 64
+        return int(self.hashes[-1])
+
+    def estimate(self) -> float:
+        if len(self.hashes) < self.k:
+            return float(len(self.hashes))  # exhaustive below k
+        return (self.k - 1) / (int(self.hashes[-1]) / 2.0 ** 64)
+
+    @staticmethod
+    def intersect_estimate(a: "KMV", b: "KMV") -> float:
+        thr = min(a._threshold(), b._threshold())
+        sa = a.hashes[a.hashes < np.uint64(min(thr, (1 << 64) - 1))] \
+            if thr < (1 << 64) else a.hashes
+        sb = b.hashes[b.hashes < np.uint64(min(thr, (1 << 64) - 1))] \
+            if thr < (1 << 64) else b.hashes
+        inter = len(np.intersect1d(sa, sb))
+        if thr >= 1 << 64:
+            return float(inter)  # both exhaustive: exact
+        return inter / (thr / 2.0 ** 64)
+
+    def to_bytes(self) -> bytes:
+        return int(self.k).to_bytes(4, "little") + self.hashes.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KMV":
+        s = cls(k=int.from_bytes(data[:4], "little"))
+        s.hashes = np.frombuffer(data[4:], dtype=np.uint64).copy()
+        return s
+
+
+def kmv_intersect_by(ds, key: str, column: str, key_a, key_b, k: int = 1024):
+    """Estimated |distinct(column | key=a) ∩ distinct(column | key=b)| via
+    per-batch KMV partials (one sketch per side per batch, ≤ 8k bytes)
+    merged on the driver — values never shuffle. Returns a one-row
+    DataFrame with both sides' distinct estimates and the intersection."""
+
+    def sketch_batch(df: pd.DataFrame) -> pa.Table:
+        sides, blobs = [], []
+        for side, kk in (("a", key_a), ("b", key_b)):
+            vals = df.loc[df[key] == kk, column]
+            if len(vals):
+                s = KMV(k)
+                s.add_many(vals.to_numpy())
+                sides.append(side)
+                blobs.append(s.to_bytes())
+        return pa.table(
+            {
+                "side": pa.array(sides, pa.string()),
+                "sketch": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    acc = {"a": KMV(k), "b": KMV(k)}
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        acc[row["side"]].merge(KMV.from_bytes(row["sketch"]))
+    return pd.DataFrame(
+        {
+            "est_distinct_a": [acc["a"].estimate()],
+            "est_distinct_b": [acc["b"].estimate()],
+            "est_intersection": [KMV.intersect_estimate(acc["a"], acc["b"])],
+        }
+    )

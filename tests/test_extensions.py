@@ -926,3 +926,70 @@ def test_streaming_dedup_one_survivor_per_text_group(ray_session, dup_docs_dir):
     assert len(surv_texts) == len(set(surv_texts))          # ≤1 per group
     assert set(surv_texts) == set(docs["text"])             # ≥1 per group
     assert len({0, 9001} & set(got["doc_id"].astype(int))) == 1
+
+
+def test_kmv_exact_below_k_and_merge_identity():
+    """Below k the sketch is exhaustive (exact estimates, exact
+    intersections); split-build + merge equals single-pass build."""
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import KMV
+
+    a = KMV(k=1024)
+    a.add_many(np.arange(500))
+    assert a.estimate() == 500.0
+    b = KMV(k=1024)
+    b.add_many(np.arange(300, 800))
+    assert KMV.intersect_estimate(a, b) == 200.0  # exact: both exhaustive
+
+    one = KMV(k=64)
+    one.add_many(np.arange(10_000))
+    h1 = KMV(k=64)
+    h1.add_many(np.arange(5_000))
+    h2 = KMV(k=64)
+    h2.add_many(np.arange(5_000, 10_000))
+    merged = h1.merge(h2)
+    assert np.array_equal(one.hashes, merged.hashes)  # merge ≡ single pass
+    rt = KMV.from_bytes(merged.to_bytes())
+    assert rt.k == 64 and np.array_equal(rt.hashes, merged.hashes)
+
+
+def test_kmv_estimate_and_intersection_error_bounds():
+    """k=1024 → RSE ≈ 1/√k ≈ 3% on distinct counts (assert <10%). The
+    intersection samples only ~|A∩B|·θ ≈ 41 points, so its RSE is ~16%;
+    assert within 2σ (<30%) — the hash is deterministic, so this is a
+    fixed regression value (observed 20.5%), not a flaky bound."""
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.sketch import KMV
+
+    a = KMV(k=1024)
+    a.add_many(np.arange(50_000))          # 50k distinct
+    assert abs(a.estimate() - 50_000) / 50_000 < 0.10
+
+    b = KMV(k=1024)
+    b.add_many(np.arange(48_000, 98_000))  # 50k distinct, 2k overlap
+    est = KMV.intersect_estimate(a, b)
+    assert abs(est - 2_000) / 2_000 < 0.30
+
+
+def test_kmv_pipeline_runs(ray_session):
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["kmv_intersect_users"]("/root/testdata/sf0.001")
+    assert len(df) == 1
+    # sf0.001 has 15 users, far below k: every estimate is exact
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    exact = con.sql("""
+        SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type='click'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type='view')
+    """).fetchall()[0][0]
+    assert float(df["est_intersection"].iloc[0]) == float(exact)
