@@ -6988,6 +6988,189 @@ FROM weighted GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: PSI drift — the population-stability-index monitor between the first
+# and second half of the time range (the model/data drift alarm). Two
+# combiner passes, zero shuffles: pass 0 gets exact (min_ts, max_ts,
+# max_cents) partials; pass 1 bins each half's values into a fixed
+# 20-bucket equi-width histogram (the half split is the integer-exact
+# cross-multiplication 2·t < lo+hi — no timestamp division). Laplace
+# +1-smoothed proportions over the full 20-bin spine; the 20-term float
+# sum is rounded to 1e-6 on both engines.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 20
+
+
+def q_psi_drift(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def lims_partial(df: pd.DataFrame) -> pa.Table:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "lo": pa.array([int(t.min())]),
+                "hi": pa.array([int(t.max())]),
+                "vmax": pa.array([int(c.max())]),
+            }
+        )
+
+    lo = hi = vmax = None
+    for r in ds.map_batches(
+        lims_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+        vmax = r["vmax"] if vmax is None else max(vmax, r["vmax"])
+    vmax = int(vmax) + 1
+    mid2 = int(lo) + int(hi)  # 2·t < mid2 ⟺ first half
+
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        ref = 2 * t < mid2
+        bins = np.minimum(c * _PSI_BINS // vmax, _PSI_BINS - 1)
+        out = []
+        for half, sel in (("ref", ref), ("cur", ~ref)):
+            bc = np.bincount(bins[sel], minlength=_PSI_BINS)
+            nz = np.nonzero(bc)[0]
+            out.append(
+                pa.table(
+                    {
+                        # explicit types: a time-contiguous block can be
+                        # entirely one half, and pa.array([]) is null-typed
+                        "half": pa.array([half] * len(nz), pa.string()),
+                        "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                        "n": pa.array(bc[nz].astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    counts = {
+        "ref": np.zeros(_PSI_BINS, np.int64),
+        "cur": np.zeros(_PSI_BINS, np.int64),
+    }
+    for r in ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        counts[r["half"]][int(r["bin"])] += int(r["n"])
+    tr = int(counts["ref"].sum()) + _PSI_BINS
+    tc = int(counts["cur"].sum()) + _PSI_BINS
+    psi = 0.0
+    for i in range(_PSI_BINS):
+        pr = float(int(counts["ref"][i]) + 1) / tr
+        pc = float(int(counts["cur"][i]) + 1) / tc
+        psi += (pc - pr) * math.log(pc / pr)
+    return pd.DataFrame({"psi_e6": np.array([round(psi * 1e6)], np.int64)})
+
+
+SQL_PSI_DRIFT = f"""
+WITH lims AS (SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS lo,
+                     max(CAST(epoch_us(ts) AS BIGINT)) AS hi,
+                     max(CAST(round(value*100) AS BIGINT)) + 1 AS vmax
+              FROM events),
+b AS (SELECT CASE WHEN 2*CAST(epoch_us(ts) AS BIGINT)
+                       < (SELECT lo + hi FROM lims) THEN 'ref' ELSE 'cur'
+             END AS half,
+             least(CAST(round(value*100) AS BIGINT) * {_PSI_BINS}
+                   // (SELECT vmax FROM lims), {_PSI_BINS - 1}) AS bin
+      FROM events),
+c AS (SELECT half, bin, count(*) AS n FROM b GROUP BY 1, 2),
+t AS (SELECT half, sum(n) AS tot FROM c GROUP BY 1),
+bins AS (SELECT unnest(range(0, {_PSI_BINS})) AS bin),
+p AS (SELECT bins.bin,
+        CAST(coalesce(r.n, 0) + 1 AS DOUBLE)
+          / ((SELECT tot FROM t WHERE half='ref') + {_PSI_BINS}) AS pr,
+        CAST(coalesce(u.n, 0) + 1 AS DOUBLE)
+          / ((SELECT tot FROM t WHERE half='cur') + {_PSI_BINS}) AS pc
+      FROM bins
+      LEFT JOIN c r ON r.bin = bins.bin AND r.half = 'ref'
+      LEFT JOIN c u ON u.bin = bins.bin AND u.half = 'cur')
+SELECT CAST(round(sum((pc - pr) * ln(pc / pr)) * 1000000) AS BIGINT) AS psi_e6
+FROM p
+"""
+
+# ---------------------------------------------------------------------------
+# Q: column profiler — the ANALYZE-style table profile every ingest
+# pipeline runs first: per numeric/temporal column (n, n_null, min, max)
+# in long format, all from ONE combiner pass of ≤ #columns-row partials.
+# ---------------------------------------------------------------------------
+
+
+def q_profile_columns(sf_dir: str):
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def prof_partial(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for col in ("o_custkey", "o_totalprice", "o_orderdate"):
+            s = df[col]
+            if col == "o_orderdate":
+                v = s.to_numpy().astype("datetime64[us]").astype(np.int64)
+            elif col == "o_totalprice":
+                v = np.rint(s.to_numpy() * 100).astype(np.int64)
+            else:
+                v = s.to_numpy().astype(np.int64)
+            rows.append(
+                (col, len(s), int(s.isna().sum()), int(v.min()), int(v.max()))
+            )
+        return pa.table(
+            {
+                "column": pa.array([r[0] for r in rows]),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "n_null": pa.array([r[2] for r in rows], pa.int64()),
+                "min_v": pa.array([r[3] for r in rows], pa.int64()),
+                "max_v": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        prof_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["column"], [0, 0, None, None])
+        a[0] += int(r["n"])
+        a[1] += int(r["n_null"])
+        a[2] = int(r["min_v"]) if a[2] is None else min(a[2], int(r["min_v"]))
+        a[3] = int(r["max_v"]) if a[3] is None else max(a[3], int(r["max_v"]))
+    cols = sorted(acc)
+    return pd.DataFrame(
+        {
+            "column": pd.Series(cols, dtype=object),
+            "n": np.array([acc[c][0] for c in cols], np.int64),
+            "n_null": np.array([acc[c][1] for c in cols], np.int64),
+            "min_v": np.array([acc[c][2] for c in cols], np.int64),
+            "max_v": np.array([acc[c][3] for c in cols], np.int64),
+        }
+    )
+
+
+SQL_PROFILE_COLUMNS = """
+SELECT 'o_custkey' AS column, count(*) AS n,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+       CAST(min(o_custkey) AS BIGINT) AS min_v,
+       CAST(max(o_custkey) AS BIGINT) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       min(CAST(round(o_totalprice*100) AS BIGINT)),
+       max(CAST(round(o_totalprice*100) AS BIGINT))
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       CAST(count(*) - count(o_orderdate) AS BIGINT),
+       min(CAST(epoch_us(o_orderdate) AS BIGINT)),
+       max(CAST(epoch_us(o_orderdate) AS BIGINT))
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7103,4 +7286,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "gini_per_type": (q_gini_per_type, SQL_GINI_PER_TYPE),
     "autocorr1": (q_autocorr1, SQL_AUTOCORR1),
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
 }
