@@ -143,3 +143,35 @@ def test_fetch_batch_task_oversize_and_cap():
     out = fetch_batch_task(t, factory_bytes=fb, max_body_bytes=1000).to_pylist()
     assert not out[0]["ok"] and out[0]["error"] == "oversize" and out[0]["body"] == b""
     assert out[1]["ok"] and len(out[1]["body"]) > 0
+
+
+def test_compact_partitions_merges_small_parts(tmp_path):
+    """Many tiny part files per partition collapse to one; partitions with
+    a large part are left alone; the rows read back are identical."""
+    import pyarrow as pa
+
+    from ptt_spider_go_ray.sources import storage
+
+    root = str(tmp_path)
+    for part in range(4):
+        storage.write_partition(
+            pa.table({"x": pa.array([part * 10 + 1, part * 10 + 2], pa.int64())}),
+            root, "docs", "round=1", part=part,
+        )
+    storage.write_partition(
+        pa.table({"x": pa.array(list(range(100)), pa.int64())}),
+        root, "docs", "round=2", part=0,
+    )
+    storage.write_partition(
+        pa.table({"x": pa.array([999], pa.int64())}),
+        root, "docs", "round=2", part=1,
+    )
+    before = storage.read_table(root, "docs").to_pandas().sort_values("x")
+
+    touched = storage.compact_partitions(root, "docs", target_rows=50)
+    assert touched == {"round=1": (4, 1)}  # round=2 has a big part: skipped
+
+    after = storage.read_table(root, "docs").to_pandas().sort_values("x")
+    assert after.reset_index(drop=True).equals(before.reset_index(drop=True))
+    import os
+    assert sorted(os.listdir(f"{root}/docs/round=1")) == ["part-0.parquet"]
