@@ -7171,6 +7171,132 @@ FROM orders
 """
 
 # ---------------------------------------------------------------------------
+# Q: OLS outliers — the top-5 regression outliers per group ranked by
+# EXACT INTEGER scaled residuals: |y·den − (sy·sxx − sx·sxy) −
+# slope_num·x| with den = n·sxx − sx², so no float fit, no threshold
+# knife-edges — residual ORDER is exact on both engines (SQL does the
+# same arithmetic in HUGEINT). Day index is shifted by the global min so
+# per-row magnitudes stay in int64 (guarded; the SQL side is exact at any
+# scale). Pass 1 = the trend moments; pass 2 = per-batch partial top-5
+# per type merged on the driver.
+# ---------------------------------------------------------------------------
+
+_OLS_TOPK = 5
+
+
+def q_ols_outliers(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+
+    def d0_partial(df: pd.DataFrame) -> pa.Table:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({"d0": pa.array([int(t.min() // _DAY_US)])})
+
+    d0 = min(
+        int(r["d0"])
+        for r in ds.map_batches(
+            d0_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        ).take_all()
+    )
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        x = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // _DAY_US
+            - d0
+        )
+        y = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        m = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return _arrow_out(
+            m.astype({c: "int64" for c in ("n", "sx", "sy", "sxx", "sxy")})
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        moments, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+        for i, kk in enumerate(("n", "sx", "sy", "sxx", "sxy")):
+            a[i] += int(r[kk])
+    coef = {}
+    for et, (n, sx, sy, sxx, sxy) in acc.items():
+        den = n * sxx - sx * sx
+        coef[et] = (den, sy * sxx - sx * sxy, n * sxy - sx * sy)
+        # int64 guard for the per-row vectorized path (SQL stays exact in
+        # HUGEINT at any scale; raise rather than silently wrap)
+        if max(abs(den) * 10 ** 5, abs(coef[et][1]), abs(coef[et][2]) * 10 ** 5) > 2 ** 62:
+            raise OverflowError("ols_outliers: residual magnitude exceeds int64")
+
+    def topk_partial(df: pd.DataFrame) -> pa.Table:
+        x = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // _DAY_US
+            - d0
+        )
+        y = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        den = pd.Series(et).map({k: v[0] for k, v in coef.items()}).to_numpy(np.int64)
+        ia = pd.Series(et).map({k: v[1] for k, v in coef.items()}).to_numpy(np.int64)
+        bn = pd.Series(et).map({k: v[2] for k, v in coef.items()}).to_numpy(np.int64)
+        ar = np.abs(y * den - ia - bn * x)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": et,
+                    "event_id": df["event_id"].astype("int64").to_numpy(),
+                    "resid_scaled": ar,
+                }
+            )
+            .sort_values(["event_type", "resid_scaled", "event_id"],
+                         ascending=[True, False, True])
+            .groupby("event_type", sort=False)
+            .head(_OLS_TOPK)
+        )
+        return _arrow_out(g)
+
+    part = ds.map_batches(
+        topk_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    out = (
+        part.sort_values(["event_type", "resid_scaled", "event_id"],
+                         ascending=[True, False, True])
+        .groupby("event_type", sort=False)
+        .head(_OLS_TOPK)
+        .reset_index(drop=True)
+    )
+    out["event_type"] = out["event_type"].astype(object)
+    return out.astype({"event_id": "int64", "resid_scaled": "int64"})
+
+
+SQL_OLS_OUTLIERS = f"""
+WITH m0 AS (SELECT min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0
+            FROM events),
+o AS (SELECT event_id, event_type,
+        CAST(epoch_us(ts) // 86400000000 AS BIGINT) - (SELECT d0 FROM m0) AS x,
+        CAST(round(value*100) AS BIGINT) AS y
+      FROM events),
+s AS (SELECT event_type, count(*) AS n,
+        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        sum(CAST(x AS HUGEINT)*x) AS sxx, sum(CAST(x AS HUGEINT)*y) AS sxy
+      FROM o GROUP BY 1),
+r AS (SELECT o.event_type, o.event_id,
+        abs(CAST(o.y AS HUGEINT)*(s.n*s.sxx - s.sx*s.sx)
+            - (s.sy*s.sxx - s.sx*s.sxy)
+            - (s.n*s.sxy - s.sx*s.sy)*o.x) AS ar
+      FROM o JOIN s USING (event_type)),
+k AS (SELECT event_type, event_id, ar,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY ar DESC, event_id) AS rk
+      FROM r)
+SELECT event_type, event_id, CAST(ar AS BIGINT) AS resid_scaled
+FROM k WHERE rk <= {_OLS_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7288,4 +7414,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "incremental_agg": (q_incremental_agg, SQL_INCREMENTAL_AGG),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
+    "ols_outliers": (q_ols_outliers, SQL_OLS_OUTLIERS),
 }
