@@ -827,3 +827,59 @@ def test_dup_ngram_frac_planted_repetition(ray_session, tmp_path):
     assert set(got["doc_id"]) == {0, 1}
     r0 = got[got["doc_id"] == 0].iloc[0]
     assert (r0["n_grams"], r0["n_dup"]) == (7, 4) and r0["dup_frac"] == 4 / 7
+
+
+def test_psi_drift_identical_halves_is_zero(ray_session, tmp_path):
+    """Identical value distributions in both halves → PSI exactly 0 (the
+    smoothing terms cancel when counts AND totals match)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_PSI_DRIFT, q_psi_drift
+
+    t0 = datetime.datetime(2024, 1, 1)
+    half_vals = sorted([1.0, 2.0, 3.0, 4.0, 5.0] * 2)  # 10 values per half
+    ts = [t0 + datetime.timedelta(hours=i) for i in range(20)]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(half_vals + half_vals, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = to_pandas(q_psi_drift(str(tmp_path)))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = con.sql(SQL_PSI_DRIFT).df()
+    assert got["psi_e6"].tolist() == want["psi_e6"].tolist() == [0]
+
+
+def test_incremental_agg_equals_full_recompute(ray_session):
+    """base ⊕ delta must equal a from-scratch aggregate of the maintained
+    set (base minus retractions plus inserts) computed independently."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import q_incremental_agg
+
+    got = to_pandas(q_incremental_agg(SF)).sort_values("o_orderstatus")
+    df = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).to_pandas()
+    k = df["o_orderkey"]
+    live = df[(k % 10 == 0) | ((k % 10 != 0) & (k % 7 != 0))]
+    import numpy as np
+
+    want = (
+        live.assign(cents=np.rint(live["o_totalprice"] * 100).astype("int64"))
+        .groupby("o_orderstatus")
+        .agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        .reset_index()
+        .sort_values("o_orderstatus")
+    )
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["total_cents"].tolist() == want["total_cents"].tolist()
