@@ -7297,6 +7297,297 @@ FROM k WHERE rk <= {_OLS_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q5-shaped multi-join chain (local-supplier volume): lineitem ⋈
+# orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region — revenue per nation for
+# 1996–1997 orders where the customer and the supplier sit in the same
+# ASIA nation. Ray-native plan: the three dimension maps (region→nation,
+# supplier→nation, customer→nation) are row-group-pruned driver reads
+# broadcast ONCE via ray.put and applied as searchsorted lookups inside
+# map_batches (adaptive: past _Q5_BROADCAST_MAX customer rows the customer
+# side switches to a native hash join — the q_tpch_q3 pattern; at 100 TB
+# the 150M-row int64-pair customer map stops being broadcastable, the
+# supplier map, 10× smaller, still is). The single all-to-all exchange is
+# the lineitem⋈orders hash join on the order key, with lineitem
+# pre-aggregated per (l_orderkey, supplier-nation) by an exact-integer
+# combiner BEFORE the shuffle. Revenue stays int64 (cents × (100−disc_pct))
+# end-to-end so the engine and DuckDB agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01"
+_Q5_HI = "1998-01-01"
+_Q5_BROADCAST_MAX = 3_000_000  # customer rows; above → native hash join
+
+
+def q_tpch_q5(sf_dir: str, broadcast_max: int | None = None):
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    if broadcast_max is None:
+        broadcast_max = _Q5_BROADCAST_MAX
+
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", filters=[("r_name", "==", _Q5_REGION)]
+    )
+    rkeys = region["r_regionkey"].to_numpy(zero_copy_only=False)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nmask = np.isin(nation["n_regionkey"].to_numpy(zero_copy_only=False), rkeys)
+    nat_keys = nation["n_nationkey"].to_numpy(zero_copy_only=False)[nmask]
+    nat_order = np.argsort(nat_keys)
+    nat_keys = np.ascontiguousarray(nat_keys[nat_order])
+    nat_names = np.asarray(nation["n_name"].to_pylist(), dtype=object)[nmask][
+        nat_order
+    ]
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    smask = np.isin(sn, nat_keys)
+    so = np.argsort(sk[smask])
+    supp_ref = ray.put((np.ascontiguousarray(sk[smask][so]),
+                        np.ascontiguousarray(sn[smask][so])))
+
+    lo = pa.scalar(pd.Timestamp(_Q5_LO).to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q5_HI).to_pydatetime(), pa.timestamp("us"))
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_max:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+        cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+        cmask = np.isin(cn, nat_keys)
+        co = np.argsort(ck[cmask])
+        cust_ref = ray.put((np.ascontiguousarray(ck[cmask][co]),
+                            np.ascontiguousarray(cn[cmask][co])))
+
+        def cust_nat(t: pa.Table) -> pa.Table:
+            keys, nats = ray.get(cust_ref)
+            okeys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            if not len(keys) or not len(okeys):
+                return pa.table(
+                    {"o_orderkey": pa.array([], pa.int64()),
+                     "c_nat": pa.array([], pa.int64())}
+                )
+            pos = np.clip(np.searchsorted(keys, okeys), 0, len(keys) - 1)
+            hit = keys[pos] == okeys
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy(zero_copy_only=False)[hit]
+                    ),
+                    "c_nat": pa.array(nats[pos[hit]].astype(np.int64)),
+                }
+            )
+
+        ods = orders.map_batches(cust_nat, batch_format="pyarrow")
+    else:
+        cust = _read(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    np.isin(
+                        t["c_nationkey"].to_numpy(zero_copy_only=False), nat_keys
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        ods = (
+            orders.join(
+                cust,
+                join_type="inner",
+                num_partitions=_join_partitions(sf_dir, "orders", "customer"),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "o_orderkey": t["o_orderkey"],
+                        "c_nat": t["c_nationkey"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        skeys, snats = ray.get(supp_ref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if not len(skeys) or not len(lsk):
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "s_nat": pa.array([], pa.int64()),
+                 "rev": pa.array([], pa.int64())}
+            )
+        pos = np.clip(np.searchsorted(skeys, lsk), 0, len(skeys) - 1)
+        hit = skeys[pos] == lsk
+        s_nat = snats[pos[hit]].astype(np.int64)
+        t = t.filter(pa.array(hit))
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_pct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "s_nat": s_nat,
+                "rev": price_c * (100 - disc_pct),
+            }
+        )
+        g = df.groupby(["l_orderkey", "s_nat"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        return _arrow_out(g)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+
+    joined = li.join(
+        ods,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation(df: pd.DataFrame) -> pa.Table:
+        m = df["c_nat"].to_numpy() == df["s_nat"].to_numpy()
+        d = df.loc[m]
+        if not len(d):
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "revenue_e4": pa.array([], pa.int64())}
+            )
+        pos = np.searchsorted(nat_keys, d["s_nat"].to_numpy())
+        g = pd.DataFrame(
+            {"n_name": nat_names[pos], "revenue_e4": d["rev"].to_numpy()}
+        ).groupby("n_name", as_index=False).agg(revenue_e4=("revenue_e4", "sum"))
+        return _arrow_out(g)
+
+    return (
+        joined.map_batches(
+            same_nation, batch_format="pandas", batch_size=_COMBINE_BATCH
+        )
+        .groupby("n_name")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+
+
+SQL_TPCH_Q5 = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_Q5_LO}'
+    AND o_orderdate <  TIMESTAMP '{_Q5_HI}'
+),
+n AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q5_REGION}'
+)
+SELECT n.n_name, CAST(sum(li.rev) AS BIGINT) AS revenue_e4
+FROM li
+JOIN o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN n ON c.c_nationkey = n.n_nationkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: BPE step-0 pair counts (tokenizer-training feed): the 20 most frequent
+# adjacent character pairs inside [a-z]+ words, weighted by word occurrence.
+# Engine: per-batch vectorized extraction (the UTF-32 codepoint trick from
+# q_charlm_score applied to the word stream) → exact-int partials bounded by
+# 26² keys → tiny take_all + driver merge (the collision-rank pattern — a
+# groupby shuffle over ≤676 keys is pure overhead). Feeds bpe_merges
+# (pipelines/textanalysis.py), which runs the full iterative merge loop.
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def q_bpe_top_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        words = [w for lst in toks for w in lst if len(w) >= 2]
+        if not words:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        joined = "\x00".join(words)
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.int64)
+        lens = np.fromiter((len(w) for w in words), np.int64, count=len(words))
+        widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens + 1)[: len(cp)]
+        ok = (cp[:-1] != 0) & (cp[1:] != 0) & (widx[:-1] == widx[1:])
+        keys = (cp[:-1] << 21) | cp[1:]
+        uk, cnt = np.unique(keys[ok], return_counts=True)
+        return pa.table(
+            {"k": pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    tot = parts.groupby("k", as_index=False)["n"].sum()
+    ks = tot["k"].to_numpy()
+    left = np.array([chr(int(k) >> 21) for k in ks], dtype=object)
+    right = np.array([chr(int(k) & ((1 << 21) - 1)) for k in ks], dtype=object)
+    out = pd.DataFrame({"l": left, "r": right, "n": tot["n"].astype("int64")})
+    out = out.sort_values(
+        ["n", "l", "r"], ascending=[False, True, True], kind="mergesort"
+    ).head(_BPE_TOPK)
+    return out.reset_index(drop=True)
+
+
+SQL_BPE_TOP_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+p AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS r
+  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        FROM words WHERE length(w) >= 2)
+)
+SELECT l, r, count(*) AS n FROM p GROUP BY l, r
+ORDER BY n DESC, l ASC, r ASC LIMIT {_BPE_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7415,4 +7706,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "profile_columns": (q_profile_columns, SQL_PROFILE_COLUMNS),
     "ols_outliers": (q_ols_outliers, SQL_OLS_OUTLIERS),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "bpe_top_pairs": (q_bpe_top_pairs, SQL_BPE_TOP_PAIRS),
 }

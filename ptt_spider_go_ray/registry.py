@@ -444,6 +444,20 @@ def _crawl_file_mode(sf_dir: str):
 EXTRA_QUERIES["crawl_file_mode"] = _crawl_file_mode
 
 
+def _bpe_merges(sf_dir: str):
+    """Iterative BPE tokenizer training (distributed word count → K rounds
+    of pair-count/argmax/merge over the unique-word table). Iterative, so
+    no SQL oracle; pytest gates it against a plain-Python BPE replay
+    (tests/test_extensions.py) and the step-0 feed is SQL-oracled as
+    bpe_top_pairs."""
+    from .pipelines.textanalysis import bpe_merges
+
+    return bpe_merges(sf_dir)
+
+
+EXTRA_QUERIES["bpe_merges"] = _bpe_merges
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the deterministic EXTRA queries. The span-table queries
 # re-derive the seed-free synthesis rule of sources/spans_source.py in pure

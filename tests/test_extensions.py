@@ -993,3 +993,130 @@ def test_kmv_pipeline_runs(ray_session):
           SELECT DISTINCT user_id FROM events WHERE event_type='view')
     """).fetchall()[0][0]
     assert float(df["est_intersection"].iloc[0]) == float(exact)
+
+
+# --- BPE tokenizer training --------------------------------------------------
+
+def _plain_python_bpe(texts, n_merges):
+    """Reference BPE: word-freq dict, per-round exact pair counts, argmax
+    tie-broken by (count desc, (id_a<<32|id_b) asc), greedy-leftmost apply."""
+    import collections
+    import re
+
+    NEW = 0x110000
+    wf = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", (t or "").lower())
+    )
+    words = {w: list(w) for w in wf}
+    ids = {}
+
+    def gid(s):
+        if s not in ids:
+            assert len(s) == 1
+            ids[s] = ord(s)
+        return ids[s]
+
+    merges = []
+    for step in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best_n = max(pc.values())
+        if best_n < 2:
+            break
+        best = min(
+            (p for p, n in pc.items() if n == best_n),
+            key=lambda p: (gid(p[0]) << 32) | gid(p[1]),
+        )
+        a, b = best
+        new_tok = a + b
+        ids[new_tok] = NEW + step
+        merges.append((step, new_tok, best_n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new_tok)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_merges_matches_plain_python(ray_session):
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.textanalysis import bpe_merges
+
+    got = bpe_merges(SF, n_merges=6)
+    eng = list(
+        zip(
+            got["step"].to_pylist(),
+            got["token"].to_pylist(),
+            got["pair_n"].to_pylist(),
+        )
+    )
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    assert eng == _plain_python_bpe(texts, 6)
+    assert len(eng) == 6
+
+
+def test_bpe_apply_greedy_overlap_run_parity():
+    """The a==b overlap case: 'aaaa' + (a,a) → [A,A]; 'aaa' → [A,a];
+    'aabaa' → [A,b,A] — vectorized run-parity equals greedy leftmost."""
+    from ptt_spider_go_ray.pipelines.textanalysis import _make_apply
+
+    a = ord("a")
+    apply = _make_apply(a, a, 0x110000)
+
+    def run(words_syms, freqs):
+        offs = [0]
+        vals = []
+        for s in words_syms:
+            vals.extend(s)
+            offs.append(len(vals))
+        t = pa.table(
+            {
+                "f": pa.array(freqs, pa.int64()),
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(vals, pa.int32())
+                ),
+            }
+        )
+        out = apply(t)
+        return [list(x) for x in out["syms"].to_pylist()]
+
+    A = 0x110000
+    got = run(
+        [[a] * 4, [a] * 3, [a, a, ord("b"), a, a], [ord("b")]], [1, 1, 1, 1]
+    )
+    assert got == [[A, A], [A, a], [A, ord("b"), A], [ord("b")]]
+
+
+def test_bpe_word_boundaries_not_merged():
+    """A pair straddling two words must not count or merge: words 'xa','ax'
+    share no in-word (a,x) pair after flattening."""
+    from ptt_spider_go_ray.pipelines.textanalysis import _pair_partial
+
+    x, a = ord("x"), ord("a")
+    t = pa.table(
+        {
+            "f": pa.array([1, 1], pa.int64()),
+            "syms": pa.ListArray.from_arrays(
+                pa.array([0, 2, 4], pa.int32()),
+                pa.array([x, a, a, x], pa.int32()),
+            ),
+        }
+    )
+    out = _pair_partial(t)
+    keys = out["k"].to_pylist()
+    assert ((a << 32) | a) not in keys  # the straddle pair
+    assert ((x << 32) | a) in keys and ((a << 32) | x) in keys

@@ -123,6 +123,16 @@ def test_tpch_q3_native_join_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_tpch_q5_native_join_path(ray_session):
+    """Force the customer side over the broadcast threshold so the native
+    hash join fallback runs; result must still match the oracle."""
+    import ptt_spider_go_ray.queries as Q
+
+    got = canon(to_pandas(Q.q_tpch_q5(SF, broadcast_max=0)))
+    want = canon(duck_result(Q.SQL_TPCH_Q5))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_ntile_degenerate_groups(ray_session, tmp_path):
     """Groups smaller than the bucket count (n < 4) and single-row groups
     must follow DuckDB's NTILE bucket arithmetic exactly."""
