@@ -5955,6 +5955,148 @@ FROM run GROUP BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# Q: union-of-intervals covered time per event type — each event opens an
+# interval [ts, ts + value seconds); report how many microseconds of the
+# timeline are covered by AT LEAST ONE open interval (the utilization /
+# uptime complement of q_max_concurrency's peak-load sweep). Same delta
+# encoding (+1 at start, -1 at end) and ONE distributed sort; coverage is
+# then a segmented weighted scan: gap_i counts iff the running open count
+# after point i is positive. Because the running count needs the prefix
+# from earlier blocks, the fold runs in two O(blocks×types) phases — a
+# summary pass returns (type, Σd, first_t, last_t) per block segment, the
+# driver stitches incoming offsets and cross-block boundary gaps, and a
+# second pass computes each block's exact covered length vectorized with
+# its offset. Driver state never exceeds O(blocks×types); no block is
+# ever concatenated on the driver. Ties (equal t) contribute zero-length
+# gaps, so the result is independent of tie order.
+# ---------------------------------------------------------------------------
+
+
+def q_interval_coverage(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        et = t["event_type"].to_pandas().to_numpy()
+        n = len(et)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate([et, et])),
+                "t": pa.array(np.concatenate([ts_us, ts_us + dur])),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), -np.ones(n, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    dd = (
+        ds.map_batches(deltas, batch_format="pyarrow")
+        .sort(["event_type", "t", "d"])
+        .materialize()
+    )
+    refs = [br for b in dd.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def seg_summary(t: pa.Table) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        d = t["d"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        return [
+            (
+                et[bounds[i]],
+                int(d[bounds[i]:bounds[i + 1]].sum()),
+                int(tt[bounds[i]]),
+                int(tt[bounds[i + 1] - 1]),
+            )
+            for i in range(len(bounds) - 1)
+        ]
+
+    summaries = ray.get([seg_summary.remote(r) for r in refs])
+
+    # Driver stitch: per block segment, the open count entering it (its
+    # phase-2 offset) plus the cross-block boundary gap when the count is
+    # still positive across the block edge. O(blocks×types) tuples only.
+    cov: dict[str, int] = {}
+    offsets: list[list[int]] = []
+    cur = None
+    csum = 0
+    prev_last_t = 0
+    for segs in summaries:
+        offs = []
+        for et, dsum, first_t, last_t in segs:
+            if et != cur:
+                cur, csum = et, 0
+                cov.setdefault(et, 0)
+            elif csum > 0:
+                cov[et] += first_t - prev_last_t
+            offs.append(csum)
+            csum += dsum
+            prev_last_t = last_t
+        offsets.append(offs)
+
+    @ray.remote
+    def cov_partial(t: pa.Table, offs: list[int]) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        d = t["d"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        out = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            c = offs[i] + np.cumsum(d[lo:hi])
+            gaps = np.diff(tt[lo:hi])
+            out.append((et[lo], int((gaps * (c[:-1] > 0)).sum())))
+        return out
+
+    for segs in ray.get(
+        [cov_partial.remote(r, o) for r, o in zip(refs, offsets)]
+    ):
+        for et, c in segs:
+            cov[et] += c
+    ets = sorted(cov)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "covered_us": np.array([cov[e] for e in ets], np.int64),
+        }
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH pts AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) + CAST(round(value*1000000) AS BIGINT),
+         -1
+  FROM events
+),
+scan AS (SELECT event_type, t,
+                sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                             ROWS UNBOUNDED PRECEDING) AS c,
+                lead(t) OVER (PARTITION BY event_type ORDER BY t, d) AS nt
+         FROM pts)
+SELECT event_type,
+       CAST(sum(CASE WHEN c > 0 AND nt IS NOT NULL THEN nt - t ELSE 0 END)
+            AS BIGINT) AS covered_us
+FROM scan GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # Q: deterministic multi-epoch training-shuffle plan — every document gets
 # a seeded pseudo-random POSITION per epoch (the "global shuffle" a
 # training loader needs, reproducible across runs and resumable mid-epoch).
@@ -7689,6 +7831,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "user_entropy": (q_user_entropy, SQL_USER_ENTROPY),
     "mad_per_type": (q_mad_per_type, SQL_MAD_PER_TYPE),
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -620,6 +620,57 @@ def test_max_concurrency_tie_rules(ray_session, tmp_path):
     assert by == {"b2b": 1, "zero": 1, "nest": 3}
 
 
+def test_interval_coverage_union_semantics(ray_session, tmp_path):
+    """Union coverage merges overlaps, bridges back-to-back intervals
+    (zero-length join gap), and ignores zero-duration points; hand-computed
+    expectations plus the DuckDB window oracle on the same file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_INTERVAL_COVERAGE,
+        q_interval_coverage,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda k: base + pd.Timedelta(seconds=k)
+    rows = [
+        # b2b: [0,10) + [10,20) — union 20 s
+        ("b2b", s(0), 10.0), ("b2b", s(10), 10.0),
+        # olap: [0,10) + [5,15) — union 15 s, not 20
+        ("olap", s(0), 10.0), ("olap", s(5), 10.0),
+        # gap: [0,5) + [10,15) — union 10 s, hole not counted
+        ("gap", s(0), 5.0), ("gap", s(10), 5.0),
+        # zero: a zero-length interval alone covers nothing
+        ("zero", s(0), 0.0), ("zero", s(100), 0.0),
+        # nest: [0,100) ∪ [1,51) ∪ [2,12) — union 100 s
+        ("nest", s(0), 100.0), ("nest", s(1), 50.0), ("nest", s(2), 10.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_interval_coverage(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_INTERVAL_COVERAGE).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["event_type"], got["covered_us"]))
+    assert by == {
+        "b2b": 20_000_000,
+        "olap": 15_000_000,
+        "gap": 10_000_000,
+        "zero": 0,
+        "nest": 100_000_000,
+    }
+
+
 def test_user_entropy_degenerate(ray_session, tmp_path):
     """Single-event-type user has entropy exactly 0; a uniform 4-type user
     has entropy exactly 2 bits (both integer-exact after e6 rounding)."""
