@@ -7730,6 +7730,497 @@ ORDER BY n DESC, l ASC, r ASC LIMIT {_BPE_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q18-shaped "large order customers" — orders whose total lineitem
+# quantity exceeds a threshold, joined back to orders + customer, top-100 by
+# order value. Ray-native plan: lineitem quantity is pre-aggregated per
+# l_orderkey by an exact-integer combiner BEFORE the hash shuffle (the only
+# all-to-all), the HAVING filter runs distributed so only the hot ~1-2% of
+# order keys reach the driver, and that small set is broadcast ONCE via
+# ray.put as a sorted searchsorted lookup into the orders scan (same
+# adaptive story as q_tpch_q5: past a size bound the semi join would switch
+# to the native hash join — documented, not needed at the HAVING
+# selectivity TPC-H prescribes). The top-100 is per-block partial top-k
+# then one driver merge of ≤100×blocks rows — no global sort.
+# ---------------------------------------------------------------------------
+
+_Q18_QTY_C = 25_000  # HAVING sum(l_quantity) > 250, in qty-cents
+_Q18_TOPK = 100
+
+
+def q_tpch_q18(sf_dir: str):
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sum_qty_c": np.rint(
+                    t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).groupby("l_orderkey", as_index=False).sum()
+        return _arrow_out(df.astype({"sum_qty_c": "int64"}))
+
+    hot = (
+        li.map_batches(
+            qty_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["sum_qty_c"], pa.scalar(_Q18_QTY_C))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # HAVING-selective: ~1-2% of orders (see header)
+    )
+    ho = np.argsort(hot["l_orderkey"].to_numpy())
+    hot_keys = np.ascontiguousarray(hot["l_orderkey"].to_numpy()[ho])
+    hot_qty = np.ascontiguousarray(
+        hot["sum_qty_c"].to_numpy().astype(np.int64)[ho]
+    )
+    hot_ref = ray.put((hot_keys, hot_qty))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    co = np.argsort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    cust_ref = ray.put(
+        (
+            np.ascontiguousarray(
+                cust["c_custkey"].to_numpy(zero_copy_only=False)[co]
+            ),
+            np.asarray(cust["c_name"].to_pylist(), dtype=object)[co],
+        )
+    )
+
+    def join_orders(t: pa.Table) -> pa.Table:
+        keys, qty = ray.get(hot_ref)
+        ck, cn = ray.get(cust_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        if not len(keys) or not len(ok):
+            return pa.table(
+                {
+                    "c_name": pa.array([], pa.string()),
+                    "c_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_total_c": pa.array([], pa.int64()),
+                    "sum_qty_c": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.clip(np.searchsorted(keys, ok), 0, len(keys) - 1)
+        hit = keys[pos] == ok
+        okeys = ok[hit]
+        custk = t["o_custkey"].to_numpy(zero_copy_only=False)[hit]
+        total_c = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)[hit] * 100
+        ).astype(np.int64)
+        cpos = np.clip(np.searchsorted(ck, custk), 0, len(ck) - 1)
+        names = cn[cpos]  # custkeys are FK-complete; lookup always hits
+        out = pd.DataFrame(
+            {
+                "c_name": names,
+                "c_custkey": custk,
+                "o_orderkey": okeys,
+                "o_total_c": total_c,
+                "sum_qty_c": qty[pos[hit]],
+            }
+        )
+        # per-block partial top-k: deterministic (o_total_c desc, o_orderkey)
+        out = out.sort_values(
+            ["o_total_c", "o_orderkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(_Q18_TOPK)
+        return _arrow_out(out)
+
+    parts = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(join_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(
+            ["o_total_c", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(_Q18_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH hot AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > {_Q18_QTY_C}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS o_total_c,
+       h.sum_qty_c
+FROM hot h
+JOIN orders o ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_total_c DESC, o.o_orderkey
+LIMIT {_Q18_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: per-group skewness — third-moment shape statistic from EXACT integer
+# raw moments. Per-batch combiner sums n, Σy, Σy² in int64 and Σy³ as an
+# int64 HI/LO SPLIT (y³ of a ~5e4-cent value is ~1e14, so a 65k-row batch
+# sum would overflow int64; quotient/remainder by 2³² keeps both partial
+# sums far inside int64 and the driver reassembles exact Python bignums).
+# The simplification skew = m3/m2^1.5 = (n²Σy³−3nΣyΣy²+2(Σy)³) /
+# (nΣy²−(Σy)²)^1.5 leaves exactly ONE float division and one pow — the
+# identical IEEE sequence DuckDB computes from its HUGEINT sums.
+# ---------------------------------------------------------------------------
+
+_S3_SPLIT = 1 << 32
+
+
+def q_skew_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pa.Table:
+        y = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        y3 = y * y * y
+        m = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "n": 1,
+                "s1": y,
+                "s2": y * y,
+                "s3q": y3 // _S3_SPLIT,
+                "s3r": y3 % _S3_SPLIT,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return _arrow_out(
+            m.astype({c: "int64" for c in ("n", "s1", "s2", "s3q", "s3r")})
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        moments, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0, 0, 0])
+        for i, kk in enumerate(("n", "s1", "s2", "s3q", "s3r")):
+            a[i] += int(r[kk])
+    ets = sorted(acc)
+    skews = []
+    for et in ets:
+        n, s1, s2, s3q, s3r = acc[et]
+        s3 = s3q * _S3_SPLIT + s3r  # exact Python bignum
+        num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+        den = n * s2 - s1 * s1
+        skews.append(float(num) / float(den) ** 1.5)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "n": np.array([acc[e][0] for e in ets], np.int64),
+            "skewness": np.array(skews, np.float64),
+        }
+    )
+
+
+SQL_SKEW_PER_TYPE = """
+WITH c AS (SELECT event_type, CAST(round(value*100) AS HUGEINT) AS y
+           FROM events),
+s AS (SELECT event_type, count(*) AS n,
+        sum(y) AS s1, sum(y*y) AS s2, sum(y*y*y) AS s3
+      FROM c GROUP BY 1)
+SELECT event_type, n,
+  CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+    / pow(CAST(n*s2 - s1*s1 AS DOUBLE), 1.5) AS skewness
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# Q: maximum drawdown per user — the peak-to-trough depth of each user's
+# running value balance in (ts, event_id) order: max over t of
+# (running-max of cumsum up to t) − cumsum(t). Bucket-parallel by
+# user-hash (ONE shuffle); inside a bucket the whole computation is three
+# C-speed pandas segmented kernels (cumsum, cummax, max) over the sorted
+# slice — zero per-user Python. Cents stay int64-exact end to end.
+# ---------------------------------------------------------------------------
+
+
+def q_drawdown(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        y = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        df = pd.DataFrame({"user_id": u, "y": y})
+        grp = df.groupby("user_id", sort=False)
+        cum = grp["y"].cumsum()
+        peak = cum.groupby(u, sort=False).cummax()
+        out = (
+            pd.DataFrame({"user_id": u, "dd": (peak - cum).to_numpy()})
+            .groupby("user_id", as_index=False, sort=False)
+            .max()
+        )
+        return out.astype({"user_id": "int64", "dd": "int64"}).rename(
+            columns={"dd": "max_drawdown_c"}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dd, batch_format="pandas")
+        .select_columns(["user_id", "max_drawdown_c"])
+    )
+
+
+SQL_DRAWDOWN = """
+WITH c AS (SELECT user_id, ts, event_id,
+                  CAST(round(value*100) AS BIGINT) AS y FROM events),
+w AS (SELECT user_id, ts, event_id,
+        sum(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+d AS (SELECT user_id,
+        max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - cum AS dd
+      FROM w)
+SELECT user_id, CAST(max(dd) AS BIGINT) AS max_drawdown_c
+FROM d GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q: SCD-2 style change compression — collapse each user's (ts, event_id)-
+# ordered event stream into validity intervals per RUN of equal consecutive
+# event_type: [valid_from, valid_to) with valid_to = the next run's start
+# (−1 sentinel on the open last run; integer epoch-µs keeps the schema
+# strict-dtype stable). The ETL "history table build". Bucket-parallel by
+# user hash; runs are one vectorized boundary diff per bucket slice.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_intervals(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(u)
+        start = np.ones(n, dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        idx = np.nonzero(start)[0]
+        ends = np.concatenate([idx[1:], [n]])
+        valid_to = np.where(
+            # next run belongs to the same user → its start closes this run
+            np.concatenate([u[idx[1:]] == u[idx[:-1]], [False]]),
+            np.concatenate([tus[idx[1:]], [-1]]),
+            -1,
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u[idx],
+                "event_type": et[idx],
+                "valid_from_us": tus[idx],
+                "valid_to_us": valid_to,
+                "n_events": (ends - idx).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(runs, batch_format="pandas")
+        .select_columns(
+            ["user_id", "event_type", "valid_from_us", "valid_to_us", "n_events"]
+        )
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tus,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS st
+  FROM events),
+r AS (SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+      FROM o),
+g AS (SELECT user_id, min(event_type) AS event_type,
+             min(tus) AS valid_from_us, count(*) AS n_events,
+             min(run_id) AS run_id
+      FROM r GROUP BY user_id, run_id)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY run_id), -1) AS valid_to_us,
+       n_events
+FROM g
+"""
+
+# ---------------------------------------------------------------------------
+# Q: changepoint detection per event_type — the split index k (in global
+# (ts, event_id) order, 1 ≤ k < n) maximizing |mean(y[:k]) − mean(y[k:])|,
+# smallest k on ties: the classic mean-shift scan a drift monitor runs.
+# ONE distributed sort, then the autocorr1/interval_coverage block-stitch:
+# a summary pass gives per-(block, type-run) counts and exact int sums, the
+# driver folds O(blocks×types) offsets AND per-type totals, and a second
+# pass evaluates the objective |s_k·n − k·S| / (k·(n−k)) VECTORIZED per
+# block with its prefix offsets. Both engines build the objective with the
+# identical IEEE op sequence, so the argmax (and the e6-scaled value)
+# match bit-for-bit; blocks arrive in global order, so strict > keeps the
+# smallest-k tiebreak.
+# ---------------------------------------------------------------------------
+
+
+def q_changepoint(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        y = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "y": pa.array(y),
+            }
+        )
+
+    dd = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["event_type", "ts", "event_id"])
+        .materialize()
+    )
+    refs = [br for b in dd.iter_internal_ref_bundles() for br in b.block_refs]
+
+    @ray.remote
+    def run_sums(t: pa.Table) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        y = t["y"].to_numpy(zero_copy_only=False)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        return [
+            (
+                et[bounds[i]],
+                int(bounds[i + 1] - bounds[i]),
+                int(y[bounds[i]:bounds[i + 1]].sum()),
+            )
+            for i in range(len(bounds) - 1)
+        ]
+
+    summaries = ray.get([run_sums.remote(r) for r in refs])
+    totals: dict[str, list[int]] = {}  # type → [n, S]
+    offsets: list[list[tuple[int, int]]] = []  # per block: (k0, s0) per run
+    for segs in summaries:
+        offs = []
+        for et, n_run, s_run in segs:
+            tot = totals.setdefault(et, [0, 0])
+            offs.append((tot[0], tot[1]))
+            tot[0] += n_run
+            tot[1] += s_run
+        offsets.append(offs)
+
+    tot_ref = ray.put({k: (v[0], v[1]) for k, v in totals.items()})
+
+    @ray.remote
+    def best_split(t: pa.Table, offs: list[tuple[int, int]]) -> list[tuple]:
+        et = t["event_type"].to_pandas().to_numpy()
+        if len(et) == 0:
+            return []
+        y = t["y"].to_numpy(zero_copy_only=False)
+        tots = ray.get(tot_ref)
+        change = np.nonzero(et[1:] != et[:-1])[0] + 1
+        bounds = np.concatenate([[0], change, [len(et)]]).astype(np.int64)
+        out = []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            n, s = tots[et[lo]]
+            k0, s0 = offs[i]
+            k = k0 + np.arange(1, hi - lo + 1, dtype=np.int64)
+            sk = s0 + np.cumsum(y[lo:hi])
+            valid = k < n  # both sides non-empty
+            if not valid.any():
+                continue
+            k, sk = k[valid], sk[valid]
+            kf = k.astype(np.float64)
+            obj = np.abs(
+                sk.astype(np.float64) * np.float64(n)
+                - kf * np.float64(s)
+            ) / (kf * (n - k).astype(np.float64))
+            j = int(np.argmax(obj))  # first occurrence = smallest k
+            out.append((et[lo], int(k[j]), float(obj[j])))
+        return out
+
+    best: dict[str, tuple[int, float]] = {}
+    for segs in ray.get(
+        [best_split.remote(r, o) for r, o in zip(refs, offsets)]
+    ):
+        for et, k, obj in segs:
+            cur = best.get(et)
+            if cur is None or obj > cur[1]:  # strict >: earlier k wins ties
+                best[et] = (k, obj)
+    ets = sorted(best)
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(ets, dtype=object),
+            "split_k": np.array([best[e][0] for e in ets], np.int64),
+            "obj_e6": np.array(
+                [int(round(best[e][1] * 1e6)) for e in ets], np.int64
+            ),
+        }
+    )
+
+
+SQL_CHANGEPOINT = """
+WITH c AS (SELECT event_type, ts, event_id,
+                  CAST(round(value*100) AS BIGINT) AS y FROM events),
+w AS (SELECT event_type,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS k,
+        sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sk,
+        count(*) OVER (PARTITION BY event_type) AS n,
+        sum(y) OVER (PARTITION BY event_type) AS s
+      FROM c),
+o AS (SELECT event_type, k,
+        abs(CAST(sk AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(k AS DOUBLE) * CAST(s AS DOUBLE))
+          / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) AS obj
+      FROM w WHERE k < n),
+r AS (SELECT event_type, k, obj,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY obj DESC, k) AS rk
+      FROM o)
+SELECT event_type, k AS split_k,
+       CAST(round(obj * 1000000) AS BIGINT) AS obj_e6
+FROM r WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7832,6 +8323,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "mad_per_type": (q_mad_per_type, SQL_MAD_PER_TYPE),
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "skew_per_type": (q_skew_per_type, SQL_SKEW_PER_TYPE),
+    "drawdown": (q_drawdown, SQL_DRAWDOWN),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "changepoint": (q_changepoint, SQL_CHANGEPOINT),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -944,3 +944,194 @@ def test_incremental_agg_equals_full_recompute(ray_session):
     )
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     assert got["total_cents"].tolist() == want["total_cents"].tolist()
+
+
+def test_drawdown_shapes(ray_session, tmp_path):
+    """Monotonic-up user has drawdown 0; a peak-then-trough user reports the
+    exact peak-to-trough depth; a lone event is 0; negative values work."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_DRAWDOWN, q_drawdown
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda k: base + pd.Timedelta(seconds=k)
+    rows = [
+        # user 1: +10 +20 +30 → cum rises monotonically → dd 0
+        (1, s(0), 10.0), (1, s(1), 20.0), (1, s(2), 30.0),
+        # user 2: +100 −40 −30 +50 → peak 100, trough 30 → dd 70.00
+        (2, s(0), 100.0), (2, s(1), -40.0), (2, s(2), -30.0), (2, s(3), 50.0),
+        # user 3: single event → dd 0
+        (3, s(0), -5.0),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_drawdown(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_DRAWDOWN).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["user_id"], got["max_drawdown_c"]))
+    assert by == {1: 0, 2: 7000, 3: 0}
+
+
+def test_scd2_run_compression(ray_session, tmp_path):
+    """Consecutive equal types collapse into one interval; a type that flips
+    back reopens a NEW interval; the last run per user stays open (-1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_SCD2_INTERVALS, q_scd2_intervals
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda k: base + pd.Timedelta(seconds=k)
+    rows = [  # user 1: a a b a → 3 runs; user 2: one run of c
+        (1, s(0), "a"), (1, s(10), "a"), (1, s(20), "b"), (1, s(30), "a"),
+        (2, s(0), "c"), (2, s(5), "c"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_scd2_intervals(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_SCD2_INTERVALS).df())
+    pd.testing.assert_frame_equal(got, want)
+    u1 = got[got["user_id"] == 1].sort_values("valid_from_us")
+    assert u1["event_type"].tolist() == ["a", "b", "a"]
+    assert u1["n_events"].tolist() == [2, 1, 1]
+    e = 1_000_000
+    assert u1["valid_from_us"].tolist() == [
+        v + base.value // 1000 for v in [0, 20 * e, 30 * e]
+    ]
+    assert u1["valid_to_us"].tolist() == [
+        20 * e + base.value // 1000, 30 * e + base.value // 1000, -1
+    ]
+    u2 = got[got["user_id"] == 2]
+    assert u2["n_events"].tolist() == [2] and u2["valid_to_us"].tolist() == [-1]
+
+
+def test_changepoint_step_and_constant(ray_session, tmp_path):
+    """A clean level step is split exactly at the step; a constant series has
+    objective 0 everywhere and the smallest-k tiebreak picks k=1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_CHANGEPOINT, q_changepoint
+
+    base = pd.Timestamp("2024-01-01")
+    s = lambda k: base + pd.Timedelta(seconds=k)
+    rows = [("step", s(i), 0.0 if i < 5 else 100.0) for i in range(10)]
+    rows += [("flat", s(i), 42.0) for i in range(6)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_changepoint(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_CHANGEPOINT).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = {r.event_type: (r.split_k, r.obj_e6) for r in got.itertuples()}
+    assert by["step"] == (5, 10_000 * 1_000_000)  # |0 − 100.00| in cents·e6
+    assert by["flat"] == (1, 0)
+
+
+def test_skew_sign_and_symmetry(ray_session, tmp_path):
+    """Symmetric values → skewness exactly 0 (integer moments cancel);
+    a right-tailed set → positive; left-tailed → negative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_SKEW_PER_TYPE, q_skew_per_type
+
+    rows = [("sym", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("right", v) for v in (1.0, 1.0, 1.0, 10.0)]
+    rows += [("left", v) for v in (10.0, 10.0, 10.0, 1.0)]
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_skew_per_type(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_SKEW_PER_TYPE).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["event_type"], got["skewness"]))
+    assert by["sym"] == 0.0
+    assert by["right"] > 0 and by["left"] < 0
+    assert by["right"] == -by["left"]  # mirrored sets: exact negation
+
+
+def test_tpch_q18_threshold_strictness(ray_session, tmp_path):
+    """An order summing exactly to the threshold is EXCLUDED (strict >);
+    one quantity-cent above is included, with its customer name joined."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_TPCH_Q18, q_tpch_q18
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([100.0, 150.0, 100.0, 150.01], pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([7, 8], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([7, 8], pa.int64()),
+            "c_name": pa.array(["Customer#7", "Customer#8"], pa.string()),
+        }
+    )
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    got = canon(to_pandas(q_tpch_q18(str(tmp_path))))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = canon(con.sql(SQL_TPCH_Q18).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["o_orderkey"].tolist() == [2]  # order 1 sums to exactly 250.00
+    assert got["c_name"].tolist() == ["Customer#8"]
+    assert got["sum_qty_c"].tolist() == [25_001]
