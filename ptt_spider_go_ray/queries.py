@@ -8221,6 +8221,494 @@ FROM r WHERE rk = 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-priority shipping delay — a FACT⋈FACT join done scale-right:
+# lineitem is pre-aggregated to ONE row per l_orderkey (count + exact
+# ship-day sum combiner before the shuffle), the orderkey⋈orderkey hash
+# join runs on Ray's native join with size-derived partitions, and the
+# per-priority rollup is another combiner + tiny groupby. Exact integer
+# day arithmetic throughout; the single float op is the final avg division.
+# ---------------------------------------------------------------------------
+
+
+def q_ship_delay(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _DAY_US
+        )
+        df = pd.DataFrame(
+            {
+                "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "n": 1,
+                "ship_days": day,
+            }
+        ).groupby("l_orderkey", as_index=False).sum()
+        return _arrow_out(df.astype({"n": "int64", "ship_days": "int64"}))
+
+    li_agg = (
+        li.map_batches(
+            li_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("ship_days", alias_name="ship_days")
+        )
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "order_day": pa.array(
+                    t["o_orderdate"]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = li_agg.join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders", "lineitem"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        delay = t["ship_days"].to_numpy(zero_copy_only=False) - n * t[
+            "order_day"
+        ].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pandas().to_numpy(),
+                "n_lineitems": n,
+                "delay_days": delay,
+            }
+        ).groupby("o_orderpriority", as_index=False).sum()
+        return _arrow_out(
+            df.astype({"n_lineitems": "int64", "delay_days": "int64"})
+        )
+
+    acc: dict[str, list[int]] = {}
+    for r in joined.map_batches(
+        prio_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(r["o_orderpriority"], [0, 0])
+        a[0] += int(r["n_lineitems"])
+        a[1] += int(r["delay_days"])
+    ps = sorted(acc)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series(ps, dtype=object),
+            "n_lineitems": np.array([acc[p][0] for p in ps], np.int64),
+            "avg_delay_days": np.array(
+                [float(acc[p][1]) / float(acc[p][0]) for p in ps], np.float64
+            ),
+        }
+    )
+
+
+SQL_SHIP_DELAY = """
+WITH lp AS (
+  SELECT l_orderkey, count(*) AS n,
+         sum(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)) AS sd
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o_orderpriority, lp.n,
+         lp.sd - lp.n * CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+           AS delay
+  FROM lp JOIN orders ON o_orderkey = l_orderkey),
+m AS (SELECT o_orderpriority,
+             CAST(sum(n) AS BIGINT) AS n_lineitems,
+             CAST(sum(delay) AS BIGINT) AS delay_days
+      FROM j GROUP BY 1)
+SELECT o_orderpriority, n_lineitems,
+       CAST(delay_days AS DOUBLE) / CAST(n_lineitems AS DOUBLE)
+         AS avg_delay_days
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# Q: exact weighted median per group — the lower weighted median of
+# l_extendedprice (cents) weighted by l_quantity (qty-cents) per
+# l_returnflag: min v such that 2·Σ_{u≤v} w(u) ≥ W. Same hot-group-safe
+# selection as q_percentiles: pass 0 per-group (ΣW, min, max) combiner;
+# pass 1 per-(group, bin) WEIGHT histogram driver-merged (O(groups×bins));
+# pass 2 touches only the one owning bin per group (≈1/bins of a group),
+# aggregated per distinct value by a combiner so ties collapse before the
+# driver's final exact threshold scan. All integer; no float anywhere.
+# ---------------------------------------------------------------------------
+
+_WM_BINS = 4096
+
+
+def q_weighted_median(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def vw(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "f": df["l_returnflag"].to_numpy(),
+                "v": np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+                "w": np.rint(df["l_quantity"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    # pass 0: per-group total weight + value range
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        c = vw(df)
+        g = c.groupby("f", as_index=False).agg(
+            tw=("w", "sum"), lo=("v", "min"), hi=("v", "max")
+        )
+        return _arrow_out(g.astype({"tw": "int64", "lo": "int64", "hi": "int64"}))
+
+    meta: dict[str, list[int]] = {}
+    for r in ds.map_batches(
+        stats_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        m = meta.setdefault(r["f"], [0, int(r["lo"]), int(r["hi"])])
+        m[0] += int(r["tw"])
+        m[1] = min(m[1], int(r["lo"]))
+        m[2] = max(m[2], int(r["hi"]))
+
+    def bin_of(f: str, v: np.ndarray) -> np.ndarray:
+        _tw, lo, hi = meta[f]
+        if hi <= lo:
+            return np.zeros(len(v), np.int64)
+        w = (hi - lo) / _WM_BINS
+        return np.minimum(((v - lo) / w).astype(np.int64), _WM_BINS - 1)
+
+    # pass 1: per-(group, bin) weight sums
+    def hist_partial(df: pd.DataFrame) -> pa.Table:
+        c = vw(df)
+        fs, bins, ws = [], [], []
+        for f, sub in c.groupby("f", sort=False):
+            b = bin_of(f, sub["v"].to_numpy())
+            bc = np.bincount(b, weights=sub["w"].to_numpy(), minlength=_WM_BINS)
+            nz = np.nonzero(bc)[0]
+            fs.extend([f] * len(nz))
+            bins.extend(nz.tolist())
+            ws.extend(bc[nz].astype(np.int64).tolist())
+        return pa.table(
+            {"f": pa.array(fs, pa.string()), "bin": pa.array(bins, pa.int64()),
+             "w": pa.array(ws, pa.int64())}
+        )
+
+    wcounts: dict[str, np.ndarray] = {
+        f: np.zeros(_WM_BINS, np.int64) for f in meta
+    }
+    for r in ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        wcounts[r["f"]][int(r["bin"])] += int(r["w"])
+
+    # locate the owning bin per group (degenerate all-equal groups are done)
+    target_bin: dict[str, int] = {}
+    prefix_w: dict[str, int] = {}
+    result: dict[str, int] = {}
+    for f, (tw, lo, hi) in meta.items():
+        if hi <= lo:
+            result[f] = lo
+            continue
+        cum = np.cumsum(wcounts[f])
+        b = int(np.searchsorted(2 * cum, tw, side="left"))
+        target_bin[f] = b
+        prefix_w[f] = int(cum[b - 1]) if b else 0
+
+    # pass 2: per-(group, value) weight sums inside the one owning bin
+    def keep_bin(df: pd.DataFrame) -> pa.Table:
+        c = vw(df)
+        keep = np.zeros(len(c), dtype=bool)
+        for f, bb in target_bin.items():
+            mf = (c["f"].to_numpy() == f)
+            if mf.any():
+                keep |= mf & (bin_of(f, c["v"].to_numpy()) == bb)
+        sub = c[keep]
+        g = sub.groupby(["f", "v"], as_index=False)["w"].sum()
+        return _arrow_out(g.astype({"v": "int64", "w": "int64"}))
+
+    tie: dict[str, dict[int, int]] = {f: {} for f in target_bin}
+    for r in ds.map_batches(
+        keep_bin, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        d = tie[r["f"]]
+        d[int(r["v"])] = d.get(int(r["v"]), 0) + int(r["w"])
+    for f, d in tie.items():
+        tw = meta[f][0]
+        cw = prefix_w[f]
+        for v in sorted(d):
+            cw += d[v]
+            if 2 * cw >= tw:
+                result[f] = v
+                break
+    fs = sorted(result)
+    return pd.DataFrame(
+        {
+            "l_returnflag": pd.Series(fs, dtype=object),
+            "wmedian_c": np.array([result[f] for f in fs], np.int64),
+        }
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+                  CAST(round(l_quantity*100) AS BIGINT) AS w
+           FROM lineitem),
+t AS (SELECT f, sum(w) AS tw FROM c GROUP BY 1),
+s AS (SELECT f, v, sum(w) AS wv FROM c GROUP BY f, v),
+cs AS (SELECT f, v, sum(wv) OVER (PARTITION BY f ORDER BY v) AS cw FROM s)
+SELECT cs.f AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_c
+FROM cs JOIN t USING (f) WHERE 2*cw >= tw GROUP BY cs.f
+"""
+
+# ---------------------------------------------------------------------------
+# Q: length-percentile quality gate — keep documents whose n_chars sits
+# inside the exact [p5, p95] rank band (lo = smallest value whose
+# cumulative count reaches ⌈n·5/100⌉, integer arithmetic on both engines —
+# no float quantile semantics to disagree over). The value-frequency table
+# is a native groupby (distinct lengths are bounded — document lengths,
+# not documents), the driver does one cumsum over it, and the filter
+# itself streams with the two thresholds closed over. The pattern for any
+# "drop the tails" data-quality gate at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def q_length_filter(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    freq = (
+        ds.groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
+    ).sort_values("n_chars")
+    vals = freq["n_chars"].to_numpy()
+    cum = np.cumsum(freq["c"].to_numpy())
+    n = int(cum[-1])
+    lo = int(vals[np.searchsorted(cum, (n * 5 + 99) // 100, side="left")])
+    hi = int(vals[np.searchsorted(cum, (n * 95 + 99) // 100, side="left")])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["n_chars"], pa.scalar(lo)),
+                pc.less_equal(t["n_chars"], pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LENGTH_FILTER = """
+WITH b AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+cs AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM b),
+n AS (SELECT count(*) AS n FROM documents),
+lo AS (SELECT min(n_chars) AS v FROM cs, n WHERE cum >= (n*5 + 99) // 100),
+hi AS (SELECT min(n_chars) AS v FROM cs, n WHERE cum >= (n*95 + 99) // 100)
+SELECT doc_id, n_chars FROM documents, lo, hi
+WHERE n_chars BETWEEN lo.v AND hi.v
+"""
+
+# ---------------------------------------------------------------------------
+# Q: cross-series correlation — Pearson correlation between the DAILY
+# value totals of every event-type pair (the "do these streams move
+# together" monitor). The heavy part is one combiner + small groupby to
+# (day, type) cent sums; the driver zero-fills the O(days × types) matrix
+# and folds exact integer moments per pair, leaving the same single
+# num / sqrt(d1·d2) IEEE sequence the SQL computes.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_type_corr(sf_dir: str):
+    import itertools
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        y = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas().to_numpy(),
+                "day": day,
+                "s": y,
+            }
+        ).groupby(["event_type", "day"], as_index=False).sum()
+        return _arrow_out(df.astype({"day": "int64", "s": "int64"}))
+
+    acc: dict[tuple, int] = {}
+    for r in ds.map_batches(
+        day_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        k = (r["event_type"], int(r["day"]))
+        acc[k] = acc.get(k, 0) + int(r["s"])
+    days = sorted({d for (_t, d) in acc})
+    types = sorted({t for (t, _d) in acc})
+    series = {
+        t: [acc.get((t, d), 0) for d in days] for t in types
+    }  # zero-filled O(days × types)
+    ta, tb, corr = [], [], []
+    for a, b in itertools.combinations(types, 2):
+        xs, ys = series[a], series[b]
+        n = len(days)
+        x = sum(xs)
+        y = sum(ys)
+        xx = sum(v * v for v in xs)
+        yy = sum(v * v for v in ys)
+        xy = sum(u * v for u, v in zip(xs, ys))
+        num = n * xy - x * y
+        d1 = n * xx - x * x
+        d2 = n * yy - y * y
+        ta.append(a)
+        tb.append(b)
+        corr.append(float(num) / math.sqrt(float(d1) * float(d2)))
+    return pd.DataFrame(
+        {
+            "type_a": pd.Series(ta, dtype=object),
+            "type_b": pd.Series(tb, dtype=object),
+            "corr": np.array(corr, np.float64),
+        }
+    )
+
+
+SQL_DAILY_TYPE_CORR = """
+WITH d AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+           FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+f AS (SELECT t.event_type, dy.day, COALESCE(d.s, 0) AS s
+      FROM days dy CROSS JOIN types t
+      LEFT JOIN d ON d.day = dy.day AND d.event_type = t.event_type),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(a.s AS HUGEINT) AS sa, CAST(b.s AS HUGEINT) AS sb
+      FROM f a JOIN f b USING (day) WHERE a.event_type < b.event_type),
+m AS (SELECT ta, tb, count(*) AS n, sum(sa) AS x, sum(sb) AS y,
+             sum(sa*sa) AS xx, sum(sb*sb) AS yy, sum(sa*sb) AS xy
+      FROM p GROUP BY 1, 2)
+SELECT ta AS type_a, tb AS type_b,
+  CAST(n*xy - x*y AS DOUBLE)
+    / sqrt(CAST(n*xx - x*x AS DOUBLE) * CAST(n*yy - y*y AS DOUBLE)) AS corr
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# Q: cross-source contamination matrix — for every pair of sources, how
+# many distinct 64-char-prefix fingerprints their documents share (the
+# train/eval-overlap audit run before corpus mixing; exact-text hashes are
+# a parameter away). Distinct (fingerprint, source) pairs come from a
+# native groupby; the pair expansion runs bucket-parallel over fingerprint
+# hashes (segments are per-fingerprint source lists, ≤ #sources each), and
+# the pair counts collapse through a combiner before one tiny driver fold.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_PREFIX = 64
+
+
+def q_source_overlap(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def fp(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].fillna("").str.slice(0, _OVERLAP_PREFIX)
+        return pa.table(
+            {
+                "fp": pa.array(_md5_col(texts.tolist()), pa.string()),
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(fp, batch_format="pandas")
+        .groupby(["fp", "source"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    n_buckets = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = np.frombuffer(
+            b"".join(bytes.fromhex(s[:16]) for s in t["fp"].to_pylist()),
+            dtype=">u8",
+        ).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(np.abs(h) % n_buckets)
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "source"], kind="mergesort")
+        f = g["fp"].to_numpy()
+        s = g["source"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(f[1:] != f[:-1])[0] + 1, [len(f)]]
+        ).astype(np.int64)
+        pa_, pb_ = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if hi - lo < 2:
+                continue
+            srcs = s[lo:hi]  # already sorted, distinct by groupby
+            for j in range(len(srcs)):
+                for k in range(j + 1, len(srcs)):
+                    pa_.append(srcs[j])
+                    pb_.append(srcs[k])
+        out = pd.DataFrame({"source_a": pa_, "source_b": pb_})
+        out["n_shared"] = np.int64(1)
+        return out.groupby(
+            ["source_a", "source_b"], as_index=False
+        ).sum().astype({"n_shared": "int64"})
+
+    acc: dict[tuple, int] = {}
+    for r in (
+        distinct.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .take_all()
+    ):
+        k = (r["source_a"], r["source_b"])
+        acc[k] = acc.get(k, 0) + int(r["n_shared"])
+    ks = sorted(acc)
+    return pd.DataFrame(
+        {
+            "source_a": pd.Series([k[0] for k in ks], dtype=object),
+            "source_b": pd.Series([k[1] for k in ks], dtype=object),
+            "n_shared": np.array([acc[k] for k in ks], np.int64),
+        }
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH h AS (SELECT DISTINCT source, md5(substr(COALESCE(text,''), 1,
+                                       {_OVERLAP_PREFIX})) AS fp
+           FROM documents),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM h a JOIN h b USING (fp) WHERE a.source < b.source)
+SELECT source_a, source_b, count(*) AS n_shared
+FROM p GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8328,6 +8816,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "drawdown": (q_drawdown, SQL_DRAWDOWN),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "changepoint": (q_changepoint, SQL_CHANGEPOINT),
+    "ship_delay": (q_ship_delay, SQL_SHIP_DELAY),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
+    "daily_type_corr": (q_daily_type_corr, SQL_DAILY_TYPE_CORR),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

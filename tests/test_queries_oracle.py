@@ -1135,3 +1135,180 @@ def test_tpch_q18_threshold_strictness(ray_session, tmp_path):
     assert got["o_orderkey"].tolist() == [2]  # order 1 sums to exactly 250.00
     assert got["c_name"].tolist() == ["Customer#8"]
     assert got["sum_qty_c"].tolist() == [25_001]
+
+
+def test_weighted_median_boundary_and_degenerate(ray_session, tmp_path):
+    """2·cumw == W lands EXACTLY on a value (lower weighted median keeps it);
+    an all-equal-value group takes the degenerate zero-width-range path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_WEIGHTED_MEDIAN, q_weighted_median
+
+    rows = [
+        # flag A: v=1.00 w=1, v=2.00 w=1 → W=200-cents, 2·cw(1.00)=200 ≥ 200
+        # → the LOWER value 1.00 is the weighted median
+        ("A", 1.00, 1.0), ("A", 2.00, 1.0),
+        # flag B: heavy tail wins: v=1 w=1, v=9 w=10 → median 9.00
+        ("B", 1.00, 1.0), ("B", 9.00, 10.0),
+        # flag C: all values equal → degenerate hi==lo
+        ("C", 5.00, 2.0), ("C", 5.00, 3.0),
+    ]
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+            "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = canon(to_pandas(q_weighted_median(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    want = canon(con.sql(SQL_WEIGHTED_MEDIAN).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["l_returnflag"], got["wmedian_c"]))
+    assert by == {"A": 100, "B": 900, "C": 500}
+
+
+def test_length_filter_exact_rank_band(ray_session, tmp_path):
+    """20 docs with lengths 1..20: lo = value at rank ⌈20·5/100⌉=1 → 1,
+    hi = rank ⌈19⌉ → 19, so exactly doc 20 is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_LENGTH_FILTER, q_length_filter
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, 21), pa.int64()),
+            "n_chars": pa.array(range(1, 21), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_length_filter(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_LENGTH_FILTER).df())
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_chars"].min() == 1 and got["n_chars"].max() == 19
+    assert len(got) == 19
+
+
+def test_ship_delay_hand_computed(ray_session, tmp_path):
+    """Two orders, three lineitems: exact integer day deltas and the final
+    single-division average."""
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_SHIP_DELAY, q_ship_delay
+
+    d = lambda s: _pd.Timestamp(s)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(
+                [d("2024-01-05"), d("2024-01-11"), d("2024-02-03")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+            "o_orderdate": pa.array(
+                [d("2024-01-01"), d("2024-02-01")], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = canon(to_pandas(q_ship_delay(str(tmp_path))))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = canon(con.sql(SQL_SHIP_DELAY).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["o_orderpriority"], got["avg_delay_days"]))
+    assert by == {"1-URGENT": 7.0, "2-HIGH": 2.0}  # (4+10)/2, 2/1
+
+
+def test_daily_type_corr_perfect_and_zero_fill(ray_session, tmp_path):
+    """A series and its exact double correlate to 1.0; an anti-mover hits
+    −1.0; a type absent on one day exercises the zero-fill path on both
+    engines identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_DAILY_TYPE_CORR, q_daily_type_corr
+
+    base = pd.Timestamp("2024-01-01")
+    day = lambda k: base + pd.Timedelta(days=k)
+    rows = []
+    for k, v in enumerate([10.0, 20.0, 30.0]):
+        rows.append(("up", day(k), v))
+        rows.append(("up2x", day(k), 2 * v))
+        rows.append(("down", day(k), 40.0 - v))
+    rows.append(("sparse", day(0), 5.0))  # absent on days 1,2 → zero-filled
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_daily_type_corr(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_DAILY_TYPE_CORR).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = {(r.type_a, r.type_b): r.corr for r in got.itertuples()}
+    assert by[("up", "up2x")] == 1.0
+    assert by[("down", "up")] == -1.0
+    assert len(by) == 6  # C(4,2): sparse correlates too (zero-filled)
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    """A 64-char prefix shared by three sources yields all three pairs; a
+    unique prefix yields none; duplicate docs within ONE source don't
+    self-pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_SOURCE_OVERLAP, q_source_overlap
+
+    shared = "x" * 64
+    rows = [
+        ("s1", shared + " tail one"),
+        ("s2", shared + " tail two"),
+        ("s3", shared + " tail three"),
+        ("s1", shared + " again same source"),  # same (fp, source) → no effect
+        ("s1", "unique text only here " + "y" * 50),
+    ]
+    tbl = pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_source_overlap(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_SOURCE_OVERLAP).df())
+    pd.testing.assert_frame_equal(got, want)
+    pairs = {(r.source_a, r.source_b): r.n_shared for r in got.itertuples()}
+    assert pairs == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
