@@ -32,6 +32,7 @@ class SiteSpec:
     not_found: set[str] = field(default_factory=set)
     oversize: set[str] = field(default_factory=set)
     robots_disallow: list[str] = field(default_factory=list)  # path prefixes
+    robots_crawl_delay: float | None = None  # Crawl-delay line (seconds)
 
 
 def mock_transport_factory(spec: "SiteSpec | None" = None, latency_s: float = 0.0,
@@ -72,6 +73,8 @@ class SyntheticSite:
             return 404, b"not found"
         if url.endswith("/robots.txt"):
             lines = ["User-agent: *"] + [f"Disallow: {p}" for p in s.robots_disallow]
+            if s.robots_crawl_delay is not None:
+                lines.append(f"Crawl-delay: {s.robots_crawl_delay}")
             return 200, "\n".join(lines).encode()
         for board, max_page in s.boards.items():
             prefix = f"{PTT_BASE_URL}/bbs/{board}/"

@@ -103,6 +103,12 @@ class FrontierShard:
         # times (vs once with the old driver cache — the scalable trade).
         self._robots_factory = robots_factory
         self._robots = None
+        # robots Crawl-delay → politeness feedback: applied once per host at
+        # offer time (the robots rules are already cached there); needs the
+        # full configured rate + shard split to compute this shard's share
+        self._politeness_rate = politeness_rate
+        self._politeness_n_shards = politeness_n_shards
+        self._delay_hosts: set[str] = set()
         # worker-side offers buffer here (offer_buffered) and are applied in
         # deterministic (priority, seq) order at the round barrier
         # (commit_offers) — first-wins dedup then matches the plain-Python
@@ -165,6 +171,26 @@ class FrontierShard:
                 lambda u: fetch_with_retry(transport, u, sleep=lambda _s: None)[0:2]
             )
         return self._robots.allowed(url)
+
+    def _apply_crawl_delay(self, host: str) -> None:
+        """Honor robots.txt ``Crawl-delay`` for ``host``: clamp this shard's
+        token-bucket rate to (1/delay) / owning-shard-count. Once per host;
+        only ever tightens (set_host_rate ignores looser values); inert when
+        politeness is disabled."""
+        if not host or host in self._delay_hosts or self._robots is None:
+            return
+        self._delay_hosts.add(host)
+        if self._politeness_rate <= 0:
+            return
+        delay = self._robots.crawl_delay(host)
+        if not delay or delay <= 0:
+            return
+        n_own = (
+            len(shards_for_host(host, self._politeness_n_shards))
+            if self._politeness_n_shards > 0
+            else 1
+        )
+        self.politeness.set_host_rate(host, (1.0 / delay) / n_own)
 
     # -- spill (external priority queue) ------------------------------------
 
@@ -247,6 +273,7 @@ class FrontierShard:
             for row in rows:
                 if self._robots_allowed(row["url"]):
                     kept.append(row)
+                    self._apply_crawl_delay(row.get("host", ""))
                 else:
                     self.metrics["robots_denied"] += 1
             rows = kept

@@ -59,6 +59,9 @@ class HostPoliteness:
         self.burst_s = burst_s
         self._buckets: dict[str, TokenBucket] = {}
         self._cooldown_until: dict[str, float] = {}
+        # per-host rate overrides (robots.txt Crawl-delay): win over both
+        # rate_for and the flat rate when present
+        self._host_rate: dict[str, float] = {}
 
     def cooldown(self, host: str, seconds: float) -> None:
         """Server-driven backoff (429 feedback): no requests to ``host``
@@ -80,8 +83,14 @@ class HostPoliteness:
             return n
         b = self._buckets.get(host)
         if b is None:
-            r = self.rate_for(host) if self.rate_for is not None else self.rate
-            cap = max(1.0, r * self.burst_s) if self.rate_for is not None else self.burst
+            r = self._host_rate.get(host)
+            if r is None:
+                r = self.rate_for(host) if self.rate_for is not None else self.rate
+            cap = (
+                max(1.0, r * self.burst_s)
+                if self.rate_for is not None or host in self._host_rate
+                else self.burst
+            )
             b = self._buckets[host] = TokenBucket(r, cap, self.clock)
         granted = 0
         for _ in range(n):
@@ -99,6 +108,27 @@ class HostPoliteness:
         b = self._buckets.get(host)
         if b is not None:
             b.tokens = min(b.burst, b.tokens + n)
+
+    def set_host_rate(self, host: str, rate: float) -> None:
+        """Override ONE host's budget (robots.txt Crawl-delay). Only ever
+        tightens: a higher-than-current rate is ignored — Crawl-delay may
+        slow a crawler down, never entitle it to go faster. Re-rates an
+        existing bucket in place (tokens clamped to the new capacity).
+        No-op when limiting is disabled (rate==0 bench/test mode keeps its
+        determinism)."""
+        if self.rate <= 0 or rate <= 0:
+            return
+        cur = self._host_rate.get(host)
+        if cur is None:
+            cur = self.rate_for(host) if self.rate_for is not None else self.rate
+        if rate >= cur:
+            return
+        self._host_rate[host] = rate
+        b = self._buckets.get(host)
+        if b is not None:
+            b.rate = rate
+            b.burst = max(1.0, rate * self.burst_s)
+            b.tokens = min(b.tokens, b.burst)
 
     @classmethod
     def from_delay_range(cls, min_ms: int, max_ms: int, workers: int, clock=time.monotonic):

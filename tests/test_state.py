@@ -404,3 +404,74 @@ def test_politeness_split_by_actual_owning_shards():
     rates = [s.politeness.rate_for(host) for s in shards]
     assert all(abs(r - full / len(owning)) < 1e-12 for r in rates)
     assert abs(sum(rates) - full) < 1e-12
+
+
+# --- robots Crawl-delay → politeness feedback --------------------------------
+
+def test_robots_crawl_delay_parse():
+    text = (
+        "User-agent: mybot\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    )
+    assert RobotsRules.parse(text, agent="MyBot/1.0").crawl_delay == 2.5
+    assert RobotsRules.parse(text, agent="other").crawl_delay == 10.0
+    # invalid / non-positive values are ignored; absent → None
+    assert RobotsRules.parse("User-agent: *\nCrawl-delay: soon\n").crawl_delay is None
+    assert RobotsRules.parse("User-agent: *\nCrawl-delay: -1\n").crawl_delay is None
+    assert RobotsRules.parse("User-agent: *\nDisallow: /x\n").crawl_delay is None
+
+
+def test_set_host_rate_only_tightens():
+    clock = [0.0]
+    hp = HostPoliteness(rate=8.0, rate_for=lambda h: 8.0, burst_s=1.0,
+                        clock=lambda: clock[0])
+    hp.set_host_rate("slow.example", 0.5)   # tighten: applies
+    hp.set_host_rate("slow.example", 50.0)  # loosen: ignored
+    assert hp.allow("slow.example", 8) == 1  # cap max(1, 0.5*1s) = 1 token
+    clock[0] += 2.0
+    assert hp.allow("slow.example", 8) == 1  # refills at 0.5/s
+    # untouched host keeps the configured rate
+    assert hp.allow("fast.example", 8) == 8
+
+
+def test_frontier_shard_honors_crawl_delay():
+    """A robots.txt Crawl-delay tightens the owning shard's token bucket at
+    offer time: take() defers rows beyond 1/delay even though the configured
+    politeness rate would allow them."""
+    clock = [0.0]
+    s = FrontierShard(0, politeness_rate=100.0, politeness_n_shards=1,
+                      clock=lambda: clock[0])
+    # robots cache pre-seeded (the factory path is exercised in the e2e
+    # tests); Crawl-delay: 2 → 0.5 req/s for this single owning shard
+    s._robots_factory = lambda: None
+    s._robots = RobotsCache(
+        lambda u: (200, b"User-agent: *\nCrawl-delay: 2\n")
+    )
+    rows = [
+        frontier_row(f"https://www.ptt.cc/bbs/B/M.{i}.html", "article", 1, i, 1)
+        for i in range(6)
+    ]
+    s.offer(rows)
+    assert s.get_metrics()["accepted"] == 6
+    assert len(s.take(6)) == 1        # burst = max(1, 0.5·2s) = 1
+    clock[0] += 2.0
+    assert len(s.take(6)) == 1        # refill 0.5/s → one more after 2 s
+    # without the delay the configured rate would have granted everything:
+    s2 = FrontierShard(1, politeness_rate=100.0, politeness_n_shards=1,
+                       clock=lambda: clock[0])
+    rows2 = [
+        frontier_row(f"https://www.ptt.cc/bbs/B/M.{i}.html", "article", 1, i, 1)
+        for i in range(6)
+    ]
+    s2.offer(rows2)
+    assert len(s2.take(6)) == 6
+
+
+def test_robots_cache_crawl_delay_via_site():
+    site = SyntheticSite(SiteSpec(robots_disallow=["/bbs/Secret"],
+                                  robots_crawl_delay=3.0))
+    t = MockTransport(site)
+    cache = RobotsCache(lambda url: t(url)[0:3:2])
+    assert cache.crawl_delay("www.ptt.cc") == 3.0
+    assert not cache.allowed("https://www.ptt.cc/bbs/Secret/index1.html")
+    assert t.hits.get("https://www.ptt.cc/robots.txt") == 1  # still one fetch
