@@ -1312,3 +1312,13 @@ def test_source_overlap_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     pairs = {(r.source_a, r.source_b): r.n_shared for r in got.itertuples()}
     assert pairs == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_ship_delay_bucketed_fallback_matches(ray_session):
+    """Past the broadcast bound ship_delay degrades to the key-bucketed
+    shuffle merge; both plans must produce identical frames."""
+    from ptt_spider_go_ray.queries import q_ship_delay
+
+    a = canon(to_pandas(q_ship_delay(SF)))
+    b = canon(to_pandas(q_ship_delay(SF, broadcast_max=0)))
+    pd.testing.assert_frame_equal(a, b)
