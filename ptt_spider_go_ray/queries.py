@@ -8821,6 +8821,147 @@ FROM p GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: grouped heavy hitters — top-3 terms per language by corpus count
+# (count desc, term asc). Tokens explode inside a combiner that counts per
+# (lang, term) BEFORE the one native groupby shuffle; the grouped top-k is
+# then per-block partial top-3-per-lang (each aggregated key appears in
+# exactly one block) + a ≤3·blocks·langs driver merge — no global sort.
+# ---------------------------------------------------------------------------
+
+_TTL_TOPK = 3
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        langs = np.repeat(df["lang"].to_numpy(), lens)
+        terms = np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        c = pd.DataFrame({"lang": langs, "term": terms})
+        c["n"] = np.int64(1)
+        c = c.groupby(["lang", "term"], as_index=False).sum()
+        return _arrow_out(c.astype({"n": "int64"}))
+
+    counts = (
+        ds.map_batches(
+            tok_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        )
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["lang", "n", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return _arrow_out(
+            df.groupby("lang", sort=False).head(_TTL_TOPK).astype({"n": "int64"})
+        )
+
+    cands = counts.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cands = cands.sort_values(
+        ["lang", "n", "term"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = cands.groupby("lang", sort=False).head(_TTL_TOPK).reset_index(drop=True)
+    out["rk"] = out.groupby("lang", sort=False).cumcount() + 1
+    return out.astype({"n": "int64", "rk": "int64"})
+
+
+SQL_TOP_TERMS_PER_LANG = f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS term
+  FROM documents),
+c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, term, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+      FROM c)
+SELECT lang, term, n, rk FROM r WHERE rk <= {_TTL_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: day-of-week KL divergence per event type — KL(P(dow|type) ‖ P(dow))
+# in bits: the seasonality-drift signal ("does this event type's weekly
+# rhythm deviate from the corpus?"). The contingency table is exact
+# integer counts from one combiner pass (O(types×7) cells on the driver);
+# only the final Σ p·log2(p/q) is float, e6-rounded on both engines (the
+# user_entropy precedent, validated at three scales).
+# ---------------------------------------------------------------------------
+
+
+def q_dow_kl_per_type(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        dow = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        ) % 7
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas().to_numpy(), "dow": dow}
+        )
+        df["c"] = np.int64(1)
+        df = df.groupby(["event_type", "dow"], as_index=False).sum()
+        return _arrow_out(df.astype({"dow": "int64", "c": "int64"}))
+
+    cells: dict[tuple, int] = {}
+    for r in ds.map_batches(
+        cell_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        k = (r["event_type"], int(r["dow"]))
+        cells[k] = cells.get(k, 0) + int(r["c"])
+    types = sorted({t for (t, _d) in cells})
+    n_tot = sum(cells.values())
+    dow_tot = [sum(cells.get((t, d), 0) for t in types) for d in range(7)]
+    out_t, out_n, out_kl = [], [], []
+    for t in types:
+        nt = sum(cells.get((t, d), 0) for d in range(7))
+        kl = 0.0
+        for d in range(7):
+            c = cells.get((t, d), 0)
+            if c == 0:
+                continue  # 0·log(0/q) = 0 by convention on both engines
+            p = float(c) / float(nt)
+            q = float(dow_tot[d]) / float(n_tot)
+            kl += p * math.log2(p / q)
+        out_t.append(t)
+        out_n.append(nt)
+        out_kl.append(int(round(kl * 1e6)))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(out_t, dtype=object),
+            "n": np.array(out_n, np.int64),
+            "kl_e6": np.array(out_kl, np.int64),
+        }
+    )
+
+
+SQL_DOW_KL_PER_TYPE = """
+WITH c AS (SELECT event_type,
+                  (CAST(epoch_us(ts) // 86400000000 AS BIGINT)) % 7 AS dow,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+nt AS (SELECT event_type, sum(c) AS nt FROM c GROUP BY 1),
+nd AS (SELECT dow, sum(c) AS nd FROM c GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM c)
+SELECT c.event_type, CAST(nt.nt AS BIGINT) AS n,
+  CAST(round(sum(
+      (CAST(c.c AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+      * log2((CAST(c.c AS DOUBLE) / CAST(nt.nt AS DOUBLE))
+             / (CAST(nd.nd AS DOUBLE) / CAST(n.n AS DOUBLE)))
+    ) * 1000000) AS BIGINT) AS kl_e6
+FROM c JOIN nt USING (event_type) JOIN nd USING (dow) CROSS JOIN n
+GROUP BY c.event_type, nt.nt
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8933,6 +9074,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
     "daily_type_corr": (q_daily_type_corr, SQL_DAILY_TYPE_CORR),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
+    "top_terms_per_lang": (q_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG),
+    "dow_kl_per_type": (q_dow_kl_per_type, SQL_DOW_KL_PER_TYPE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

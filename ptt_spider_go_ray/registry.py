@@ -289,6 +289,17 @@ def _cms_user_counts(sf_dir: str):
     return pd.DataFrame({"user_id": probes, "est_n": est.astype(np.int64)})
 
 
+def _pq_codes(sf_dir: str):
+    """Product-quantization encoding (Jégou et al. 2011): per-subspace
+    nearest-centroid codes against broadcast deterministic codebooks. Rows-
+    only driver check; pytest recomputes the codes in pure numpy on the full
+    sf0.001 table and asserts exact equality (plus self-coding of the
+    codebook vectors)."""
+    from .pipelines.similarity import pq_codes
+
+    return pq_codes(sf_dir, m=4, k=16)
+
+
 def _kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over embeddings (iterative ML on Ray Data:
     broadcast centroids → per-batch matmul partials → driver reduce). Rows-only
@@ -360,6 +371,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_quantiles_sketch": _approx_quantiles_sketch,
     "approx_quantiles_per_type": _approx_quantiles_per_type,
     "kmeans_clusters": _kmeans_clusters,
+    "pq_codes": _pq_codes,
     "pagerank_chain": _pagerank_chain,
     "approx_distinct_users_per_type": _approx_distinct_users_per_type,
     "cms_user_counts": _cms_user_counts,

@@ -1120,3 +1120,35 @@ def test_bpe_word_boundaries_not_merged():
     keys = out["k"].to_pylist()
     assert ((a << 32) | a) not in keys  # the straddle pair
     assert ((x << 32) | a) in keys and ((a << 32) | x) in keys
+
+
+def test_pq_codes_match_numpy(ray_session):
+    """PQ encoding equals a pure-numpy recompute on the whole sf0.001 table;
+    codebook vectors encode to their own index in every subspace."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.similarity import pq_codes
+
+    M, K = 4, 16
+    got = (
+        pq_codes(SF, m=M, k=K)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    train = mat[df.index[df["vec_id"] < K]]
+    sub = mat.shape[1] // M
+    assert list(got.columns) == ["vec_id"] + [f"code_{j}" for j in range(M)]
+    assert got["vec_id"].tolist() == df["vec_id"].tolist()
+    for j in range(M):
+        x = mat[:, j * sub:(j + 1) * sub]
+        cb = train[:, j * sub:(j + 1) * sub]
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ cb.T) + (cb * cb).sum(1)[None, :]
+        assert got[f"code_{j}"].to_numpy().tolist() == d.argmin(1).tolist()
+    # self-coding: the k training vectors are their own nearest centroid
+    head = got[got["vec_id"] < K].sort_values("vec_id")
+    for j in range(M):
+        assert head[f"code_{j}"].tolist() == list(range(K))
