@@ -58,9 +58,14 @@ def _dedup_pairs(cand, pair_cols: tuple[str, str], n_buckets: int):
     a, b = pair_cols
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[a].astype("int64") * np.int64(1_000_003) + df[b].astype("int64")
+        if pd.api.types.is_integer_dtype(df[a]):
+            key = (
+                df[a].astype("int64") * np.int64(1_000_003) + df[b].astype("int64")
+            ).to_numpy()
+        else:  # string ids (e.g. media refs): hash the joined pair key
+            key = (df[a].astype(str) + "|" + df[b].astype(str)).to_numpy(object)
         df = df.copy()
-        df["pair_bucket"] = (pd.util.hash_array(key.to_numpy()) % n_buckets).astype(
+        df["pair_bucket"] = (pd.util.hash_array(key) % n_buckets).astype(
             np.int64
         )
         return df
@@ -862,3 +867,66 @@ def streaming_dedup(sf_dir: str, n_shards: int = 8):
         concurrency=2,
         batch_format="pyarrow",
     ).select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup (multimodal dedup: SimHash machinery over
+# image average-hashes instead of text simhashes)
+# ---------------------------------------------------------------------------
+
+
+def phash_near_dups(hashed, n_rows: int, max_hamming: int = 3):
+    """Dataset[(media_ref str, phash uint64)] → verified near-dup pairs with
+    exact Hamming ≤ max_hamming. Same scale shape as simhash_near_dups:
+    4 × 16-bit block keys (pigeonhole: any pair within Hamming 3 shares a
+    block), coarse-bucket shuffle, in-bucket vectorized grouping, then
+    distributed pair dedup. Media-byte decoding happens upstream in the
+    PHashStage actor pool — this stage never sees a payload."""
+    from ..stages.dedup import hamming64, simhash_block_keys
+
+    n_buckets = _coarse_buckets(max(n_rows, 1) * 4)
+    n_pair_buckets = _coarse_buckets(max(n_rows, 1), _TARGET_PAIR_ROWS)
+
+    def explode(t: pd.DataFrame) -> pa.Table:
+        refs, keys, hashes = [], [], []
+        for ref, h in zip(t["media_ref"].to_pylist(), t["phash"].to_pylist()):
+            for key in simhash_block_keys(int(h), n_blocks=4):
+                refs.append(ref)
+                keys.append(key)
+                hashes.append(h)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(keys, n_buckets)),
+                "block_key": pa.array(keys, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+                "phash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("block_key", keep=False)]
+        rows = []
+        for _, grp in g.groupby("block_key", sort=False):
+            grp = grp.sort_values("media_ref")
+            ids = grp["media_ref"].tolist()
+            hs = [int(h) for h in grp["phash"].tolist()]
+            rows.extend(
+                (ids[i], ids[j], hamming64(hs[i], hs[j]))
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+                if ids[i] != ids[j] and hamming64(hs[i], hs[j]) <= max_hamming
+            )
+        if not rows:
+            return pd.DataFrame(
+                {"ref_a": pd.Series(dtype="object"),
+                 "ref_b": pd.Series(dtype="object"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(rows, columns=["ref_a", "ref_b", "hamming"])
+
+    cand = (
+        hashed.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    return _dedup_pairs(cand, ("ref_a", "ref_b"), n_pair_buckets)

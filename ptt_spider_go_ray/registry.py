@@ -131,6 +131,60 @@ def _media_frame_sample(sf_dir: str):
     )
 
 
+def _media_phash_dedup(sf_dir: str):
+    """Crawl media bytes → 64-bit perceptual hashes (actor-pool decode) →
+    block-key-bucketed Hamming≤3 near-dup pairs (the image analog of
+    dedup_simhash) → the media inventory annotated with each ref's near-dup
+    degree (stable schema even when the corpus has zero near-dups, which a
+    healthy crawl of distinct images legitimately does). Rows-only driver
+    check; pytest gates the banding recall bound and exact-Hamming verify
+    on planted hash sets, plus exact-dup bytes through the full stage."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from .pipelines.dedup import phash_near_dups
+    from .stages.multimodal import PHashStage
+
+    media = _crawl_media_dataset(sf_dir)
+    n_media = media.count()
+    hashed = media.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"backend": "fake"},
+        concurrency=(1, 2),
+        batch_size=32,
+        batch_format="pyarrow",
+    ).materialize()
+    pairs = phash_near_dups(hashed, n_rows=n_media).materialize()
+    side = lambda c: pairs.map_batches(  # noqa: E731
+        lambda t, c=c: pa.table({"media_ref": t[c]}), batch_format="pyarrow"
+    )
+    deg = (
+        side("ref_a").union(side("ref_b"))
+        .groupby("media_ref")
+        .aggregate(Count(alias_name="n_neardups"))
+        .to_pandas()
+    )  # bounded by 2×pairs; grouped count stays distributed before this pull
+    dmap = dict(zip(deg.get("media_ref", []), deg.get("n_neardups", [])))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        return pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "phash_hex": pa.array(
+                    [f"{int(h):016x}" for h in t["phash"].to_pylist()],
+                    pa.string(),
+                ),
+                "n_neardups": pa.array(
+                    [int(dmap.get(r, 0)) for r in refs], pa.int64()
+                ),
+            }
+        )
+
+    return hashed.map_batches(annotate, batch_format="pyarrow")
+
+
 def _media_resize_plan(sf_dir: str):
     """Decode (fake) → vectorized aspect-preserving resize plan (real math)."""
     from .stages.multimodal import resize_plan_batch
@@ -355,6 +409,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_audio_features": _media_audio_features,
     "media_frame_sample": _media_frame_sample,
     "media_resize_plan": _media_resize_plan,
+    "media_phash_dedup": _media_phash_dedup,
     "crawl_layout": _crawl_layout,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,

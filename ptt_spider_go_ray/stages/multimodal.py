@@ -50,6 +50,15 @@ class FakeDecodeBackend:
         rng = np.random.default_rng(seed & 0xFFFFFFFF)
         return rng.standard_normal(dim).astype(np.float32)
 
+    def gray8(self, data: bytes) -> np.ndarray:
+        """Deterministic 8×8 grayscale stand-in for a real decode+downsample
+        (what PillowBackend.gray8 would produce from actual pixels)."""
+        seed = int.from_bytes(
+            hashlib.blake2b(data or b"", digest_size=8).digest(), "little"
+        )
+        rng = np.random.default_rng((seed >> 16) & 0xFFFFFFFF)
+        return rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+
 
 class PillowBackend:  # pragma: no cover - requires PIL, absent in sandbox
     def __init__(self):
@@ -60,6 +69,14 @@ class PillowBackend:  # pragma: no cover - requires PIL, absent in sandbox
                 "real image decoding requires Pillow, not available in this "
                 "environment; use FakeDecodeBackend"
             ) from e
+
+    def gray8(self, data: bytes) -> np.ndarray:
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(data)).convert("L").resize((8, 8))
+        return np.asarray(img, dtype=np.float64)
 
 
 AUDIO_META_SCHEMA = pa.schema(
@@ -272,3 +289,46 @@ class ImageDecoder:
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             }
         ).cast(MEDIA_META_SCHEMA)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """Average-hash over an 8×8 grayscale grid: bit i set iff pixel i is
+    strictly above the grid mean — the classic aHash perceptual fingerprint
+    (public method; robust to resize/re-encode when fed a real decode)."""
+    bits = (np.asarray(gray, np.float64).reshape(-1) > float(np.mean(gray)))
+    return int(
+        (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+    )
+
+
+class PHashStage:
+    """Actor-pool stage: media payload → 64-bit perceptual hash. The backend
+    supplies the 8×8 grayscale (FakeDecodeBackend derives it
+    deterministically from the bytes — same plumbing contract a Pillow
+    decode would fill); phash64 packs the average-hash bits. Emits
+    (media_ref, phash) rows for phash_near_dups."""
+
+    def __init__(self, backend: str = "fake"):
+        if backend == "fake":
+            self.backend = FakeDecodeBackend()
+        elif backend == "pillow":
+            self.backend = PillowBackend()
+        else:
+            raise ValueError(f"unknown decode backend {backend!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bodies = batch["body"].to_pylist()
+        ref = (
+            batch["url"]
+            if "url" in batch.schema.names
+            else batch["media_ref"]
+        )
+        return pa.table(
+            {
+                "media_ref": ref,
+                "phash": pa.array(
+                    [phash64(self.backend.gray8(b or b"")) for b in bodies],
+                    pa.uint64(),
+                ),
+            }
+        )

@@ -1152,3 +1152,118 @@ def test_pq_codes_match_numpy(ray_session):
     head = got[got["vec_id"] < K].sort_values("vec_id")
     for j in range(M):
         assert head[f"code_{j}"].tolist() == list(range(K))
+
+
+def test_phash_banding_recall_and_verify(ray_session):
+    """Planted hash sets through phash_near_dups: Hamming 0/1/3 pairs are
+    found with exact distances; a pair whose 4 differing bits hit all four
+    16-bit blocks is NOT found (the documented pigeonhole recall bound);
+    Hamming-4-in-one-block is also excluded by the max_hamming verify."""
+    import pyarrow as pa
+    import ray.data
+
+    from ptt_spider_go_ray.pipelines.dedup import phash_near_dups
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = {
+        "a0": base,
+        "a1": base,                       # exact dup of a0 (hamming 0)
+        "b0": base ^ 0x1,                 # hamming 1 vs a0/a1
+        "c0": base ^ 0x7,                 # hamming 3 vs a0 (same block)
+        "d0": base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)),
+        # ^ hamming 4 spread over ALL four blocks: no shared block key →
+        #   never even a candidate (recall bound)
+        "e0": base ^ 0xF,                 # hamming 4 in one block: candidate
+        #   via the other three blocks, but killed by the exact verify
+        "z0": ~base & 0xFFFFFFFFFFFFFFFF, # far away
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_ref": pa.array(list(rows), pa.string()),
+                "phash": pa.array(list(rows.values()), pa.uint64()),
+            }
+        )
+    )
+    got = phash_near_dups(ds, n_rows=len(rows)).to_pandas()
+    pairs = {
+        (r.ref_a, r.ref_b): r.hamming for r in got.itertuples()
+    }
+    assert pairs == {
+        ("a0", "a1"): 0,
+        ("a0", "b0"): 1,
+        ("a1", "b0"): 1,
+        ("a0", "c0"): 3,
+        ("a1", "c0"): 3,
+        ("b0", "c0"): 2,
+        # b0 and d0/e0 share the bit-0 flip, shrinking their distances:
+        ("b0", "d0"): 3,   # differs only on bits 16/32/48
+        ("b0", "e0"): 3,   # differs only on bits 1/2/3
+        ("c0", "e0"): 1,   # 0x7 vs 0xF: one bit
+    }
+    # the recall bound: a0↔d0 (hamming 4 across all four blocks) and
+    # a0↔e0 (hamming 4, verify-killed) never appear
+    assert not any("d0" in p and "a0" in p for p in pairs)
+    assert ("a0", "e0") not in pairs and ("a1", "e0") not in pairs
+
+
+def test_phash_stage_deterministic_and_e2e(ray_session):
+    """Same bytes → same phash through the actor-pool stage; exact-dup
+    payloads under different refs surface as a hamming-0 pair in the full
+    media_phash_dedup pipeline shape."""
+    import pyarrow as pa
+    import ray.data
+
+    from ptt_spider_go_ray.pipelines.dedup import phash_near_dups
+    from ptt_spider_go_ray.stages.multimodal import (
+        FakeDecodeBackend,
+        PHashStage,
+        phash64,
+    )
+
+    payload = b"\xff\xd8fake-jpeg-bytes"
+    tbl = pa.table(
+        {
+            "media_ref": pa.array(["m1", "m2", "m3"], pa.string()),
+            "body": pa.array(
+                [payload, payload, b"\x89PNGother-bytes"], pa.binary()
+            ),
+        }
+    )
+    hashed = ray.data.from_arrow(tbl).map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"backend": "fake"},
+        concurrency=1,
+        batch_size=8,
+        batch_format="pyarrow",
+    )
+    df = hashed.to_pandas().sort_values("media_ref")
+    want = phash64(FakeDecodeBackend().gray8(payload))
+    assert df["phash"].tolist()[:2] == [want, want]
+    got = phash_near_dups(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "media_ref": pa.array(df["media_ref"].tolist(), pa.string()),
+                    "phash": pa.array(df["phash"].tolist(), pa.uint64()),
+                }
+            )
+        ),
+        n_rows=3,
+    ).to_pandas()
+    assert [(r.ref_a, r.ref_b, r.hamming) for r in got.itertuples()] == [
+        ("m1", "m2", 0)
+    ]
+
+
+def test_phash64_bit_semantics():
+    """Bit i reflects pixel i vs the STRICT grid mean; constant grids hash
+    to 0 (no pixel above the mean)."""
+    import numpy as np
+
+    from ptt_spider_go_ray.stages.multimodal import phash64
+
+    assert phash64(np.full((8, 8), 7.0)) == 0
+    g = np.zeros((8, 8))
+    g[0, 0] = 255.0  # only pixel 0 above mean → exactly bit 0 set
+    assert phash64(g) == 1
