@@ -175,3 +175,39 @@ def test_compact_partitions_merges_small_parts(tmp_path):
     assert after.reset_index(drop=True).equals(before.reset_index(drop=True))
     import os
     assert sorted(os.listdir(f"{root}/docs/round=1")) == ["part-0.parquet"]
+
+
+def test_zone_map_pruning_end_to_end(ray_session, tmp_path):
+    """Sorted writes produce tight footer zone maps; pruned reads open only
+    the intersecting files and return exactly the full-scan-filter rows;
+    stats-less columns are conservatively kept."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ptt_spider_go_ray.sources import storage
+
+    root = str(tmp_path)
+    # four files covering key ranges [0,99], [100,199], [200,299], [300,399]
+    for part in range(4):
+        keys = np.arange(part * 100, part * 100 + 100, dtype=np.int64)
+        rng = np.random.default_rng(part)
+        shuffled = rng.permutation(keys)  # unsorted input: sort_by must fix it
+        storage.write_partition(
+            pa.table({"k": pa.array(shuffled), "v": pa.array(shuffled * 2)}),
+            root, "docs", f"round={part}", sort_by=["k"],
+        )
+    files, total = storage.pruned_files(root, "docs", "k", 150, 250)
+    assert total == 4 and len(files) == 2  # only [100,199] and [200,299]
+    ds, kept, tot = storage.read_dataset_pruned(root, "docs", "k", 150, 250)
+    assert (kept, tot) == (2, 4)
+    df = ds.to_pandas()
+    assert len(df) == 200  # file-level pruning; row filter is the caller's
+    assert df["k"].min() >= 100 and df["k"].max() <= 299
+    got = sorted(df[(df["k"] >= 150) & (df["k"] <= 250)]["k"].tolist())
+    assert got == list(range(150, 251))
+    # disjoint range → no files, dataset is None
+    ds2, kept2, tot2 = storage.read_dataset_pruned(root, "docs", "k", 1000, 2000)
+    assert ds2 is None and kept2 == 0 and tot2 == 4
+    # unknown column → unprunable → everything kept
+    files3, _ = storage.pruned_files(root, "docs", "nope", 0, 1)
+    assert len(files3) == 4
