@@ -930,3 +930,81 @@ def phash_near_dups(hashed, n_rows: int, max_hamming: int = 3):
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     return _dedup_pairs(cand, ("ref_a", "ref_b"), n_pair_buckets)
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup (asymmetric: "is A mostly inside B")
+# ---------------------------------------------------------------------------
+
+
+def containment_dups(sf_dir: str, threshold: float = 0.9, k: int = 3,
+                     n_perm: int = 64, n_bands: int = 16):
+    """Asymmetric containment dedup — C(A,B) = |A∩B| / |A| over hashed
+    k-shingle sets: the RefinedWeb/C4-style "snippet swallowed by a longer
+    page" case Jaccard under-scores (a 10-line quote inside a 1000-line doc
+    has J≈0.01 but C≈1). Candidates come from the SAME MinHash band pass as
+    ngram_jaccard_dups (one text scan, band groupby carries the shingle
+    sets); the in-group verify computes the exact intersection once per
+    pair and emits the pair when EITHER direction's containment clears the
+    threshold, labeling the contained (smaller-set) side. Same distributed
+    shape: no join-back, no O(n²) stage, pair dedup bucketed.
+
+    Recall caveat (documented, deterministic): candidates follow the
+    JACCARD band curve, so a contained snippet that is a tiny fraction of
+    its container (high C, low J) may never become a candidate — full
+    recall at low J needs a dedicated containment LSH over the small side's
+    sketch. At C4-style chunk sizes (snippet ≥ ~40% of the container,
+    J ≥ 0.4) band recall is ≥ ~0.5 and the fixed-seed hashers make whatever
+    recall holds REPRODUCIBLE run to run."""
+    from ..stages.dedup import minhash_batch_task
+
+    ds = _docs(sf_dir)
+    n_docs = ds.count()
+    n_buckets = _coarse_buckets(n_docs * n_bands)
+    n_pair_buckets = _coarse_buckets(n_docs, _TARGET_PAIR_ROWS)
+
+    sigs = ds.map_batches(
+        functools.partial(
+            minhash_batch_task, n_perm=n_perm, shingle_k=k, with_shingles=True
+        ),
+        batch_format="pyarrow",
+    )
+    banded = sigs.map_batches(
+        lambda t: _band_explode(t, n_bands, n_buckets, "shingles"),
+        batch_format="pyarrow",
+    )
+
+    def verify_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("band_key", keep=False)]
+        rows = []
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            sets = [np.frombuffer(s, dtype=np.uint64) for s in grp["shingles"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = sets[i], sets[j]
+                    if not a.size or not b.size:
+                        continue
+                    inter = np.intersect1d(a, b, assume_unique=True).size
+                    # containment of the SMALLER set in the larger
+                    small = a.size if a.size <= b.size else b.size
+                    c = inter / small
+                    if c >= threshold:
+                        contained = ids[i] if a.size <= b.size else ids[j]
+                        rows.append((ids[i], ids[j], c, contained))
+        if not rows:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "containment": pd.Series(dtype="float64"),
+                 "contained_id": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "containment", "contained_id"]
+        )
+
+    cand = banded.groupby("bucket").map_groups(
+        verify_in_bucket, batch_format="pandas"
+    )
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)

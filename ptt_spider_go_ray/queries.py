@@ -8962,6 +8962,175 @@ GROUP BY c.event_type, nt.nt
 """
 
 # ---------------------------------------------------------------------------
+# Q: Herfindahl–Hirschman concentration per day — HHI = Σ share_i² of each
+# event's value share of its day (the "is one actor dominating the stream"
+# monitor). One combiner pass to per-day exact integer (Σv, Σv²) — HHI
+# reduces to Σv²/(Σv)², so individual shares are never materialized — and
+# a single float division per day, e6-rounded identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_hhi_per_day(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"day": day, "sv": v, "svv": v * v, "n": 1}).groupby(
+            "day", as_index=False
+        ).sum()
+        return _arrow_out(
+            df.astype({c: "int64" for c in ("day", "sv", "svv", "n")})
+        )
+
+    acc: dict[int, list[int]] = {}
+    for r in ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        a = acc.setdefault(int(r["day"]), [0, 0, 0])
+        a[0] += int(r["sv"])
+        a[1] += int(r["svv"])
+        a[2] += int(r["n"])
+    days = sorted(acc)
+    return pd.DataFrame(
+        {
+            "day": np.array(days, np.int64),
+            "n": np.array([acc[d][2] for d in days], np.int64),
+            "hhi_e6": np.array(
+                [
+                    int(round(float(acc[d][1])
+                              / float(acc[d][0] * acc[d][0]) * 1e6))
+                    for d in days
+                ],
+                np.int64,
+            ),
+        }
+    )
+
+
+SQL_HHI_PER_DAY = """
+WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(round(value*100) AS HUGEINT) AS v FROM events),
+s AS (SELECT day, sum(v) AS sv, sum(v*v) AS svv, count(*) AS n
+      FROM c GROUP BY 1)
+SELECT day, n,
+  CAST(round(CAST(svv AS DOUBLE) / CAST(sv*sv AS DOUBLE) * 1000000)
+       AS BIGINT) AS hhi_e6
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# Q: anomalous-day detector — days whose total value deviates more than 2σ
+# from the all-days mean (σ over the daily totals). Two driver-side
+# scalars from exact integer day sums (one combiner pass; O(days) driver
+# state), then a vectorized filter; the z-score is the same IEEE
+# num/sqrt(var) sequence on both engines, e6-rounded.
+# ---------------------------------------------------------------------------
+
+
+def q_anomaly_days(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"day": day, "sv": v}).groupby(
+            "day", as_index=False
+        ).sum()
+        return _arrow_out(df.astype({"day": "int64", "sv": "int64"}))
+
+    acc: dict[int, int] = {}
+    for r in ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        acc[int(r["day"])] = acc.get(int(r["day"]), 0) + int(r["sv"])
+    days = sorted(acc)
+    n = len(days)
+    s1 = sum(acc.values())
+    s2 = sum(v * v for v in acc.values())
+    out_d, out_t, out_z = [], [], []
+    for d in days:
+        t = acc[d]
+        # z = (t − mean)/σ = (n·t − s1) / sqrt(n·s2 − s1²) — exact ints in,
+        # one sqrt + one division out (same tree as the SQL)
+        z = float(n * t - s1) / math.sqrt(float(n * s2 - s1 * s1))
+        if abs(z) > 2.0:
+            out_d.append(d)
+            out_t.append(t)
+            out_z.append(int(round(z * 1e6)))
+    return pd.DataFrame(
+        {
+            "day": np.array(out_d, np.int64),
+            "total_c": np.array(out_t, np.int64),
+            "z_e6": np.array(out_z, np.int64),
+        }
+    )
+
+
+SQL_ANOMALY_DAYS = """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS t
+           FROM events GROUP BY 1),
+m AS (SELECT count(*) AS n, sum(CAST(t AS HUGEINT)) AS s1,
+             sum(CAST(t AS HUGEINT)*t) AS s2 FROM d)
+SELECT day, t AS total_c,
+  CAST(round(CAST(n*t - s1 AS DOUBLE)
+             / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+             * 1000000) AS BIGINT) AS z_e6
+FROM d, m
+WHERE abs(CAST(n*t - s1 AS DOUBLE)
+          / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))) > 2.0
+"""
+
+# ---------------------------------------------------------------------------
+# Q: normalization-aware exact dedup — survivors after casefolding and
+# whitespace-collapsing the text BEFORE hashing (the standard first dedup
+# pass of a web corpus: trivially re-encoded copies hash equal). Same
+# hash-partition + first-wins shape as dedup_exact; min doc_id survives.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_normalized(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ws = _re_mod.compile(r"\s+")
+
+    def norm_fp(df: pd.DataFrame) -> pa.Table:
+        texts = [
+            ws.sub(" ", (t or "").lower()).strip() for t in df["text"].tolist()
+        ]
+        return pa.table(
+            {
+                "fp": pa.array(_md5_col(texts), pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(norm_fp, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+SQL_DEDUP_EXACT_NORMALIZED = r"""
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')))
+           AS fp
+  FROM documents)
+GROUP BY fp
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9076,6 +9245,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "top_terms_per_lang": (q_top_terms_per_lang, SQL_TOP_TERMS_PER_LANG),
     "dow_kl_per_type": (q_dow_kl_per_type, SQL_DOW_KL_PER_TYPE),
+    "hhi_per_day": (q_hhi_per_day, SQL_HHI_PER_DAY),
+    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
+    "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -222,6 +222,15 @@ def _dedup_ngram(sf_dir: str):
     return ngram_jaccard_dups(sf_dir, threshold=0.9)
 
 
+def _dedup_containment(sf_dir: str):
+    """Asymmetric shingle-containment near-dup (snippet-inside-page); rows-
+    only driver check, pytest-gated vs a plain-Python brute-force
+    containment oracle on planted snippet/container pairs."""
+    from .pipelines.dedup import containment_dups
+
+    return containment_dups(sf_dir, threshold=0.9)
+
+
 def _dedup_embedding(sf_dir: str):
     from .pipelines.dedup import embedding_cosine_dups
 
@@ -414,6 +423,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
     "dedup_ngram_jaccard": _dedup_ngram,
+    "dedup_containment": _dedup_containment,
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_clusters": _dedup_clusters,
     "ann_ivf_topk": _ann_ivf,

@@ -1267,3 +1267,54 @@ def test_phash64_bit_semantics():
     g = np.zeros((8, 8))
     g[0, 0] = 255.0  # only pixel 0 above mean → exactly bit 0 set
     assert phash64(g) == 1
+
+
+def test_containment_finds_snippet_inside_page(ray_session, tmp_path):
+    """A snippet that is ~half of a container doc (J≈0.5 but C=1.0) is
+    reported with the snippet labeled as the contained side; precision is
+    exact vs a plain-Python containment oracle over the same shingle sets."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.dedup import containment_dups
+    from ptt_spider_go_ray.stages.dedup import _shingle_hashes
+
+    words = [f"w{i}" for i in range(200)]
+    container = " ".join(words)                 # 200-word page
+    snippet = " ".join(words[:110])             # ~55% prefix: C=1, J≈0.55
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [container, snippet, "completely different text " * 20],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(container), len(snippet), 520],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+    got = containment_dups(str(tmp_path), threshold=0.9).to_pandas()
+    rows = {
+        (int(a), int(b)): (float(c), int(cid))
+        for a, b, c, cid in zip(
+            got["doc_a"], got["doc_b"], got["containment"], got["contained_id"]
+        )
+    }
+    assert (1, 2) in rows
+    c, contained = rows[(1, 2)]
+    assert contained == 2  # the snippet is the contained side
+    # exact containment from plain-Python shingle sets
+    sa = np.unique(_shingle_hashes(container, 3))
+    sb = np.unique(_shingle_hashes(snippet, 3))
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    assert abs(c - inter / min(sa.size, sb.size)) < 1e-12
+    assert c >= 0.99
+    # every reported pair must satisfy the oracle (precision 1)
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for (a, b), (cv, cid) in rows.items():
+        xa = np.unique(_shingle_hashes(texts[a], 3))
+        xb = np.unique(_shingle_hashes(texts[b], 3))
+        it = np.intersect1d(xa, xb, assume_unique=True).size
+        assert abs(cv - it / min(xa.size, xb.size)) < 1e-12
+        assert cid == (a if xa.size <= xb.size else b)
