@@ -9131,6 +9131,281 @@ GROUP BY fp
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q10-shaped returned-item revenue report — top-20 customers by
+# revenue lost to returns in one quarter. Plan: the quarter-filtered
+# orders map (~1/26 of orders) and the customer→(name, nation) map are
+# pruned driver reads broadcast ONCE (adaptive: a size bound the q3/q5/q18
+# pattern documents — past it the lookup becomes a native hash join); the
+# lineitem scan filters flag='R', maps orderkey→custkey via searchsorted,
+# and pre-aggregates revenue per custkey in the SAME batch, so the ONE
+# native groupby shuffle moves (custkey, rev) partials. Top-20 is
+# per-block partial + driver merge. Revenue exact in 1e-4 dollars.
+# ---------------------------------------------------------------------------
+
+_Q10_LO = "1996-01-01"
+_Q10_HI = "1996-04-01"
+_Q10_TOPK = 20
+
+
+def q_tpch_q10(sf_dir: str):
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filters=[
+            ("o_orderdate", ">=", pd.Timestamp(_Q10_LO)),
+            ("o_orderdate", "<", pd.Timestamp(_Q10_HI)),
+        ],
+    )
+    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+    oo = np.argsort(ok)
+    omap_ref = ray.put(
+        (
+            np.ascontiguousarray(ok[oo]),
+            np.ascontiguousarray(
+                ot["o_custkey"].to_numpy(zero_copy_only=False)[oo]
+            ),
+        )
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        keys, cust = ray.get(omap_ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if not len(keys) or not len(lk):
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "revenue_e4": pa.array([], pa.int64())}
+            )
+        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[pos] == lk  # inner join: only quarter orders
+        rev = (
+            np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit] * 100
+            ).astype(np.int64)
+            * (
+                100
+                - np.rint(
+                    t["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100
+                ).astype(np.int64)
+            )
+        )
+        df = pd.DataFrame(
+            {"c_custkey": cust[pos[hit]], "revenue_e4": rev}
+        ).groupby("c_custkey", as_index=False).sum()
+        return _arrow_out(df.astype({"revenue_e4": "int64"}))
+
+    per_cust = (
+        li.map_batches(
+            rev_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    co = np.argsort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    cmap_ref = ray.put(
+        (
+            np.ascontiguousarray(
+                cust["c_custkey"].to_numpy(zero_copy_only=False)[co]
+            ),
+            np.asarray(cust["c_name"].to_pylist(), dtype=object)[co],
+            np.asarray(
+                [nmap[k] for k in cust["c_nationkey"].to_pylist()],
+                dtype=object,
+            )[co],
+        )
+    )
+
+    def attach_topk(t: pa.Table) -> pa.Table:
+        ck, names, nats = ray.get(cmap_ref)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ck, keys), 0, len(ck) - 1)
+        out = pd.DataFrame(
+            {
+                "c_custkey": keys,
+                "c_name": names[pos],
+                "n_name": nats[pos],
+                "revenue_e4": t["revenue_e4"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(
+            ["revenue_e4", "c_custkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(_Q10_TOPK)
+        return _arrow_out(out)
+
+    parts = per_cust.map_batches(attach_topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(
+            ["revenue_e4", "c_custkey"], ascending=[False, True],
+            kind="mergesort",
+        )
+        .head(_Q10_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, c.c_custkey
+LIMIT {_Q10_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: vocabulary size per source — distinct token count per corpus slice
+# (the "is this source linguistically diverse or boilerplate" signal).
+# Per-batch DISTINCT (source, token) combiner (np.unique over the exploded
+# stream), one native groupby on the pair collapses cross-batch dups, and
+# a per-batch count partial + tiny driver fold gives the per-source
+# cardinality — tokens cross the wire once as distinct pairs, never as
+# occurrences.
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_per_source(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        src = np.repeat(df["source"].to_numpy(), lens)
+        terms = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        pairs = pd.DataFrame({"source": src, "token": terms}).drop_duplicates()
+        return _arrow_out(pairs)
+
+    counts = (
+        ds.map_batches(
+            distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
+        )
+        .groupby(["source", "token"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_source(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"source": t["source"].to_pandas().to_numpy(), "n_tokens": 1}
+        ).groupby("source", as_index=False).sum()
+        return _arrow_out(df.astype({"n_tokens": "int64"}))
+
+    acc: dict[str, int] = {}
+    for r in counts.map_batches(per_source, batch_format="pyarrow").take_all():
+        acc[r["source"]] = acc.get(r["source"], 0) + int(r["n_tokens"])
+    ss = sorted(acc)
+    return pd.DataFrame(
+        {
+            "source": pd.Series(ss, dtype=object),
+            "n_tokens": np.array([acc[s] for s in ss], np.int64),
+        }
+    )
+
+
+SQL_VOCAB_PER_SOURCE = """
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS token
+  FROM documents)
+SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: burstiness (Fano factor) of daily event counts per type — var/mean of
+# the per-day count series, the "is this stream Poisson or bursty" signal.
+# One combiner to exact (type, day, count) cells, O(days×types) driver
+# fold of integer moments over the ZERO-FILLED day spine (absent days are
+# real zeros — both engines build the same spine), one float division.
+# ---------------------------------------------------------------------------
+
+
+def q_burstiness_per_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas().to_numpy(), "day": day}
+        )
+        df["c"] = np.int64(1)
+        df = df.groupby(["event_type", "day"], as_index=False).sum()
+        return _arrow_out(df.astype({"day": "int64", "c": "int64"}))
+
+    acc: dict[tuple, int] = {}
+    for r in ds.map_batches(
+        cells, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        k = (r["event_type"], int(r["day"]))
+        acc[k] = acc.get(k, 0) + int(r["c"])
+    days = sorted({d for (_t, d) in acc})
+    types = sorted({t for (t, _d) in acc})
+    n = len(days)
+    out_f = []
+    for ty in types:
+        cs = [acc.get((ty, d), 0) for d in days]
+        s1 = sum(cs)
+        s2 = sum(c * c for c in cs)
+        # Fano = var/mean = (n·s2 − s1²) / (n·s1)  — exact ints in, one
+        # division out, e6-rounded on both engines
+        out_f.append(int(round(float(n * s2 - s1 * s1) / float(n * s1) * 1e6)))
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(types, dtype=object),
+            "fano_e6": np.array(out_f, np.int64),
+        }
+    )
+
+
+SQL_BURSTINESS_PER_TYPE = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM c),
+types AS (SELECT DISTINCT event_type FROM c),
+f AS (SELECT t.event_type, dy.day,
+             CAST(COALESCE(c.c, 0) AS HUGEINT) AS c
+      FROM days dy CROSS JOIN types t
+      LEFT JOIN c ON c.day = dy.day AND c.event_type = t.event_type),
+m AS (SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2
+      FROM f GROUP BY 1)
+SELECT event_type,
+  CAST(round(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*s1 AS DOUBLE) * 1000000)
+       AS BIGINT) AS fano_e6
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9248,6 +9523,9 @@ SQL_QUERIES: dict[str, tuple] = {
     "hhi_per_day": (q_hhi_per_day, SQL_HHI_PER_DAY),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "vocab_per_source": (q_vocab_per_source, SQL_VOCAB_PER_SOURCE),
+    "burstiness_per_type": (q_burstiness_per_type, SQL_BURSTINESS_PER_TYPE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -1322,3 +1322,127 @@ def test_ship_delay_bucketed_fallback_matches(ray_session):
     a = canon(to_pandas(q_ship_delay(SF)))
     b = canon(to_pandas(q_ship_delay(SF, broadcast_max=0)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tpch_q10_quarter_and_flag_filters(ray_session, tmp_path):
+    """Only flag='R' lineitems of in-quarter orders contribute; revenue is
+    the exact price·(100−disc) integer; customer name + nation attach."""
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_TPCH_Q10, q_tpch_q10
+
+    d = lambda s: _pd.Timestamp(s)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                [d("1996-02-01"), d("1995-12-31"), d("1996-03-31")],
+                pa.timestamp("us"),
+            ),  # order 2 is OUT of the quarter
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string()),
+            "l_extendedprice": pa.array([10.0, 99.0, 50.0, 20.0], pa.float64()),
+            "l_discount": pa.array([0.05, 0.0, 0.0, 0.10], pa.float64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([7, 8], pa.int64()),
+            "c_name": pa.array(["C7", "C8"], pa.string()),
+            "c_nationkey": pa.array([0, 1], pa.int32()),
+        }
+    )
+    nat = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+        }
+    )
+    for name, t in [("orders", orders), ("lineitem", li),
+                    ("customer", cust), ("nation", nat)]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+    got = canon(to_pandas(q_tpch_q10(str(tmp_path))))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = canon(con.sql(SQL_TPCH_Q10).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = {r.c_custkey: (r.revenue_e4, r.n_name) for r in got.itertuples()}
+    # cust 7: order 1's R item only → 1000¢·95 = 95000; cust 8: 2000¢·90
+    assert by == {7: (95_000, "ALPHA"), 8: (180_000, "BETA")}
+
+
+def test_vocab_per_source_distinct_and_casefold(ray_session, tmp_path):
+    """Repeated tokens count once per source; casefolding merges variants;
+    the same token in two sources counts in each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_VOCAB_PER_SOURCE, q_vocab_per_source
+
+    docs = pa.table(
+        {
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            "text": pa.array(
+                ["The the THE cat", "cat dog", "Cat only"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_vocab_per_source(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_VOCAB_PER_SOURCE).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["source"], got["n_tokens"]))
+    assert by == {"s1": 3, "s2": 2}  # s1: the/cat/dog, s2: cat/only
+
+
+def test_burstiness_constant_vs_bursty(ray_session, tmp_path):
+    """A type with identical daily counts has Fano 0; concentrating the
+    same events on one day is maximally bursty; a type absent on some days
+    gets REAL zeros in its series (the spine is shared across types)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_BURSTINESS_PER_TYPE,
+        q_burstiness_per_type,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    day = lambda k: base + pd.Timedelta(days=k)
+    rows = []
+    for k in range(4):
+        rows += [("flat", day(k))] * 3          # 3 per day → Fano 0
+    rows += [("burst", day(0))] * 12            # all 12 on day 0
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = canon(to_pandas(q_burstiness_per_type(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = canon(con.sql(SQL_BURSTINESS_PER_TYPE).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["event_type"], got["fano_e6"]))
+    assert by["flat"] == 0
+    # burst: counts [12,0,0,0] over the shared 4-day spine:
+    # var/mean = (4·144 − 144)/(4·12) = 432/48 = 9.0
+    assert by["burst"] == 9_000_000
