@@ -9406,6 +9406,151 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# Q: rare-token exposure per document — how many of a doc's distinct tokens
+# sit in the corpus's rare tail (document frequency < 25% of docs): the
+# novelty/jargon signal quality filters read. Plan: distinct (doc, token)
+# combiner → materialized once → groupby(token) Count gives df → the rare
+# VOCABULARY (bounded by Heaps' law, not corpus size — the documented
+# broadcast assumption, same class as tfidf's df map) is collected and
+# broadcast via ray.put → a second pass over the SAME materialized pairs
+# filters + counts per doc through a combiner + groupby Sum. All integer.
+# ---------------------------------------------------------------------------
+
+
+def q_rare_token_docs(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata — no scan
+
+    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        terms = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        pairs = pd.DataFrame({"token": terms, "doc_id": ids}).drop_duplicates()
+        return _arrow_out(pairs.astype({"doc_id": "int64"}))
+
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).materialize()  # two consumers below; pairs « raw text
+
+    dfreq = pairs.groupby("token").aggregate(Count(alias_name="df"))
+    rare = {
+        r["token"]
+        for r in dfreq.map_batches(
+            lambda t: t.filter(pc.less(pc.multiply(t["df"], pa.scalar(4)),
+                                       pa.scalar(n_docs))),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    rare_ref = ray.put(frozenset(rare))
+
+    def count_rare(t: pa.Table) -> pa.Table:
+        rs = ray.get(rare_ref)
+        toks = t["token"].to_pylist()
+        keep = np.fromiter((x in rs for x in toks), bool, len(toks))
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+             "n_rare": 1}
+        ).groupby("doc_id", as_index=False).sum()
+        return _arrow_out(df.astype({"n_rare": "int64"}))
+
+    return (
+        pairs.map_batches(
+            count_rare, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n_rare", alias_name="n_rare"))
+    )
+
+
+SQL_RARE_TOKEN_DOCS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS token
+  FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+rare AS (SELECT token FROM df, n WHERE df*4 < n)
+SELECT doc_id, count(*) AS n_rare
+FROM tok JOIN rare USING (token) GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: repeat-purchase cadence — the LOWER median of the day gaps between a
+# customer's consecutive orders (an exact order statistic, so no float
+# interpolation semantics to reconcile). Bucket-parallel by customer hash;
+# inside a bucket gaps are one segmented diff and the median pick is a
+# vectorized sort + cumcount == (n−1)//2 — zero per-customer Python.
+# Single-order customers are excluded on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_repeat_interval(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        u = g["o_custkey"].to_numpy()
+        day = (
+            g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // _DAY_US
+        )
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = pd.DataFrame(
+            {
+                "o_custkey": u[same],
+                "gap": (day - np.concatenate([[0], day[:-1]]))[same],
+            }
+        ).sort_values(["o_custkey", "gap"], kind="mergesort")
+        rk = gaps.groupby("o_custkey", sort=False).cumcount()
+        n = gaps.groupby("o_custkey", sort=False)["gap"].transform("size")
+        out = gaps[rk.to_numpy() == (n.to_numpy() - 1) // 2]
+        return pd.DataFrame(
+            {
+                "o_custkey": out["o_custkey"].to_numpy(),
+                "median_gap_days": out["gap"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(med, batch_format="pandas")
+        .select_columns(["o_custkey", "median_gap_days"])
+    )
+
+
+SQL_REPEAT_INTERVAL = """
+WITH o AS (SELECT o_custkey,
+                  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+                  o_orderkey FROM orders),
+g AS (SELECT o_custkey,
+        day - lag(day) OVER (PARTITION BY o_custkey
+                             ORDER BY day, o_orderkey) AS gap
+      FROM o),
+r AS (SELECT o_custkey, gap,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY gap) AS rk,
+        count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM g WHERE gap IS NOT NULL)
+SELECT o_custkey, CAST(gap AS BIGINT) AS median_gap_days
+FROM r WHERE rk = (n - 1) // 2 + 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9526,6 +9671,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "vocab_per_source": (q_vocab_per_source, SQL_VOCAB_PER_SOURCE),
     "burstiness_per_type": (q_burstiness_per_type, SQL_BURSTINESS_PER_TYPE),
+    "rare_token_docs": (q_rare_token_docs, SQL_RARE_TOKEN_DOCS),
+    "repeat_interval": (q_repeat_interval, SQL_REPEAT_INTERVAL),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

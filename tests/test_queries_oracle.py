@@ -1446,3 +1446,74 @@ def test_burstiness_constant_vs_bursty(ray_session, tmp_path):
     # burst: counts [12,0,0,0] over the shared 4-day spine:
     # var/mean = (4·144 − 144)/(4·12) = 432/48 = 9.0
     assert by["burst"] == 9_000_000
+
+
+def test_rare_token_docs_threshold(ray_session, tmp_path):
+    """Rare = document frequency STRICTLY below 25% of docs: a token in 1/8
+    docs counts, a token in exactly 2/8 (df·4 == n) does not; repeats
+    within one doc count once (distinct pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_RARE_TOKEN_DOCS, q_rare_token_docs
+
+    texts = ["shared"] * 8
+    texts[0] = "shared quux quux"        # quux: df 1 of 8 → rare, counted once
+    texts[1] = "shared boundary"         # boundary: df 2 → 2·4 == 8 → NOT rare
+    texts[2] = "shared boundary"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, 9), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_rare_token_docs(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_RARE_TOKEN_DOCS).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["doc_id"], got["n_rare"]))
+    assert by == {1: 1}  # only doc 1's quux; 'shared'/'boundary' not rare
+
+
+def test_repeat_interval_lower_median(ray_session, tmp_path):
+    """Even gap counts take the LOWER middle; single-order customers are
+    excluded; same-day repeat orders yield gap 0."""
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_REPEAT_INTERVAL, q_repeat_interval
+
+    d = lambda s: _pd.Timestamp(s)
+    rows = [
+        # cust 1: days 0, 10, 40, 41 → gaps [10, 30, 1] → median 10
+        (1, d("2024-01-01")), (1, d("2024-01-11")),
+        (1, d("2024-02-10")), (1, d("2024-02-11")),
+        # cust 2: gaps [5, 20] (even count) → LOWER median 5
+        (2, d("2024-01-01")), (2, d("2024-01-06")), (2, d("2024-01-26")),
+        # cust 3: single order → excluded
+        (3, d("2024-01-01")),
+        # cust 4: two same-day orders → gap 0
+        (4, d("2024-03-01")), (4, d("2024-03-01")),
+    ]
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = canon(to_pandas(q_repeat_interval(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = canon(con.sql(SQL_REPEAT_INTERVAL).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["o_custkey"], got["median_gap_days"]))
+    assert by == {1: 10, 2: 5, 4: 0}
