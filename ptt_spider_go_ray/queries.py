@@ -9551,6 +9551,118 @@ FROM r WHERE rk = (n - 1) // 2 + 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: keyword extraction — each document's top TF-IDF term (score desc, term
+# asc on ties). The document-frequency map is one distinct-pair pass +
+# groupby (bounded by the VOCABULARY, Heaps' law — the tfidf broadcast
+# assumption), shipped once via ray.put as parallel sorted arrays; the
+# scoring pass is then per-batch vectorized: np.unique over the exploded
+# (doc, term) stream gives tf, searchsorted attaches idf, and a lexsort +
+# boundary pick takes each doc's argmax — zero per-doc Python. Both
+# engines build score = tf · ln((1+N)/(1+df)) from the same exact integers,
+# so the IEEE doubles (and therefore the argmax) agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_keyword_per_doc(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def explode(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        terms = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        return ids, terms
+
+    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
+        ids, terms = explode(df)
+        pairs = pd.DataFrame({"token": terms, "doc_id": ids}).drop_duplicates()
+        return _arrow_out(pairs.astype({"doc_id": "int64"}))
+
+    dfreq = (
+        ds.map_batches(
+            distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
+        )
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+        .sort_values("token")
+    )
+    vocab = dfreq["token"].to_numpy(object)
+    idf = np.log(
+        (1.0 + np.float64(n_docs)) / (1.0 + dfreq["df"].to_numpy(np.int64))
+    )
+    vmap_ref = ray.put((vocab, idf))
+
+    def best_term(df: pd.DataFrame) -> pa.Table:
+        vocab_, idf_ = ray.get(vmap_ref)
+        ids, terms = explode(df)
+        if not len(ids):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score_e6": pa.array([], pa.int64()),
+                }
+            )
+        key = pd.DataFrame({"d": ids, "t": terms})
+        tf = key.groupby(["d", "t"], as_index=False).size()
+        d = tf["d"].to_numpy(np.int64)
+        t = tf["t"].to_numpy(object)
+        score = tf["size"].to_numpy(np.int64).astype(np.float64) * idf_[
+            np.searchsorted(vocab_, t)
+        ]
+        # per-doc argmax with (score desc, term asc): one stable sort +
+        # first-row pick (lexsort can't order object strings)
+        best = (
+            pd.DataFrame({"d": d, "t": t, "s": score})
+            .sort_values(["d", "s", "t"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates("d", keep="first")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(best["d"].to_numpy(np.int64)),
+                "term": pa.array(best["t"].tolist(), pa.string()),
+                "score_e6": pa.array(
+                    np.array(
+                        [int(round(x * 1e6)) for x in best["s"]], np.int64
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(best_term, batch_format="pandas")
+
+
+SQL_KEYWORD_PER_DOC = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+        CAST(tf.tf AS DOUBLE)
+          * ln(CAST(1 + n.n AS DOUBLE) / CAST(1 + df.df AS DOUBLE)) AS score,
+        row_number() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE)
+                   * ln(CAST(1 + n.n AS DOUBLE) / CAST(1 + df.df AS DOUBLE))
+                   DESC, tf.term) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(round(score * 1000000) AS BIGINT) AS score_e6
+FROM s WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9673,6 +9785,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "burstiness_per_type": (q_burstiness_per_type, SQL_BURSTINESS_PER_TYPE),
     "rare_token_docs": (q_rare_token_docs, SQL_RARE_TOKEN_DOCS),
     "repeat_interval": (q_repeat_interval, SQL_REPEAT_INTERVAL),
+    "keyword_per_doc": (q_keyword_per_doc, SQL_KEYWORD_PER_DOC),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

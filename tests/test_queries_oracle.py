@@ -1517,3 +1517,36 @@ def test_repeat_interval_lower_median(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     by = dict(zip(got["o_custkey"], got["median_gap_days"]))
     assert by == {1: 10, 2: 5, 4: 0}
+
+
+def test_keyword_per_doc_tfidf_argmax(ray_session, tmp_path):
+    """A term repeated in one doc wins on tf; a corpus-wide term loses on
+    idf; exact score ties break toward the lexicographically smaller term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_KEYWORD_PER_DOC, q_keyword_per_doc
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "common zebra zebra",   # zebra tf=2, df=1 → clear winner
+                    "common quux",          # quux df=1 beats common df=3
+                    "bbb aaa",              # same tf=1, df=1 → tie → 'aaa'
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_keyword_per_doc(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_KEYWORD_PER_DOC).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = dict(zip(got["doc_id"], got["term"]))
+    assert by == {1: "zebra", 2: "quux", 3: "aaa"}
