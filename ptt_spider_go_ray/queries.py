@@ -9663,6 +9663,218 @@ FROM s WHERE rk = 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: blocklist filtering — per-document hit count against a fixed term
+# blocklist plus the keep/drop verdict (the content-safety gate every
+# training-data pipeline runs before mixing). The list ships inside the
+# closure (a real deployment would ray.put a large one); counting is one
+# vectorized isin over the exploded token stream per batch — streaming,
+# no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("dup", "spark", "shard")  # demo terms present in the corpus
+
+
+def q_blocklist_hits(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    blocked = frozenset(_BLOCKLIST)
+
+    def hits(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        pos = np.repeat(np.arange(len(df)), lens)  # batch-positional index
+        terms = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        hit = pd.Series(terms).isin(blocked).to_numpy()
+        n_hits = np.bincount(pos[hit], minlength=len(df)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_hits": pa.array(n_hits),
+                "keep": pa.array(n_hits == 0),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pandas")
+
+
+SQL_BLOCKLIST_HITS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+           AS term
+  FROM documents),
+h AS (SELECT doc_id, count(*) AS n_hits FROM tok
+      WHERE term IN {_BLOCKLIST!r} GROUP BY 1)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       h.n_hits IS NULL AS keep
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: RFM segmentation — each customer's (recency, frequency, monetary)
+# quartile cell, counted per cell. Quartiles are THRESHOLD-based exact rank
+# bands (value at rank ⌈q·n⌉, the length_filter integer-rank rule) rather
+# than NTILE, so ties land deterministically on both engines. Plan: one
+# per-customer aggregate (combiner + groupby: last order day, order count,
+# cents sum), three O(distinct-values) frequency maps folded on the driver
+# for the nine thresholds, then a vectorized cell assignment + tiny count.
+# ---------------------------------------------------------------------------
+
+
+def _rank_thresholds(vals: np.ndarray, counts: np.ndarray) -> tuple:
+    """(q25, q50, q75) band thresholds: value at cumulative rank ⌈q·n⌉."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for num in (25, 50, 75):
+        r = (n * num + 99) // 100
+        out.append(int(vals[np.searchsorted(cum, r, side="left")]))
+    return tuple(out)
+
+
+def q_rfm_cells(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "day": pa.array(
+                    t["o_orderdate"]
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    // _DAY_US
+                ),
+                "cents": pa.array(
+                    np.rint(
+                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(per_order, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="last_day"),
+            Count(alias_name="n_orders"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()  # three frequency scans + the assignment pass below
+    )
+
+    def freq_of(col: str) -> tuple:
+        acc: dict[int, int] = {}
+        for r in per_cust.map_batches(
+            lambda t, c=col: _arrow_out(
+                pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False), "n": 1})
+                .groupby(c, as_index=False)
+                .sum()
+                .astype({"n": "int64"})
+            ),
+            batch_format="pyarrow",
+        ).take_all():
+            acc[int(r[col])] = acc.get(int(r[col]), 0) + int(r["n"])
+        ks = np.array(sorted(acc), np.int64)
+        return _rank_thresholds(ks, np.array([acc[k] for k in ks], np.int64))
+
+    thr = {c: freq_of(c) for c in ("last_day", "n_orders", "cents")}
+
+    def assign(t: pa.Table) -> pa.Table:
+        def band(col):
+            v = t[col].to_numpy(zero_copy_only=False)
+            a, b, c = thr[col]
+            return (
+                1 + (v > a).astype(np.int64) + (v > b) + (v > c)
+            ).astype(np.int64)
+
+        df = pd.DataFrame(
+            {"r": band("last_day"), "f": band("n_orders"), "m": band("cents")}
+        )
+        df["n_customers"] = np.int64(1)
+        out = df.groupby(["r", "f", "m"], as_index=False).sum()
+        return _arrow_out(out.astype({"n_customers": "int64"}))
+
+    acc: dict[tuple, int] = {}
+    for row in per_cust.map_batches(assign, batch_format="pyarrow").take_all():
+        k = (int(row["r"]), int(row["f"]), int(row["m"]))
+        acc[k] = acc.get(k, 0) + int(row["n_customers"])
+    ks = sorted(acc)
+    return pd.DataFrame(
+        {
+            "r": np.array([k[0] for k in ks], np.int64),
+            "f": np.array([k[1] for k in ks], np.int64),
+            "m": np.array([k[2] for k in ks], np.int64),
+            "n_customers": np.array([acc[k] for k in ks], np.int64),
+        }
+    )
+
+
+SQL_RFM_CELLS = """
+WITH pc AS (
+  SELECT o_custkey,
+         max(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)) AS last_day,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+n AS (SELECT count(*) AS n FROM pc),
+t AS (
+  SELECT
+    (SELECT min(x.last_day) FROM
+       (SELECT last_day, sum(count(*)) OVER (ORDER BY last_day) AS cum
+        FROM pc GROUP BY last_day) x, n
+     WHERE x.cum >= (n.n*25 + 99) // 100) AS r1,
+    (SELECT min(x.last_day) FROM
+       (SELECT last_day, sum(count(*)) OVER (ORDER BY last_day) AS cum
+        FROM pc GROUP BY last_day) x, n
+     WHERE x.cum >= (n.n*50 + 99) // 100) AS r2,
+    (SELECT min(x.last_day) FROM
+       (SELECT last_day, sum(count(*)) OVER (ORDER BY last_day) AS cum
+        FROM pc GROUP BY last_day) x, n
+     WHERE x.cum >= (n.n*75 + 99) // 100) AS r3,
+    (SELECT min(x.n_orders) FROM
+       (SELECT n_orders, sum(count(*)) OVER (ORDER BY n_orders) AS cum
+        FROM pc GROUP BY n_orders) x, n
+     WHERE x.cum >= (n.n*25 + 99) // 100) AS f1,
+    (SELECT min(x.n_orders) FROM
+       (SELECT n_orders, sum(count(*)) OVER (ORDER BY n_orders) AS cum
+        FROM pc GROUP BY n_orders) x, n
+     WHERE x.cum >= (n.n*50 + 99) // 100) AS f2,
+    (SELECT min(x.n_orders) FROM
+       (SELECT n_orders, sum(count(*)) OVER (ORDER BY n_orders) AS cum
+        FROM pc GROUP BY n_orders) x, n
+     WHERE x.cum >= (n.n*75 + 99) // 100) AS f3,
+    (SELECT min(x.cents) FROM
+       (SELECT cents, sum(count(*)) OVER (ORDER BY cents) AS cum
+        FROM pc GROUP BY cents) x, n
+     WHERE x.cum >= (n.n*25 + 99) // 100) AS m1,
+    (SELECT min(x.cents) FROM
+       (SELECT cents, sum(count(*)) OVER (ORDER BY cents) AS cum
+        FROM pc GROUP BY cents) x, n
+     WHERE x.cum >= (n.n*50 + 99) // 100) AS m2,
+    (SELECT min(x.cents) FROM
+       (SELECT cents, sum(count(*)) OVER (ORDER BY cents) AS cum
+        FROM pc GROUP BY cents) x, n
+     WHERE x.cum >= (n.n*75 + 99) // 100) AS m3
+)
+SELECT
+  CAST(1 + CAST(last_day > r1 AS INTEGER) + CAST(last_day > r2 AS INTEGER)
+         + CAST(last_day > r3 AS INTEGER) AS BIGINT) AS r,
+  CAST(1 + CAST(n_orders > f1 AS INTEGER) + CAST(n_orders > f2 AS INTEGER)
+         + CAST(n_orders > f3 AS INTEGER) AS BIGINT) AS f,
+  CAST(1 + CAST(cents > m1 AS INTEGER) + CAST(cents > m2 AS INTEGER)
+         + CAST(cents > m3 AS INTEGER) AS BIGINT) AS m,
+  count(*) AS n_customers
+FROM pc, t GROUP BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9786,6 +9998,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "rare_token_docs": (q_rare_token_docs, SQL_RARE_TOKEN_DOCS),
     "repeat_interval": (q_repeat_interval, SQL_REPEAT_INTERVAL),
     "keyword_per_doc": (q_keyword_per_doc, SQL_KEYWORD_PER_DOC),
+    "blocklist_hits": (q_blocklist_hits, SQL_BLOCKLIST_HITS),
+    "rfm_cells": (q_rfm_cells, SQL_RFM_CELLS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -1550,3 +1550,66 @@ def test_keyword_per_doc_tfidf_argmax(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     by = dict(zip(got["doc_id"], got["term"]))
     assert by == {1: "zebra", 2: "quux", 3: "aaa"}
+
+
+def test_blocklist_hits_counts_occurrences(ray_session, tmp_path):
+    """Every OCCURRENCE counts (not distinct terms); clean and empty docs
+    keep=true with 0 hits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_BLOCKLIST_HITS, q_blocklist_hits
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["dup dup spark ok", "totally clean text", ""], pa.string()
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = canon(to_pandas(q_blocklist_hits(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_BLOCKLIST_HITS).df())
+    pd.testing.assert_frame_equal(got, want)
+    by = {r.doc_id: (r.n_hits, r.keep) for r in got.itertuples()}
+    assert by == {1: (3, False), 2: (0, True), 3: (0, True)}
+
+
+def test_rfm_cells_threshold_boundaries(ray_session, tmp_path):
+    """A value exactly AT a band threshold stays in the lower band (strict >
+    promotion); 4 customers with strictly increasing R/F/M land on the
+    diagonal cells (1,1,1)..(4,4,4)."""
+    import pandas as _pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_RFM_CELLS, q_rfm_cells
+
+    base = _pd.Timestamp("2024-01-01")
+    rows = []
+    # cust k: k orders, each 10^k dollars, last day = k
+    for k in range(1, 5):
+        for i in range(k):
+            rows.append((k, base + _pd.Timedelta(days=k), float(10 ** k)))
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = canon(to_pandas(q_rfm_cells(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = canon(con.sql(SQL_RFM_CELLS).df())
+    pd.testing.assert_frame_equal(got, want)
+    cells = {(r.r, r.f, r.m): r.n_customers for r in got.itertuples()}
+    assert cells == {(k, k, k): 1 for k in range(1, 5)}
