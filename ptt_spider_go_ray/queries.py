@@ -9875,6 +9875,119 @@ FROM pc, t GROUP BY 1, 2, 3
 """
 
 # ---------------------------------------------------------------------------
+# Q: corpus build v2 — the full pre-training intake chain as ONE oracled
+# pipeline: stream-filter (blocklist hits = 0 AND n_chars inside the exact
+# [p5, p95] rank band) → normalization-aware exact dedup (min doc_id per
+# casefold/whitespace-collapsed fingerprint) → per-survivor token count +
+# 256-token chunk plan. Everything before the single fp-groupby is a
+# streaming map (one text scan computes fp, hits and tokens together); the
+# survivor row's token count rides THROUGH the groupby packed into one
+# int64 (doc_id·2²¹ + n_tokens — min over the packed key is (min doc_id,
+# its tokens), the dedup_keep_best trick), so there is no join-back.
+# ---------------------------------------------------------------------------
+
+_CB2_PACK = 1 << 21  # n_tokens < 2^21 per doc (asserted)
+_CB2_CHUNK = 256
+
+
+def q_corpus_build_v2(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    # pass 0: exact p5/p95 length band (value-frequency native groupby —
+    # bounded by distinct LENGTHS — one driver cumsum; length_filter rule)
+    freq = (
+        ds.groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
+    ).sort_values("n_chars")
+    vals = freq["n_chars"].to_numpy()
+    cum = np.cumsum(freq["c"].to_numpy())
+    n = int(cum[-1])
+    lo = int(vals[np.searchsorted(cum, (n * 5 + 99) // 100, side="left")])
+    hi = int(vals[np.searchsorted(cum, (n * 95 + 99) // 100, side="left")])
+
+    blocked = frozenset(_BLOCKLIST)
+    ws = _re_mod.compile(r"\s+")
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        keep_len = (df["n_chars"] >= lo) & (df["n_chars"] <= hi)
+        df = df[keep_len]
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        pos = np.repeat(np.arange(len(df)), lens)
+        terms = (
+            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+        )
+        hit = pd.Series(terms).isin(blocked).to_numpy()
+        hits = np.bincount(pos[hit], minlength=len(df))
+        df = df[hits == 0]
+        lens = lens[hits == 0]
+        if lens.size and int(lens.max()) >= _CB2_PACK:
+            raise ValueError("n_tokens exceeds the 2^21 packing budget")
+        fps = _md5_col(
+            [ws.sub(" ", (t or "").lower()).strip() for t in df["text"]]
+        )
+        packed = df["doc_id"].to_numpy(np.int64) * _CB2_PACK + lens
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "packed": pa.array(packed),
+            }
+        )
+
+    surv = (
+        ds.map_batches(scan, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        nt = p % _CB2_PACK
+        return pa.table(
+            {
+                "doc_id": pa.array(p // _CB2_PACK),
+                "n_tokens": pa.array(nt),
+                "n_chunks": pa.array(-(-nt // _CB2_CHUNK)),
+            }
+        )
+
+    return surv.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_CORPUS_BUILD_V2 = rf"""
+WITH th AS (
+  SELECT
+    (SELECT min(n_chars) FROM
+       (SELECT n_chars, sum(count(*)) OVER (ORDER BY n_chars) AS cum
+        FROM documents GROUP BY n_chars) x,
+       (SELECT count(*) AS n FROM documents) n
+     WHERE cum >= (n.n*5 + 99) // 100) AS lo,
+    (SELECT min(n_chars) FROM
+       (SELECT n_chars, sum(count(*)) OVER (ORDER BY n_chars) AS cum
+        FROM documents GROUP BY n_chars) x,
+       (SELECT count(*) AS n FROM documents) n
+     WHERE cum >= (n.n*95 + 99) // 100) AS hi),
+kept AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(COALESCE(text,'')), '\s+', ' ', 'g')))
+           AS fp,
+         len(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+'))
+           AS n_tokens
+  FROM documents, th
+  WHERE n_chars BETWEEN th.lo AND th.hi
+    AND len(list_filter(
+          regexp_extract_all(lower(COALESCE(text,'')), '[a-z]+'),
+          x -> x IN {_BLOCKLIST!r})) = 0),
+s AS (SELECT fp, min(doc_id * {_CB2_PACK} + n_tokens) AS packed
+      FROM kept GROUP BY fp)
+SELECT CAST(packed // {_CB2_PACK} AS BIGINT) AS doc_id,
+       CAST(packed % {_CB2_PACK} AS BIGINT) AS n_tokens,
+       CAST((packed % {_CB2_PACK} + {_CB2_CHUNK} - 1) // {_CB2_CHUNK}
+            AS BIGINT) AS n_chunks
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10000,6 +10113,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "keyword_per_doc": (q_keyword_per_doc, SQL_KEYWORD_PER_DOC),
     "blocklist_hits": (q_blocklist_hits, SQL_BLOCKLIST_HITS),
     "rfm_cells": (q_rfm_cells, SQL_RFM_CELLS),
+    "corpus_build_v2": (q_corpus_build_v2, SQL_CORPUS_BUILD_V2),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
