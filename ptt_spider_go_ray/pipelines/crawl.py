@@ -450,9 +450,14 @@ def run_crawl(
             # Robots gating already happened at offer time (driver cache), so
             # both fetch paths honor cc.robots.
             import functools
-            import pickle
 
-            factory_bytes = pickle.dumps(transport_factory)
+            from ray import cloudpickle
+
+            # cloudpickle, NOT stdlib pickle: a factory defined in a script's
+            # __main__ (the CLI's mock_transport) must serialize BY VALUE —
+            # stdlib pickle ships a dangling __main__ reference that fails to
+            # resolve inside Ray workers
+            factory_bytes = cloudpickle.dumps(transport_factory)
             fetched = ds.map_batches(
                 functools.partial(fetch_batch_task, factory_bytes=factory_bytes,
                                   deterministic=deterministic),

@@ -153,12 +153,12 @@ def fetch_batch_task(batch: pa.Table, factory_bytes: bytes,
     """``deterministic=True`` (ordering tests / bench): no real sleeping
     between 429 retries. Non-deterministic runs honor Retry-After/backoff
     pacing exactly like the actor path (crawler/retry.go doWithRetry)."""
-    import pickle
+    from ray import cloudpickle
 
     sleep = (lambda s: None) if deterministic else time.sleep
     transport = _TASK_TRANSPORTS.get(factory_bytes)
     if transport is None:
-        transport = pickle.loads(factory_bytes)()
+        transport = cloudpickle.loads(factory_bytes)()
         _TASK_TRANSPORTS[factory_bytes] = transport
     urls = batch["url"].to_pylist()
     kinds = batch["kind"].to_pylist()

@@ -543,3 +543,25 @@ def test_resume_with_spill_media_and_interval(ray_session, tmp_path):
     assert sorted(docs["doc_id"].to_pylist()) == sorted(full.docs["doc_id"].to_pylist())
     media = pa.concat_tables(t for t in (part.media, rest.media) if t is not None)
     assert sorted(media["url"].to_pylist()) == sorted(full.media["url"].to_pylist())
+
+
+def test_task_fetch_ships_local_factory_by_value(ray_session):
+    """The task-mode fetch path must serialize a transport factory defined
+    in a NON-importable scope (the CLI's __main__ analog) BY VALUE —
+    stdlib pickle shipped a dangling __main__ reference that blew up in
+    workers (regression for the fetch_via='tasks' default)."""
+    spec = SiteSpec(boards={"Beauty": 2}, articles_per_page=2)
+
+    def local_factory():  # deliberately defined inside the test function
+        return make_transport(spec)
+
+    res = run_crawl(
+        cfg_small(),
+        transport_factory=local_factory,
+        board="Beauty",
+        pages=2,
+        fetch_media=False,
+        fetch_via="tasks",
+    )
+    assert res.finished and res.dispatched > 0
+    assert res.metrics["fetch_errors"] == 0
