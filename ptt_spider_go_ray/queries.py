@@ -9988,6 +9988,143 @@ FROM s
 """
 
 # ---------------------------------------------------------------------------
+# Q: two-sample Kolmogorov–Smirnov distance — D = max |F_wd(v) − F_we(v)|
+# between weekday and weekend event-value distributions (the exact
+# distribution-shift test behind every "did the data change" monitor).
+# One combiner pass to per-(side, cents) counts (bounded by the CENTS
+# DOMAIN — the value_histogram assumption), one driver cumsum sweep over
+# the merged support; both engines build each |c1/n1 − c2/n2| from the
+# same exact integers, and max() is order-independent, so D matches
+# bit-for-bit before the e6 rounding.
+# ---------------------------------------------------------------------------
+
+
+def q_ks_weekend(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def side_counts(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        we = (day % 7 >= 5).astype(np.int64)
+        v = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"we": we, "v": v})
+        df["c"] = np.int64(1)
+        df = df.groupby(["we", "v"], as_index=False).sum()
+        return _arrow_out(df.astype({"we": "int64", "v": "int64", "c": "int64"}))
+
+    acc: dict[tuple, int] = {}
+    for r in ds.map_batches(
+        side_counts, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        k = (int(r["we"]), int(r["v"]))
+        acc[k] = acc.get(k, 0) + int(r["c"])
+    support = sorted({v for (_w, v) in acc})
+    n1 = sum(c for (w, _v), c in acc.items() if w == 0)
+    n2 = sum(c for (w, _v), c in acc.items() if w == 1)
+    d = 0.0
+    c1 = c2 = 0
+    for v in support:
+        c1 += acc.get((0, v), 0)
+        c2 += acc.get((1, v), 0)
+        diff = abs(float(c1) / float(n1) - float(c2) / float(n2))
+        if diff > d:
+            d = diff
+    return pd.DataFrame(
+        {
+            "n_weekday": np.array([n1], np.int64),
+            "n_weekend": np.array([n2], np.int64),
+            "ks_e6": np.array([int(round(d * 1e6))], np.int64),
+        }
+    )
+
+
+SQL_KS_WEEKEND = """
+WITH c AS (SELECT
+             CAST((CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 >= 5)
+                  AS INTEGER) AS we,
+             CAST(round(value*100) AS BIGINT) AS v
+           FROM events),
+n AS (SELECT sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS n2 FROM c),
+g AS (SELECT v, sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS c2
+      FROM c GROUP BY v),
+cum AS (SELECT v,
+          sum(c1) OVER (ORDER BY v) AS a1,
+          sum(c2) OVER (ORDER BY v) AS a2
+        FROM g)
+SELECT CAST(n.n1 AS BIGINT) AS n_weekday, CAST(n.n2 AS BIGINT) AS n_weekend,
+  CAST(round(max(abs(CAST(a1 AS DOUBLE) / CAST(n.n1 AS DOUBLE)
+                     - CAST(a2 AS DOUBLE) / CAST(n.n2 AS DOUBLE)))
+             * 1000000) AS BIGINT) AS ks_e6
+FROM cum, n GROUP BY n.n1, n.n2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Benford first-digit deviation — χ² of the leading digit of
+# o_totalprice against Benford's law (the fraud/synthetic-data forensic
+# scan). Leading digits come from integer cent strings (no float log
+# tricks to reconcile), counts are a 9-cell combiner, and the χ² is nine
+# identical-IEEE terms with expected = n·log10(1+1/d) built from the same
+# rationals on both engines; e6-rounded (entropy-family precedent).
+# ---------------------------------------------------------------------------
+
+
+def q_benford_orders(sf_dir: str):
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit_counts(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        first = np.array(
+            [int(str(c)[0]) for c in cents], np.int64
+        )  # cents ≥ 100 in TPC-H-ish data; str()[0] is the leading digit
+        df = pd.DataFrame({"d": first})
+        df["c"] = np.int64(1)
+        df = df.groupby("d", as_index=False).sum()
+        return _arrow_out(df.astype({"d": "int64", "c": "int64"}))
+
+    acc: dict[int, int] = {}
+    for r in ds.map_batches(
+        digit_counts, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        acc[int(r["d"])] = acc.get(int(r["d"]), 0) + int(r["c"])
+    n = sum(acc.values())
+    chi = 0.0
+    for d in range(1, 10):
+        exp = float(n) * math.log10(1.0 + 1.0 / float(d))
+        obs = float(acc.get(d, 0))
+        chi += (obs - exp) * (obs - exp) / exp
+    return pd.DataFrame(
+        {
+            "n": np.array([n], np.int64),
+            "chi2_e6": np.array([int(round(chi * 1e6))], np.int64),
+        }
+    )
+
+
+SQL_BENFORD_ORDERS = """
+WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT) AS d
+           FROM orders),
+o AS (SELECT d, count(*) AS c FROM c GROUP BY 1),
+n AS (SELECT count(*) AS n FROM c),
+digits AS (SELECT unnest(range(1, 10)) AS d),
+e AS (SELECT digits.d, COALESCE(o.c, 0) AS c,
+             CAST(n.n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digits.d AS DOUBLE))
+               AS exp
+      FROM digits LEFT JOIN o USING (d) CROSS JOIN n)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+  CAST(round(sum((CAST(c AS DOUBLE) - exp) * (CAST(c AS DOUBLE) - exp) / exp)
+             * 1000000) AS BIGINT) AS chi2_e6
+FROM e
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10114,6 +10251,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "blocklist_hits": (q_blocklist_hits, SQL_BLOCKLIST_HITS),
     "rfm_cells": (q_rfm_cells, SQL_RFM_CELLS),
     "corpus_build_v2": (q_corpus_build_v2, SQL_CORPUS_BUILD_V2),
+    "ks_weekend": (q_ks_weekend, SQL_KS_WEEKEND),
+    "benford_orders": (q_benford_orders, SQL_BENFORD_ORDERS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
