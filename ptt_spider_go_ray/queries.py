@@ -10125,6 +10125,78 @@ FROM e
 """
 
 # ---------------------------------------------------------------------------
+# Q: character-entropy quality gate — per-document Shannon entropy of the
+# character distribution (the cheap gibberish/low-diversity filter run
+# before tokenization). Fully vectorized per batch: the UTF-32 codepoint
+# explode (the charlm kernel) keyed by doc-position·2²¹ + codepoint, ONE
+# np.unique for all (doc, char) counts, and a segmented −p·log2 p bincount
+# — zero per-doc Python, zero shuffles. Counts are exact integers; the
+# per-doc float sum spans ≤ alphabet-size terms, e6-rounded on both
+# engines (user_entropy precedent, three-scale-validated).
+# ---------------------------------------------------------------------------
+
+
+def q_char_entropy(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].fillna("")
+        lens = texts.str.len().to_numpy(np.int64)
+        keep = lens > 0  # empty docs have no character distribution
+        texts = texts[keep]
+        lens = lens[keep]
+        ids = df["doc_id"].to_numpy(np.int64)[keep]
+        if not len(ids):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "entropy_e6": pa.array([], pa.int64()),
+                }
+            )
+        cps = np.frombuffer(
+            "".join(texts.tolist()).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        uk, cnt = np.unique(pos * (1 << 21) + cps, return_counts=True)
+        upos = uk >> 21
+        p = cnt.astype(np.float64) / lens[upos].astype(np.float64)
+        ent_per_doc = np.bincount(
+            upos, weights=-p * np.log2(p), minlength=len(ids)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(lens),
+                "entropy_e6": pa.array(
+                    np.array(
+                        [int(round(x * 1e6)) for x in ent_per_doc], np.int64
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pandas")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM (SELECT doc_id, COALESCE(text, '') AS text,
+               unnest(range(1, length(COALESCE(text, '')) + 1)) AS i
+        FROM documents WHERE length(COALESCE(text, '')) > 0)
+),
+c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.doc_id, CAST(n.n AS BIGINT) AS n_chars,
+  CAST(round(sum(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 * log2(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+             * 1000000) AS BIGINT) AS entropy_e6
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id, n.n
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10253,6 +10325,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "corpus_build_v2": (q_corpus_build_v2, SQL_CORPUS_BUILD_V2),
     "ks_weekend": (q_ks_weekend, SQL_KS_WEEKEND),
     "benford_orders": (q_benford_orders, SQL_BENFORD_ORDERS),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
