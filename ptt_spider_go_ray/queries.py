@@ -10197,6 +10197,66 @@ GROUP BY c.doc_id, n.n
 """
 
 # ---------------------------------------------------------------------------
+# Q: dedup-cluster size histogram — the post-dedup audit ("how big do the
+# duplicate groups get") over the SAME oracled chain-graph CC as
+# cc_label_clusters: labeled docs → per-cluster Count (native groupby) →
+# per-batch size-frequency partials → O(distinct sizes) driver fold. The
+# iterative CC operator therefore gets a second, differently-shaped
+# end-to-end oracle (distribution, not assignment).
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_size_hist(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    labeled = q_cc_label_clusters(sf_dir)
+    sizes = labeled.groupby("cluster_id").aggregate(Count(alias_name="sz"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"sz": t["sz"].to_numpy(zero_copy_only=False), "n": 1}
+        ).groupby("sz", as_index=False).sum()
+        return _arrow_out(df.astype({"sz": "int64", "n": "int64"}))
+
+    acc: dict[int, int] = {}
+    for r in sizes.map_batches(
+        hist_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        acc[int(r["sz"])] = acc.get(int(r["sz"]), 0) + int(r["n"])
+    ks = sorted(acc)
+    return pd.DataFrame(
+        {
+            "size": np.array(ks, np.int64),
+            "n_clusters": np.array([acc[k] for k in ks], np.int64),
+        }
+    )
+
+
+SQL_CLUSTER_SIZE_HIST = """
+WITH vals AS (
+  SELECT lang, n_chars, min(doc_id) AS rep FROM documents GROUP BY lang, n_chars
+),
+isl AS (
+  SELECT lang, n_chars, rep,
+         n_chars - CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars)
+                        AS BIGINT) AS grp
+  FROM vals
+),
+comp AS (
+  SELECT lang, n_chars,
+         CAST(min(rep) OVER (PARTITION BY lang, grp) AS BIGINT) AS cluster_id
+  FROM isl
+),
+lab AS (
+  SELECT d.doc_id, c.cluster_id
+  FROM documents d JOIN comp c ON d.lang = c.lang AND d.n_chars = c.n_chars
+),
+s AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS size, count(*) AS n_clusters
+FROM s GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10326,6 +10386,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "ks_weekend": (q_ks_weekend, SQL_KS_WEEKEND),
     "benford_orders": (q_benford_orders, SQL_BENFORD_ORDERS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
