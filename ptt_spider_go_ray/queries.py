@@ -10257,6 +10257,399 @@ FROM s GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: BM25 ranked retrieval — score every document against a fixed query term
+# set and return the global top-10. Pass 1 is ONE streaming scan emitting
+# O(|Q|+1) scalar partials per batch (df over the query terms only, plus
+# token/doc totals for avgdl), folded on the driver — no vocabulary shuffle
+# (the full-vocab path is q_tfidf_top_terms). Pass 2 broadcasts the tiny
+# {term: idf} map + avgdl and scores per batch with a per-block partial
+# top-k; the driver merges ≤ blocks·k candidate rows. Per-term contributions
+# are quantized to integer 1e-6 units BEFORE summing so both engines add
+# exact integers (a float sum over terms is addition-order-sensitive).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "scan", "zzzunseen")  # last term: df=0 guard
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def q_bm25_topk(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata — no scan
+    qterms = list(_BM25_TERMS)
+
+    def _tok(df: pd.DataFrame):
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.array(t, dtype=object) for t in toks])
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        return lens, flat
+
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        lens, flat = _tok(df)
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        # df over the query terms only: distinct (doc, term) membership
+        dfs = []
+        for t in qterms:
+            hit = flat == t
+            dfs.append(int(len(np.unique(doc_ids[hit]))) if hit.any() else 0)
+        return pa.table(
+            {
+                "term": pa.array(qterms + ["\x00tok"], pa.string()),
+                "v": pa.array(dfs + [int(lens.sum())], pa.int64()),
+            }
+        )
+
+    folded: dict[str, int] = {t: 0 for t in qterms}
+    folded["\x00tok"] = 0
+    for r in ds.map_batches(
+        stats_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        folded[r["term"]] += int(r["v"])
+
+    avgdl = folded["\x00tok"] / n_docs  # int/int true division ≡ SQL DOUBLE cast
+    idf = {
+        t: np.log(1 + ((n_docs - folded[t]) + 0.5) / (folded[t] + 0.5))
+        for t in qterms
+    }
+    ctx_ref = ray.put((idf, avgdl))
+
+    def score(df: pd.DataFrame, ctx=ctx_ref) -> pa.Table:
+        idf_m, avg = ray.get(ctx) if isinstance(ctx, ray.ObjectRef) else ctx
+        lens, flat = _tok(df)
+        ids = df["doc_id"].to_numpy(np.int64)
+        doc_pos = np.repeat(np.arange(len(lens)), lens)
+        score_e6 = np.zeros(len(lens), np.int64)
+        hit_any = np.zeros(len(lens), bool)
+        dl = lens.astype(np.float64)
+        for t, t_idf in idf_m.items():
+            hit = flat == t
+            if not hit.any():
+                continue
+            tf = np.bincount(doc_pos[hit], minlength=len(lens)).astype(np.float64)
+            m = tf > 0
+            # expression mirrored term-for-term vs the SQL oracle
+            contrib = (
+                t_idf
+                * (tf[m] * (_BM25_K1 + 1))
+                / (tf[m] + _BM25_K1 * (0.25 + _BM25_B * (dl[m] / avg)))
+            )
+            score_e6[m] += np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+            hit_any |= m
+        m = hit_any
+        out = pd.DataFrame({"doc_id": ids[m], "score_e6": score_e6[m]})
+        out = out.sort_values(
+            ["score_e6", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(_BM25_TOPK)
+        return _arrow_out(out.astype({"doc_id": "int64", "score_e6": "int64"}))
+
+    cand = ds.map_batches(
+        score, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all()
+    top = pd.DataFrame(cand, columns=["doc_id", "score_e6"]).sort_values(
+        ["score_e6", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(_BM25_TOPK)
+    return top.reset_index(drop=True).astype({"doc_id": "int64", "score_e6": "int64"})
+
+
+SQL_BM25_TOPK = f"""
+WITH q(term) AS (VALUES {", ".join("('" + t + "')" for t in _BM25_TERMS)}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         CAST((SELECT count(*) FROM toks) AS DOUBLE)
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfq AS (
+  SELECT q.term, count(DISTINCT toks.doc_id) AS df
+  FROM q LEFT JOIN toks ON toks.term = q.term GROUP BY q.term
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN q USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + ((stats.n - dfq.df) + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (0.25 + {_BM25_B} * (dl.dl / stats.avgdl)))
+           * 1e6 + 0.5) AS BIGINT) AS contrib_e6
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+FROM scored GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: forward-fill imputation (LOCF) — the classic sparse-sensor gap fill:
+# a column observed only on every 5th event is carried forward per user in
+# (ts, event_id) order. Bucket-parallel: each user's rows co-locate in one
+# bucket, one C-speed pandas groupby-ffill per bucket — no per-user Python,
+# no full sort. Leading unobserved rows are -1-filled on both engines (an
+# engine NaN vs SQL NULL would be hash-ambiguous).
+# ---------------------------------------------------------------------------
+
+
+def q_ffill_locf(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        obs = g["value"].where((g["event_id"].to_numpy(np.int64) % 5) == 0)
+        filled = obs.groupby(g["user_id"].to_numpy(), sort=False).ffill()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "filled": filled.fillna(-1.0).to_numpy(np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill, batch_format="pandas")
+    )
+
+
+SQL_FFILL_LOCF = """
+SELECT event_id, user_id,
+       COALESCE(
+         last_value(CASE WHEN event_id % 5 = 0 THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         -1.0) AS filled
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q: event-type transition counts — first-order Markov transition matrix over
+# per-user event sequences (sequence-model featurization). Bucket-parallel:
+# per-bucket sort + vectorized shift-compare builds (from, to) pairs with no
+# per-user Python; per-bucket pair counts are partials merged by ONE tiny
+# groupby Sum (≤ |types|² keys).
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        if len(u) < 2:
+            return pa.table(
+                {"from_type": pa.array([], pa.string()),
+                 "to_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = u[1:] == u[:-1]
+        c = (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return _arrow_out(c.astype({"n": "int64"}))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: cohort retention — users bucketed by first-activity day, distinct active
+# users per (cohort_day, day_offset) cell. One user-bucket shuffle: each
+# user's rows co-locate, so per-bucket distinct counts are exact partials and
+# the global merge is a tiny groupby Sum over ≤ days² cells. Day math is
+# int64-µs floor division (≡ DuckDB date_trunc for positive epochs); the
+# cohort key stays int64 through the aggregate and is cast to timestamp[us]
+# at the end (Ray's hash aggregate downcasts timestamp keys).
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = _key_buckets(ds.count())
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
+
+    def cells(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
+        first = pd.Series(day).groupby(u, sort=False).transform("min").to_numpy()
+        cell = (
+            pd.DataFrame({"u": u, "cohort_us": first * _DAY_US, "day_offset": day - first})
+            .drop_duplicates()
+            .groupby(["cohort_us", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return _arrow_out(cell.astype({"cohort_us": "int64", "day_offset": "int64", "n_users": "int64"}))
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas")
+        .groupby(["cohort_us", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": t["cohort_us"].cast(pa.timestamp("us")),
+                "day_offset": t["day_offset"],
+                "n_users": t["n_users"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('day', f.first_ts) AS TIMESTAMP) AS cohort_day,
+         datediff('day', date_trunc('day', f.first_ts),
+                  date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: promo revenue ratio (TPC-H Q14 shape) — conditional-aggregate ratio over
+# a month of lineitem joined to part. The part side is a broadcast promo-key
+# set (O(|part|) ints via ray.put — part is the star schema's small dim);
+# revenue folds as exact integer 1e-4 units in per-batch partials, so the
+# whole query is ONE streaming pass with zero shuffles. The final pct is a
+# single int/int double division mirrored on both engines.
+# ---------------------------------------------------------------------------
+
+_Q14_LO = datetime.datetime(1996, 3, 1)
+_Q14_HI = datetime.datetime(1996, 4, 1)
+
+
+def q_promo_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    promo_keys = np.sort(
+        pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey"],
+            filters=[("p_type", "==", "PROMO")],
+        )["p_partkey"].to_numpy(zero_copy_only=False)
+    )
+    keys_ref = ray.put(promo_keys)
+
+    def partial(t: pa.Table, keys=keys_ref) -> pa.Table:
+        ks = ray.get(keys) if isinstance(keys, ray.ObjectRef) else keys
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(_Q14_LO, pa.timestamp("us"))),
+            pc.less(t["l_shipdate"], pa.scalar(_Q14_HI, pa.timestamp("us"))),
+        )
+        t = t.filter(keep)
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_pct = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        is_promo = np.isin(t["l_partkey"].to_numpy(zero_copy_only=False), ks)
+        return pa.table(
+            {
+                "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    promo = total = 0
+    for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH).take_all():
+        promo += int(r["promo_e4"])
+        total += int(r["total_e4"])
+    return pd.DataFrame(
+        {
+            "promo_e4": np.array([promo], np.int64),
+            "total_e4": np.array([total], np.int64),
+            "promo_pct": np.array([100.0 * (promo / total)], np.float64),
+        }
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH li AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+           AS promo_e4,
+         CAST(sum(rev) AS BIGINT) AS total_e4
+  FROM li
+)
+SELECT promo_e4, total_e4, 100.0 * (promo_e4 / total_e4) AS promo_pct FROM s
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10387,6 +10780,11 @@ SQL_QUERIES: dict[str, tuple] = {
     "benford_orders": (q_benford_orders, SQL_BENFORD_ORDERS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "ffill_locf": (q_ffill_locf, SQL_FFILL_LOCF),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -3,6 +3,7 @@ DuckDB oracle on sf0.001 and compare row count, column names, and
 order-insensitive values (exact equality — stricter than a value hash)."""
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -1613,3 +1614,137 @@ def test_rfm_cells_threshold_boundaries(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     cells = {(r.r, r.f, r.m): r.n_customers for r in got.itertuples()}
     assert cells == {(k, k, k): 1 for k in range(1, 5)}
+
+
+def test_ffill_locf_leading_and_singletons(ray_session, tmp_path):
+    """Rows before a user's first observation are -1-filled; a user whose
+    only event is unobserved stays -1; fills carry exact doubles forward."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_FFILL_LOCF, q_ffill_locf
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts = pa.array(
+        np.array([base + i * 1_000_000 for i in range(6)], "datetime64[us]")
+    )
+    # user 1: ids 1,2,5,10 -> obs at 5 and 10; user 2: id 3 only (never obs)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 5, 10, 3, 4], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "ts": ts,
+                "value": pa.array([9.5, 8.25, 3.125, 7.75, 2.5, 6.0], pa.float64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_ffill_locf(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_FFILL_LOCF, ["events"]))
+    pd.testing.assert_frame_equal(got, want)
+    by_id = {int(r.event_id): r.filled for r in got.itertuples()}
+    assert by_id[1] == -1.0 and by_id[2] == -1.0  # before first obs
+    assert by_id[5] == 3.125 and by_id[10] == 7.75  # obs rows keep own value
+    assert by_id[3] == -1.0 and by_id[4] == -1.0  # user 2 never observed
+
+
+def test_event_transitions_singleton_users(ray_session, tmp_path):
+    """Single-event users emit no transitions; ts ties break on event_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_EVENT_TRANSITIONS,
+        q_event_transitions,
+    )
+
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    same = np.array([t0] * 3 + [t0 + 1_000_000] + [t0] , "datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([2, 1, 3, 4, 9], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(same),
+                "event_type": pa.array(["b", "a", "c", "d", "x"], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_event_transitions(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_EVENT_TRANSITIONS, ["events"]))
+    pd.testing.assert_frame_equal(got, want)
+    # user 1 ordered by (ts, event_id): a(1) b(2) c(3) d(4); user 2 singleton
+    trans = {(r.from_type, r.to_type) for r in got.itertuples()}
+    assert trans == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_cohort_retention_single_day_users(ray_session, tmp_path):
+    """A user active only on their cohort day lands in offset 0 exactly once
+    regardless of how many events they emit that day."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_COHORT_RETENTION,
+        q_cohort_retention,
+    )
+
+    day = 86_400_000_000
+    t0 = pd.Timestamp("2024-03-01").value // 1000
+    us = [t0 + 5, t0 + 99, t0 + day + 7, t0 + 3 * day, t0 + day + 1]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(np.array(us, "datetime64[us]")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_cohort_retention(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_COHORT_RETENTION, ["events"]))
+    pd.testing.assert_frame_equal(got, want)
+    # user 1 cohort 03-01 offsets {0,1,3}; user 2 cohort 03-02 offset {0}
+    offs = {
+        (str(r.cohort_day)[:10], int(r.day_offset)): int(r.n_users)
+        for r in got.itertuples()
+    }
+    assert offs == {
+        ("2024-03-01", 0): 1,
+        ("2024-03-01", 1): 1,
+        ("2024-03-01", 3): 1,
+        ("2024-03-02", 0): 1,
+    }
+
+
+def test_bm25_zero_df_term_and_empty_docs(ray_session, tmp_path):
+    """A query term absent from the corpus contributes nothing; empty/null
+    docs never score; scores rank by quantized integer with doc_id ties."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_BM25_TOPK, q_bm25_topk
+
+    texts = [
+        "hash join hash",          # doc 0: tf(hash)=2, tf(join)=1
+        "scan scan scan scan",     # doc 1
+        None,                      # doc 2: null
+        "",                        # doc 3: empty
+        "nothing relevant here",   # doc 4: no query terms
+        "join scan",               # doc 5
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = canon(to_pandas(q_bm25_topk(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_BM25_TOPK, ["documents"]))
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["doc_id"]) == {0, 1, 5}  # only docs containing query terms
