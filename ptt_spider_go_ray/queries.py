@@ -10650,6 +10650,225 @@ SELECT promo_e4, total_e4, 100.0 * (promo_e4 / total_e4) AS promo_pct FROM s
 """
 
 # ---------------------------------------------------------------------------
+# Q: PageRank top-k — iterative fixed-point ranking over the bipartite
+# order↔part graph (node 2·orderkey / 2·partkey+1), 3 unrolled iterations in
+# EXACT integer arithmetic: ranks live in 1e-9 units, per-edge contribution
+# is pr//deg (floor div), damping is (17·Σ)//20 — no float ever enters, so
+# the engine is bit-identical to the SQL oracle regardless of summation
+# order. Edges stay a distributed Dataset (materialized once, reused per
+# round); each iteration is one combiner + groupby Sum over edges; the
+# rank/deg maps are driver-held O(nodes) (the CC-style documented broadcast
+# bound — nodes ≪ edges for catalog graphs; the bucket-join fallback pattern
+# from connected_components applies past it).
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000  # r0 = 1.0 in 1e-9 units
+_PR_BASE = 150_000_000     # 0.15 · scale
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def q_pagerank_topk(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pairs = pd.DataFrame({"o": o, "p": p}).drop_duplicates()
+        src = np.concatenate([2 * pairs["o"].to_numpy(np.int64),
+                              2 * pairs["p"].to_numpy(np.int64) + 1])
+        dst = np.concatenate([2 * pairs["p"].to_numpy(np.int64) + 1,
+                              2 * pairs["o"].to_numpy(np.int64)])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    # distinct directed edges (one shuffle), kept distributed for the rounds
+    from ray.data.aggregate import Count
+
+    edges = (
+        li.map_batches(edge_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["src", "dst"])
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        nodes, counts = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                         "deg": pa.array(counts.astype(np.int64))})
+
+    deg_acc: dict[int, int] = {}
+    for r in edges.map_batches(
+        deg_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).take_all():
+        deg_acc[int(r["node"])] = deg_acc.get(int(r["node"]), 0) + int(r["deg"])
+
+    nodes = np.array(sorted(deg_acc), np.int64)
+    deg = np.array([deg_acc[n] for n in nodes], np.int64)
+    pr = np.full(len(nodes), _PR_SCALE, np.int64)
+
+    for _ in range(_PR_ITERS):
+        contrib_ref = ray.put((nodes, pr // deg))
+
+        def send(t: pa.Table, ctx=contrib_ref) -> pa.Table:
+            ns, c = ray.get(ctx) if isinstance(ctx, ray.ObjectRef) else ctx
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            g = (
+                pd.DataFrame({"dst": dst, "s": c[np.searchsorted(ns, src)]})
+                .groupby("dst", as_index=False)
+                .sum()
+            )
+            return _arrow_out(g.astype({"dst": "int64", "s": "int64"}))
+
+        s_acc: dict[int, int] = {}
+        for r in edges.map_batches(
+            send, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        ).take_all():
+            s_acc[int(r["dst"])] = s_acc.get(int(r["dst"]), 0) + int(r["s"])
+        # every node has in-edges (edges are symmetric), but guard anyway
+        sums = np.array([s_acc.get(int(n), 0) for n in nodes], object)
+        pr = np.array(
+            [_PR_BASE + (17 * int(s)) // 20 for s in sums], np.int64
+        )
+
+    top = pd.DataFrame({"node": nodes, "pr": pr}).sort_values(
+        ["pr", "node"], ascending=[False, True], kind="mergesort"
+    ).head(_PR_TOPK)
+    return top.reset_index(drop=True).astype({"node": "int64", "pr": "int64"})
+
+
+SQL_PAGERANK_TOPK = f"""
+WITH pairs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT 2 * o AS src, 2 * p + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * p + 1 AS src, 2 * o AS dst FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST({_PR_BASE} + (17 * sum(r.pr // d.deg)) // 20 AS BIGINT) AS pr
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST({_PR_BASE} + (17 * sum(r.pr // d.deg)) // 20 AS BIGINT) AS pr
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST({_PR_BASE} + (17 * sum(r.pr // d.deg)) // 20 AS BIGINT) AS pr
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+)
+SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT {_PR_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: train/test decontamination — the LLM-corpus hygiene pass: flag corpus
+# documents sharing any word trigram with a held-out benchmark source
+# ('src19'), reporting the count of DISTINCT shared trigrams per doc. The
+# benchmark side is tiny by construction (one source partition), so its
+# distinct-trigram set is built by streaming per-batch partials and
+# broadcast once (ray.put); the corpus side then streams in ONE pass with a
+# C-speed hash-set membership per batch — zero shuffles end to end.
+# ---------------------------------------------------------------------------
+
+_DECON_BENCH_SOURCE = "src19"
+
+
+def _doc_trigrams(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc_id, trigram) pairs per batch, vectorized: explode
+    tokens with doc boundaries, concatenate shifted views, mask trigrams
+    that cross documents."""
+    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+    lens = toks.str.len().to_numpy(np.int64)
+    if lens.sum() == 0:
+        return np.array([], np.int64), np.array([], object)
+    flat = np.concatenate([np.array(t, dtype=object) for t in toks])
+    doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+    if len(flat) < 3:
+        return np.array([], np.int64), np.array([], object)
+    valid = doc_ids[:-2] == doc_ids[2:]
+    tri = flat[:-2][valid] + " " + flat[1:-1][valid] + " " + flat[2:][valid]
+    pairs = pd.DataFrame(
+        {"doc_id": doc_ids[:-2][valid], "g": tri}
+    ).drop_duplicates()
+    return pairs["doc_id"].to_numpy(np.int64), pairs["g"].to_numpy(object)
+
+
+def q_decontaminate(sf_dir: str):
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def bench_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[df["source"] == _DECON_BENCH_SOURCE]
+        _, tri = _doc_trigrams(df)
+        return pa.table({"g": pa.array(np.unique(tri).astype(str))})
+
+    bench: set = set()
+    for r in ds.map_batches(
+        bench_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).take_all():
+        bench.add(r["g"])
+    bench_ref = ray.put(bench)
+
+    def hits(df: pd.DataFrame, ctx=bench_ref) -> pa.Table:
+        b = ray.get(ctx) if isinstance(ctx, ray.ObjectRef) else ctx
+        df = df[df["source"] != _DECON_BENCH_SOURCE]
+        doc_ids, tri = _doc_trigrams(df)
+        if not len(tri):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        shared = pd.Series(tri).isin(b).to_numpy()
+        g = (
+            pd.DataFrame({"doc_id": doc_ids[shared]})
+            .groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+        return _arrow_out(g.astype({"doc_id": "int64", "n_shared": "int64"}))
+
+    return ds.map_batches(hits, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS t,
+         unnest(range(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))))
+           AS pos
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, source,
+         t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bench AS (
+  SELECT DISTINCT g FROM tri
+  WHERE source = '{_DECON_BENCH_SOURCE}' AND g IS NOT NULL
+),
+corp AS (
+  SELECT DISTINCT doc_id, g FROM tri
+  WHERE source <> '{_DECON_BENCH_SOURCE}' AND g IS NOT NULL
+)
+SELECT doc_id, count(*) AS n_shared
+FROM corp JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10785,6 +11004,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "pagerank_topk": (q_pagerank_topk, SQL_PAGERANK_TOPK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

@@ -1748,3 +1748,72 @@ def test_bm25_zero_df_term_and_empty_docs(ray_session, tmp_path):
     want = canon(_duck_on(tmp_path, SQL_BM25_TOPK, ["documents"]))
     pd.testing.assert_frame_equal(got, want)
     assert set(got["doc_id"]) == {0, 1, 5}  # only docs containing query terms
+
+
+def test_pagerank_star_graph(ray_session, tmp_path):
+    """Star graph (one part in every order): the hub part must out-rank every
+    order node, integer ranks bit-equal to the unrolled SQL iterations, and
+    duplicate (order, part) lineitem rows must collapse to one edge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_PAGERANK_TOPK, q_pagerank_topk
+
+    # orders 1..6 all contain part 0; order 1 repeats it on 3 lines
+    ok = [1, 1, 1, 2, 3, 4, 5, 6]
+    pk = [0] * len(ok)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = canon(to_pandas(q_pagerank_topk(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_PAGERANK_TOPK, ["lineitem"]))
+    pd.testing.assert_frame_equal(got, want)
+    ranks = {int(r.node): int(r.pr) for r in got.itertuples()}
+    hub = ranks[2 * 0 + 1]
+    assert all(hub > v for n, v in ranks.items() if n != 1)
+    # all six order nodes are symmetric -> identical rank
+    assert len({v for n, v in ranks.items() if n != 1}) == 1
+
+
+def test_decontaminate_short_docs_and_exact_counts(ray_session, tmp_path):
+    """Docs under 3 tokens can never be contaminated; the shared count is
+    DISTINCT trigrams (a repeated shared trigram counts once); clean docs
+    are absent from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_DECONTAMINATE,
+        q_decontaminate,
+        _DECON_BENCH_SOURCE,
+    )
+
+    texts = [
+        "the quick brown fox jumps",            # bench doc
+        "quick brown",                          # doc 1: too short
+        "the quick brown dog",                  # doc 2: shares 'the quick brown'
+        "quick brown fox quick brown fox pad",  # doc 3: 'quick brown fox' x2 -> 1
+        "totally unrelated text here",          # doc 4: clean
+    ]
+    srcs = [_DECON_BENCH_SOURCE, "srcA", "srcA", "srcB", "srcB"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(5)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = canon(to_pandas(q_decontaminate(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_DECONTAMINATE, ["documents"]))
+    pd.testing.assert_frame_equal(got, want)
+    hits = {int(r.doc_id): int(r.n_shared) for r in got.itertuples()}
+    assert hits == {2: 1, 3: 1}
