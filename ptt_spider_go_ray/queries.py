@@ -10441,134 +10441,6 @@ FROM events
 """
 
 # ---------------------------------------------------------------------------
-# Q: event-type transition counts — first-order Markov transition matrix over
-# per-user event sequences (sequence-model featurization). Bucket-parallel:
-# per-bucket sort + vectorized shift-compare builds (from, to) pairs with no
-# per-user Python; per-bucket pair counts are partials merged by ONE tiny
-# groupby Sum (≤ |types|² keys).
-# ---------------------------------------------------------------------------
-
-
-def q_event_transitions(sf_dir: str):
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
-    n_buckets = _key_buckets(ds.count())
-
-    def tag(t: pa.Table) -> pa.Table:
-        keys = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
-
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        u = g["user_id"].to_numpy(np.int64)
-        et = g["event_type"].to_numpy(object)
-        if len(u) < 2:
-            return pa.table(
-                {"from_type": pa.array([], pa.string()),
-                 "to_type": pa.array([], pa.string()),
-                 "n": pa.array([], pa.int64())}
-            )
-        same = u[1:] == u[:-1]
-        c = (
-            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
-            .groupby(["from_type", "to_type"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        return _arrow_out(c.astype({"n": "int64"}))
-
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["from_type", "to_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
-    )
-
-
-SQL_EVENT_TRANSITIONS = """
-WITH s AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS next_type
-  FROM events
-)
-SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
-FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
-"""
-
-# ---------------------------------------------------------------------------
-# Q: cohort retention — users bucketed by first-activity day, distinct active
-# users per (cohort_day, day_offset) cell. One user-bucket shuffle: each
-# user's rows co-locate, so per-bucket distinct counts are exact partials and
-# the global merge is a tiny groupby Sum over ≤ days² cells. Day math is
-# int64-µs floor division (≡ DuckDB date_trunc for positive epochs); the
-# cohort key stays int64 through the aggregate and is cast to timestamp[us]
-# at the end (Ray's hash aggregate downcasts timestamp keys).
-# ---------------------------------------------------------------------------
-
-_DAY_US = 86_400_000_000
-
-
-def q_cohort_retention(sf_dir: str):
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    n_buckets = _key_buckets(ds.count())
-
-    def tag(t: pa.Table) -> pa.Table:
-        keys = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
-
-    def cells(g: pd.DataFrame) -> pa.Table:
-        u = g["user_id"].to_numpy(np.int64)
-        day = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // _DAY_US
-        first = pd.Series(day).groupby(u, sort=False).transform("min").to_numpy()
-        cell = (
-            pd.DataFrame({"u": u, "cohort_us": first * _DAY_US, "day_offset": day - first})
-            .drop_duplicates()
-            .groupby(["cohort_us", "day_offset"], sort=False)
-            .size()
-            .reset_index(name="n_users")
-        )
-        return _arrow_out(cell.astype({"cohort_us": "int64", "day_offset": "int64", "n_users": "int64"}))
-
-    agg = (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(cells, batch_format="pandas")
-        .groupby(["cohort_us", "day_offset"])
-        .aggregate(Sum("n_users", alias_name="n_users"))
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "cohort_day": t["cohort_us"].cast(pa.timestamp("us")),
-                "day_offset": t["day_offset"],
-                "n_users": t["n_users"],
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
-
-
-SQL_COHORT_RETENTION = """
-WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
-a AS (
-  SELECT DISTINCT e.user_id,
-         CAST(date_trunc('day', f.first_ts) AS TIMESTAMP) AS cohort_day,
-         datediff('day', date_trunc('day', f.first_ts),
-                  date_trunc('day', e.ts)) AS day_offset
-  FROM events e JOIN f USING (user_id)
-)
-SELECT cohort_day, day_offset, count(*) AS n_users
-FROM a GROUP BY 1, 2
-"""
-
-# ---------------------------------------------------------------------------
 # Q: promo revenue ratio (TPC-H Q14 shape) — conditional-aggregate ratio over
 # a month of lineitem joined to part. The part side is a broadcast promo-key
 # set (O(|part|) ints via ray.put — part is the star schema's small dim);
@@ -10774,101 +10646,6 @@ SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT {_PR_TOPK}
 """
 
 # ---------------------------------------------------------------------------
-# Q: train/test decontamination — the LLM-corpus hygiene pass: flag corpus
-# documents sharing any word trigram with a held-out benchmark source
-# ('src19'), reporting the count of DISTINCT shared trigrams per doc. The
-# benchmark side is tiny by construction (one source partition), so its
-# distinct-trigram set is built by streaming per-batch partials and
-# broadcast once (ray.put); the corpus side then streams in ONE pass with a
-# C-speed hash-set membership per batch — zero shuffles end to end.
-# ---------------------------------------------------------------------------
-
-_DECON_BENCH_SOURCE = "src19"
-
-
-def _doc_trigrams(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Distinct (doc_id, trigram) pairs per batch, vectorized: explode
-    tokens with doc boundaries, concatenate shifted views, mask trigrams
-    that cross documents."""
-    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
-    lens = toks.str.len().to_numpy(np.int64)
-    if lens.sum() == 0:
-        return np.array([], np.int64), np.array([], object)
-    flat = np.concatenate([np.array(t, dtype=object) for t in toks])
-    doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-    if len(flat) < 3:
-        return np.array([], np.int64), np.array([], object)
-    valid = doc_ids[:-2] == doc_ids[2:]
-    tri = flat[:-2][valid] + " " + flat[1:-1][valid] + " " + flat[2:][valid]
-    pairs = pd.DataFrame(
-        {"doc_id": doc_ids[:-2][valid], "g": tri}
-    ).drop_duplicates()
-    return pairs["doc_id"].to_numpy(np.int64), pairs["g"].to_numpy(object)
-
-
-def q_decontaminate(sf_dir: str):
-    import ray
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def bench_partial(df: pd.DataFrame) -> pa.Table:
-        df = df[df["source"] == _DECON_BENCH_SOURCE]
-        _, tri = _doc_trigrams(df)
-        return pa.table({"g": pa.array(np.unique(tri).astype(str))})
-
-    bench: set = set()
-    for r in ds.map_batches(
-        bench_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).take_all():
-        bench.add(r["g"])
-    bench_ref = ray.put(bench)
-
-    def hits(df: pd.DataFrame, ctx=bench_ref) -> pa.Table:
-        b = ray.get(ctx) if isinstance(ctx, ray.ObjectRef) else ctx
-        df = df[df["source"] != _DECON_BENCH_SOURCE]
-        doc_ids, tri = _doc_trigrams(df)
-        if not len(tri):
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_shared": pa.array([], pa.int64())})
-        shared = pd.Series(tri).isin(b).to_numpy()
-        g = (
-            pd.DataFrame({"doc_id": doc_ids[shared]})
-            .groupby("doc_id", as_index=False)
-            .size()
-            .rename(columns={"size": "n_shared"})
-        )
-        return _arrow_out(g.astype({"doc_id": "int64", "n_shared": "int64"}))
-
-    return ds.map_batches(hits, batch_format="pandas", batch_size=_COMBINE_BATCH)
-
-
-SQL_DECONTAMINATE = f"""
-WITH toks AS (
-  SELECT doc_id, source,
-         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS t,
-         unnest(range(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))))
-           AS pos
-  FROM documents
-),
-tri AS (
-  SELECT doc_id, source,
-         t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS g
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-bench AS (
-  SELECT DISTINCT g FROM tri
-  WHERE source = '{_DECON_BENCH_SOURCE}' AND g IS NOT NULL
-),
-corp AS (
-  SELECT DISTINCT doc_id, g FROM tri
-  WHERE source <> '{_DECON_BENCH_SOURCE}' AND g IS NOT NULL
-)
-SELECT doc_id, count(*) AS n_shared
-FROM corp JOIN bench USING (g)
-GROUP BY doc_id
-"""
-
-# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11001,11 +10778,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "cluster_size_hist": (q_cluster_size_hist, SQL_CLUSTER_SIZE_HIST),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "ffill_locf": (q_ffill_locf, SQL_FFILL_LOCF),
-    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
-    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "pagerank_topk": (q_pagerank_topk, SQL_PAGERANK_TOPK),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "fertility_per_lang": (q_fertility_per_lang, SQL_FERTILITY_PER_LANG),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),

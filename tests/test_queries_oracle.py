@@ -1649,76 +1649,6 @@ def test_ffill_locf_leading_and_singletons(ray_session, tmp_path):
     assert by_id[3] == -1.0 and by_id[4] == -1.0  # user 2 never observed
 
 
-def test_event_transitions_singleton_users(ray_session, tmp_path):
-    """Single-event users emit no transitions; ts ties break on event_id."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ptt_spider_go_ray.queries import (
-        SQL_EVENT_TRANSITIONS,
-        q_event_transitions,
-    )
-
-    t0 = pd.Timestamp("2024-01-01").value // 1000
-    same = np.array([t0] * 3 + [t0 + 1_000_000] + [t0] , "datetime64[us]")
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([2, 1, 3, 4, 9], pa.int64()),
-                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
-                "ts": pa.array(same),
-                "event_type": pa.array(["b", "a", "c", "d", "x"], pa.string()),
-            }
-        ),
-        tmp_path / "events.parquet",
-    )
-    got = canon(to_pandas(q_event_transitions(str(tmp_path))))
-    want = canon(_duck_on(tmp_path, SQL_EVENT_TRANSITIONS, ["events"]))
-    pd.testing.assert_frame_equal(got, want)
-    # user 1 ordered by (ts, event_id): a(1) b(2) c(3) d(4); user 2 singleton
-    trans = {(r.from_type, r.to_type) for r in got.itertuples()}
-    assert trans == {("a", "b"), ("b", "c"), ("c", "d")}
-
-
-def test_cohort_retention_single_day_users(ray_session, tmp_path):
-    """A user active only on their cohort day lands in offset 0 exactly once
-    regardless of how many events they emit that day."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ptt_spider_go_ray.queries import (
-        SQL_COHORT_RETENTION,
-        q_cohort_retention,
-    )
-
-    day = 86_400_000_000
-    t0 = pd.Timestamp("2024-03-01").value // 1000
-    us = [t0 + 5, t0 + 99, t0 + day + 7, t0 + 3 * day, t0 + day + 1]
-    pq.write_table(
-        pa.table(
-            {
-                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
-                "ts": pa.array(np.array(us, "datetime64[us]")),
-            }
-        ),
-        tmp_path / "events.parquet",
-    )
-    got = canon(to_pandas(q_cohort_retention(str(tmp_path))))
-    want = canon(_duck_on(tmp_path, SQL_COHORT_RETENTION, ["events"]))
-    pd.testing.assert_frame_equal(got, want)
-    # user 1 cohort 03-01 offsets {0,1,3}; user 2 cohort 03-02 offset {0}
-    offs = {
-        (str(r.cohort_day)[:10], int(r.day_offset)): int(r.n_users)
-        for r in got.itertuples()
-    }
-    assert offs == {
-        ("2024-03-01", 0): 1,
-        ("2024-03-01", 1): 1,
-        ("2024-03-01", 3): 1,
-        ("2024-03-02", 0): 1,
-    }
-
-
 def test_bm25_zero_df_term_and_empty_docs(ray_session, tmp_path):
     """A query term absent from the corpus contributes nothing; empty/null
     docs never score; scores rank by quantized integer with doc_id ties."""
@@ -1779,41 +1709,3 @@ def test_pagerank_star_graph(ray_session, tmp_path):
     assert all(hub > v for n, v in ranks.items() if n != 1)
     # all six order nodes are symmetric -> identical rank
     assert len({v for n, v in ranks.items() if n != 1}) == 1
-
-
-def test_decontaminate_short_docs_and_exact_counts(ray_session, tmp_path):
-    """Docs under 3 tokens can never be contaminated; the shared count is
-    DISTINCT trigrams (a repeated shared trigram counts once); clean docs
-    are absent from the output."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ptt_spider_go_ray.queries import (
-        SQL_DECONTAMINATE,
-        q_decontaminate,
-        _DECON_BENCH_SOURCE,
-    )
-
-    texts = [
-        "the quick brown fox jumps",            # bench doc
-        "quick brown",                          # doc 1: too short
-        "the quick brown dog",                  # doc 2: shares 'the quick brown'
-        "quick brown fox quick brown fox pad",  # doc 3: 'quick brown fox' x2 -> 1
-        "totally unrelated text here",          # doc 4: clean
-    ]
-    srcs = [_DECON_BENCH_SOURCE, "srcA", "srcA", "srcB", "srcB"]
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(list(range(5)), pa.int64()),
-                "text": pa.array(texts, pa.string()),
-                "source": pa.array(srcs, pa.string()),
-            }
-        ),
-        tmp_path / "documents.parquet",
-    )
-    got = canon(to_pandas(q_decontaminate(str(tmp_path))))
-    want = canon(_duck_on(tmp_path, SQL_DECONTAMINATE, ["documents"]))
-    pd.testing.assert_frame_equal(got, want)
-    hits = {int(r.doc_id): int(r.n_shared) for r in got.itertuples()}
-    assert hits == {2: 1, 3: 1}
