@@ -5177,82 +5177,69 @@ def _pair_bucket(a: np.ndarray, c: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def q_triangle_count(sf_dir: str):
-    edges = _tri_edges(sf_dir).materialize()
-    n_buckets = _key_buckets(edges.count())
+    import pyarrow.parquet as pq
 
-    # stage 1: wedges (a,b,c) = E(a,b) ⋈ E(b,c), bucketed by the middle node
-    def tag_ab(t: pa.Table) -> pa.Table:
-        b = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(b, n_buckets)),
-                "side": pa.array(["ab"] * t.num_rows),
-                "x": t["src"],
-                "mid": t["dst"],
-            }
+    # bucket count from parquet metadata (edges ≈ 3 · |documents|) — no scan
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_buckets = _key_buckets(3 * n_docs)
+
+    # stage 1: wedges (a,b,c) = E(a,b) ⋈ E(b,c), bucketed by the middle node.
+    # ONE map_batches emits both join sides (no union operator); each edge
+    # (a,b) rides along in b's bucket exactly once as its ab-side row, so the
+    # wedge stage can also re-emit the edge set for stage 2 — the whole query
+    # is a single fused plan with two sort shuffles, no unions, no
+    # mid-pipeline materialize (the union+materialize variant spent 13 s on
+    # 1.5k edges at sf0.01, all fixed overhead).
+    def tag_both(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.concatenate(
+            [_bucket_of(dst, n_buckets), _bucket_of(src, n_buckets)]
         )
-
-    def tag_bc(t: pa.Table) -> pa.Table:
-        b = t["src"].to_numpy(zero_copy_only=False)
+        n = len(src)
         return pa.table(
             {
-                "bucket": pa.array(_bucket_of(b, n_buckets)),
-                "side": pa.array(["bc"] * t.num_rows),
-                "x": t["dst"],
-                "mid": t["src"],
+                "bucket": pa.array(bucket),
+                "side": pa.array(["ab"] * n + ["bc"] * n),
+                "x": pa.array(np.concatenate([src, dst])),
+                "mid": pa.array(np.concatenate([dst, src])),
             }
         )
 
     def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "ab"][["x", "mid"]].rename(columns={"x": "a"})
+        ab = g[g["side"] == "ab"]
+        left = ab[["x", "mid"]].rename(columns={"x": "a"})
         right = g[g["side"] == "bc"][["x", "mid"]].rename(columns={"x": "c"})
         w = left.merge(right, on="mid")
+        wa = w["a"].to_numpy(np.int64)
+        wc = w["c"].to_numpy(np.int64)
+        # pass the bucket's edges through for stage 2 (ab rows ARE the edges)
+        ea = ab["x"].to_numpy(np.int64)
+        ec = ab["mid"].to_numpy(np.int64)
+        a = np.concatenate([wa, ea])
+        c = np.concatenate([wc, ec])
         return pd.DataFrame(
-            {"a": w["a"].astype("int64"), "c": w["c"].astype("int64")}
+            {
+                "bucket2": _pair_bucket(a, c, n_buckets),
+                "side2": np.array(["w"] * len(wa) + ["e"] * len(ea), object),
+                "a": a,
+                "c": c,
+            }
         )
-
-    wedges = (
-        edges.map_batches(tag_ab, batch_format="pyarrow")
-        .union(edges.map_batches(tag_bc, batch_format="pyarrow"))
-        .groupby("bucket")
-        .map_groups(wedge_bucket, batch_format="pandas")
-    )
 
     # stage 2: closing-edge verify, bucketed by the (a,c) pair hash
-    def tag_wedge(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(_pair_bucket(a, c, n_buckets)),
-                "side": pa.array(["w"] * t.num_rows),
-                "a": pa.array(a),
-                "c": pa.array(c),
-            }
-        )
-
-    def tag_edge(t: pa.Table) -> pa.Table:
-        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(_pair_bucket(a, c, n_buckets)),
-                "side": pa.array(["e"] * t.num_rows),
-                "a": pa.array(a),
-                "c": pa.array(c),
-            }
-        )
-
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        w = g[g["side"] == "w"][["a", "c"]]
-        e = g[g["side"] == "e"][["a", "c"]].drop_duplicates()
+        w = g[g["side2"] == "w"][["a", "c"]]
+        e = g[g["side2"] == "e"][["a", "c"]].drop_duplicates()
         n = len(w.merge(e, on=["a", "c"]))
         return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
 
     parts = (
-        wedges.map_batches(tag_wedge, batch_format="pyarrow")
-        .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+        _tri_edges(sf_dir)
+        .map_batches(tag_both, batch_format="pyarrow")
         .groupby("bucket")
+        .map_groups(wedge_bucket, batch_format="pandas")
+        .groupby("bucket2")
         .map_groups(verify_bucket, batch_format="pandas")
         .to_pandas()
     )
@@ -10556,14 +10543,20 @@ def q_pagerank_topk(sf_dir: str):
                               2 * pairs["o"].to_numpy(np.int64)])
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
-    # distinct directed edges (one shuffle), kept distributed for the rounds
-    from ray.data.aggregate import Count
+    # distinct directed edges, kept distributed for the rounds. Bucket on a
+    # pair hash + per-bucket drop_duplicates (the pipelines/dedup.py
+    # _dedup_pairs shape) — duplicates of a pair always share a bucket and no
+    # task sees more than ~1/n_buckets of the edges. One sort shuffle; the
+    # groupby().aggregate(Count) variant spent 18 s in hash-shuffle actor
+    # setup on this box for the same 120k edges.
+    from .pipelines.dedup import _coarse_buckets, _dedup_pairs
 
+    n_rows = li.count()
+    cand = li.map_batches(
+        edge_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    )
     edges = (
-        li.map_batches(edge_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["src", "dst"])
+        _dedup_pairs(cand, ("src", "dst"), _coarse_buckets(max(n_rows, 1), 250_000))
         .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
         .materialize()
     )
@@ -10574,14 +10567,16 @@ def q_pagerank_topk(sf_dir: str):
         return pa.table({"node": pa.array(nodes.astype(np.int64)),
                          "deg": pa.array(counts.astype(np.int64))})
 
-    deg_acc: dict[int, int] = {}
-    for r in edges.map_batches(
-        deg_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
-    ).take_all():
-        deg_acc[int(r["node"])] = deg_acc.get(int(r["node"]), 0) + int(r["deg"])
-
-    nodes = np.array(sorted(deg_acc), np.int64)
-    deg = np.array([deg_acc[n] for n in nodes], np.int64)
+    # driver merge of the tiny per-block partials stays vectorized (pandas
+    # groupby-sum) — a per-row Python dict loop here was 3× the query's cost
+    deg_df = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .to_pandas()
+        .groupby("node", as_index=False)["deg"].sum()
+        .sort_values("node")
+    )
+    nodes = deg_df["node"].to_numpy(np.int64)
+    deg = deg_df["deg"].to_numpy(np.int64)
     pr = np.full(len(nodes), _PR_SCALE, np.int64)
 
     for _ in range(_PR_ITERS):
@@ -10598,16 +10593,17 @@ def q_pagerank_topk(sf_dir: str):
             )
             return _arrow_out(g.astype({"dst": "int64", "s": "int64"}))
 
-        s_acc: dict[int, int] = {}
-        for r in edges.map_batches(
-            send, batch_format="pyarrow", batch_size=_COMBINE_BATCH
-        ).take_all():
-            s_acc[int(r["dst"])] = s_acc.get(int(r["dst"]), 0) + int(r["s"])
-        # every node has in-edges (edges are symmetric), but guard anyway
-        sums = np.array([s_acc.get(int(n), 0) for n in nodes], object)
-        pr = np.array(
-            [_PR_BASE + (17 * int(s)) // 20 for s in sums], np.int64
+        g = (
+            edges.map_batches(send, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+            .to_pandas()
+            .groupby("dst", as_index=False)["s"].sum()
+            .sort_values("dst")
         )
+        # every node has in-edges (edges are symmetric), but guard anyway:
+        # scatter the summed contributions onto the node vector
+        sums = np.zeros(len(nodes), np.int64)
+        sums[np.searchsorted(nodes, g["dst"].to_numpy(np.int64))] = g["s"].to_numpy(np.int64)
+        pr = _PR_BASE + (17 * sums) // 20
 
     top = pd.DataFrame({"node": nodes, "pr": pr}).sort_values(
         ["pr", "node"], ascending=[False, True], kind="mergesort"
