@@ -10642,10 +10642,84 @@ SELECT node, pr FROM r3 ORDER BY pr DESC, node ASC LIMIT {_PR_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# Q: inverted index — full-vocabulary posting lists (term → sorted doc ids),
+# the retrieval-engine build step BM25 skips (q_bm25_topk streams df for a
+# fixed query set; this materializes the whole index). Per-batch distinct
+# (term, doc) pairs (combiner), then ONE shuffle bucketed by hash(term) so no
+# task ever holds more than ~1/n_buckets of the vocabulary; per-bucket
+# assembly is C-speed pandas (sort + groupby-join). Postings serialize as a
+# comma-joined ascending id string — a canonical form both engines emit
+# byte-identically (and the practical wire format for a broadcast index).
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_index(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # distinct (term, doc) pairs ≈ tokens/doc (~bounded) · docs; footer-only
+    n_buckets = _key_buckets(64 * n_docs)
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.array(t, dtype=object) for t in toks])
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        p = pd.DataFrame({"term": flat, "doc_id": ids}).drop_duplicates()
+        # hash-bucket (string keys — queries.py's _bucket_of is int-modulo)
+        b = (
+            pd.util.hash_array(p["term"].to_numpy(object)) % n_buckets
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "term": pa.array(p["term"], pa.string()),
+                "doc_id": pa.array(p["doc_id"].to_numpy(np.int64)),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-local dedup doesn't cover cross-batch repeats of a pair
+        g = g.drop_duplicates(["term", "doc_id"]).sort_values(["term", "doc_id"])
+        docs_s = g["doc_id"].astype("int64").astype(str)
+        agg = g.assign(_s=docs_s).groupby("term", sort=False).agg(
+            df=("doc_id", "size"), postings=("_s", ",".join)
+        )
+        agg = agg.reset_index()
+        return agg.astype({"df": "int64"})  # term/postings stay object (str)
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS term
+  FROM documents
+),
+toks AS (SELECT DISTINCT doc_id, term FROM raw)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks
+GROUP BY term
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
     "group_counts": (q_group_counts, SQL_GROUP_COUNTS),

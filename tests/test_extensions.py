@@ -1318,3 +1318,38 @@ def test_containment_finds_snippet_inside_page(ray_session, tmp_path):
         it = np.intersect1d(xa, xb, assume_unique=True).size
         assert abs(cv - it / min(xa.size, xb.size)) < 1e-12
         assert cid == (a if xa.size <= xb.size else b)
+
+
+def test_inverted_index_df_and_postings_order(ray_session, tmp_path):
+    """Repeated tokens inside one doc count once toward df; null/empty text
+    contributes nothing; postings are ascending doc ids even when the pairs
+    for one term arrive from different input batches."""
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import q_inverted_index
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [7, 3, 11, 5],
+            "text": [
+                "alpha alpha beta",   # alpha repeats: df counts doc 7 once
+                "beta gamma",
+                None,                  # null text: no pairs
+                "alpha",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [16, 10, 0, 5],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        tmp_path / "documents.parquet",
+    )
+    got = q_inverted_index(str(tmp_path)).to_pandas()
+    idx = {r["term"]: (int(r["df"]), r["postings"]) for _, r in got.iterrows()}
+    assert idx == {
+        "alpha": (2, "5,7"),
+        "beta": (2, "3,7"),
+        "gamma": (1, "3"),
+    }
