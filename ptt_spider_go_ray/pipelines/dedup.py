@@ -791,7 +791,7 @@ def dedup_clusters(sf_dir: str, est_threshold: float = 0.9,
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
-def streaming_dedup(sf_dir: str, n_shards: int = 8):
+def streaming_dedup(sf_dir: str, n_shards: int | None = None):
     """Streaming exact dedup through a SHARDED SEEN-SET actor tier — the
     same first-wins state shape the crawl frontier uses for URL dedup
     (state/frontier.py seen-set + cuckoo), applied to the documents table:
@@ -806,8 +806,19 @@ def streaming_dedup(sf_dir: str, n_shards: int = 8):
     parallel batches); the survivor SET per text group is always exactly
     one. Scale: shard state is O(distinct hashes / n_shards); grow
     n_shards with corpus size, or swap the exact set for the cuckoo
-    filter + collision-confirm tier the frontier uses at 10^10 keys."""
+    filter + collision-confirm tier the frontier uses at 10^10 keys.
+    ``n_shards`` defaults adaptively — one shard per ~250k input rows
+    (parquet footer count, no scan), min 2 / max 32 here — so a small
+    corpus doesn't pay 8 fixed actor spawns and a large one gets more
+    seen-set capacity."""
     import ray
+    import pyarrow.parquet as pq
+
+    if n_shards is None:
+        n_rows = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+        n_shards = int(min(32, max(2, n_rows // 250_000)))
 
     @ray.remote(num_cpus=0)
     class SeenShard:

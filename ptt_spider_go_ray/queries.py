@@ -2731,9 +2731,15 @@ QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY n DESC, c) = 1
 
 
 def q_set_ops_users(sf_dir: str):
-    from ray.data.aggregate import Max
+    # Per-block flag combiner, then ONE key-bucketed sort shuffle finishes
+    # the per-user max — the measured-cheaper equivalent of the
+    # hash-aggregate actor tier; per-bucket work is a vectorized pandas max.
+    import pyarrow.parquet as pq
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    nb = _key_buckets(
+        pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    )
 
     def flags(df: pd.DataFrame) -> pa.Table:
         g = pd.DataFrame(
@@ -2747,22 +2753,25 @@ def q_set_ops_users(sf_dir: str):
                 ).astype("int64"),
             }
         ).groupby("user_id", as_index=False).max()
+        g["bucket"] = _bucket_of(g["user_id"].to_numpy(), nb)
         return _arrow_out(g)
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["hi"] == 1]
+    def tag(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False)[["hi", "pur"]].max()
+        m = m[m["hi"] == 1]
         return pd.DataFrame(
             {
-                "user_id": df["user_id"].astype("int64").to_numpy(),
-                "tag": np.where(df["pur"] == 1, "both", "click_only"),
+                "user_id": m["user_id"].astype("int64").to_numpy(),
+                "tag": np.where(m["pur"] == 1, "both", "click_only").astype(
+                    object
+                ),
             }
         )
 
     return (
         ds.map_batches(flags, batch_format="pandas", batch_size=_COMBINE_BATCH)
-        .groupby("user_id")
-        .aggregate(Max("hi", alias_name="hi"), Max("pur", alias_name="pur"))
-        .map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(tag, batch_format="pandas")
     )
 
 
@@ -3411,6 +3420,101 @@ def q_tpch_q3(sf_dir: str):
         )
     orders = orders.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
+    lineitem_cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    n_orders_total = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders_total <= _Q3_BROADCAST_MAX:
+        # Broadcast plan: the date+segment-filtered orders (a few % of the
+        # table) ship ONCE via ray.put as sorted lookup arrays. The lineitem
+        # scan semi-filters to those keys BEFORE any shuffle, so the only
+        # all-to-all is one key-bucketed sort shuffle over the ~1-2% of
+        # lineitem rows that survive both filters; the order attrs join and
+        # the per-bucket top-10 happen inside the bucket, and the driver
+        # merges ≤10×buckets rows. Past _Q3_BROADCAST_MAX the else branch
+        # keeps the native hash-join plan (documented switch).
+        odf = orders.to_pandas()
+        oo = np.argsort(odf["o_orderkey"].to_numpy())
+        okeys = np.ascontiguousarray(odf["o_orderkey"].to_numpy()[oo])
+        odate = np.ascontiguousarray(
+            odf["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)[oo]
+        )
+        oprio = np.asarray(odf["o_orderpriority"].to_numpy(), dtype=object)[oo]
+        ord_ref = ray.put((okeys, odate, oprio))
+        import pyarrow.parquet as _pq
+
+        nb = _key_buckets(
+            _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+        )
+        _empty = pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_e4": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=object),
+            }
+        )
+
+        def li_semi(t: pa.Table) -> pa.Table:
+            ks, _, _ = ray.get(ord_ref)
+            keep = pc.greater(
+                t["l_shipdate"], pa.scalar(_Q3_CUTOFF, pa.timestamp("us"))
+            )
+            t = t.filter(keep)
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            hit = (
+                np.isin(ok, ks) if len(ks) else np.zeros(len(ok), dtype=bool)
+            )
+            price_c = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit] * 100.0
+            ).astype(np.int64)
+            disc_pct = np.rint(
+                t["l_discount"].to_numpy(zero_copy_only=False)[hit] * 100.0
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {"l_orderkey": ok[hit], "rev": price_c * (100 - disc_pct)}
+            ).groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+            df["bucket"] = _bucket_of(df["l_orderkey"].to_numpy(), nb)
+            return _arrow_out(df)
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            ks, od, op = ray.get(ord_ref)
+            out = g.groupby("l_orderkey", as_index=False)["rev"].sum()
+            if not len(out) or not len(ks):
+                return _empty.copy()
+            okv = out["l_orderkey"].to_numpy()
+            pos = np.searchsorted(ks, okv)  # semi-filtered: always hits
+            res = pd.DataFrame(
+                {
+                    "l_orderkey": okv.astype(np.int64),
+                    "revenue_e4": out["rev"].to_numpy().astype(np.int64),
+                    "o_orderdate": od[pos].astype("datetime64[us]"),
+                    "o_orderpriority": op[pos],
+                }
+            )
+            return res.sort_values(
+                ["revenue_e4", "o_orderdate", "l_orderkey"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            ).head(10)
+
+        parts = (
+            _read(sf_dir, "lineitem", columns=lineitem_cols)
+            .map_batches(
+                li_semi, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+            )
+            .groupby("bucket")
+            .map_groups(finish, batch_format="pandas")
+            .to_pandas()
+        )
+        return (
+            parts.sort_values(
+                ["revenue_e4", "o_orderdate", "l_orderkey"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            )
+            .head(10)
+            .reset_index(drop=True)
+        )
+
     def li_partial(t: pa.Table) -> pa.Table:
         keep = pc.greater(t["l_shipdate"], pa.scalar(_Q3_CUTOFF, pa.timestamp("us")))
         t = t.filter(keep)
@@ -3430,11 +3534,7 @@ def q_tpch_q3(sf_dir: str):
         return _arrow_out(g)
 
     li = (
-        _read(
-            sf_dir,
-            "lineitem",
-            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        )
+        _read(sf_dir, "lineitem", columns=lineitem_cols)
         .map_batches(li_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue_e4"))
@@ -3847,58 +3947,89 @@ WHERE doc_id = survivor AND n_tokens >= 10 AND 20 * n_stop >= n_tokens
 
 
 def q_left_join_rollup(sf_dir: str):
-    from ray.data.aggregate import Sum
+    # Bucketed CO-PARTITIONED left join: both sides tag bucket =
+    # custkey % _key_buckets(|cust|+|orders|), union, and ONE sort shuffle
+    # co-locates each custkey's customer row with its order partials; the
+    # in-bucket merge + fillna is a single C-speed pandas call. This is the
+    # engine's alternative join strategy to the native hash join (which
+    # q_join_native / q_semi_join / q_tpch_q10 showcase): same one
+    # all-to-all, no aggregator/join actor tier, and the pre-aggregated
+    # order side shrinks the shuffle to ≤ one row per (block, custkey).
+    import pyarrow.parquet as pq
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    n_c = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_o = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    nb = _key_buckets(n_c + n_o)
 
-    def o_partial(t: pa.Table) -> pa.Table:
+    def c_side(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(k, nb)),
+                "c_custkey": pa.array(k.astype(np.int64)),
+                "c_mktsegment": t["c_mktsegment"].cast(pa.string()),
+                "n_orders": pa.array(z),
+                "spend_cents": pa.array(z),
+                "is_cust": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    def o_side(t: pa.Table) -> pa.Table:
         cents = np.rint(
             t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        df = pd.DataFrame(
+        g = pd.DataFrame(
             {
-                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
                 "n_orders": np.int64(1),
                 "spend_cents": cents,
             }
-        )
-        g = df.groupby("o_custkey", as_index=False).agg(
+        ).groupby("c_custkey", as_index=False).agg(
             n_orders=("n_orders", "sum"), spend_cents=("spend_cents", "sum")
         )
-        return _arrow_out(g)
-
-    per_cust = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(o_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("spend_cents", alias_name="spend_cents"),
-        )
-        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
-    )
-
-    joined = cust.join(
-        per_cust,
-        join_type="left_outer",
-        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
-
-    def fill(df: pd.DataFrame) -> pa.Table:
-        return _arrow_out(
-            pd.DataFrame(
-                {
-                    "c_custkey": df["c_custkey"].astype("int64"),
-                    "c_mktsegment": df["c_mktsegment"],
-                    "n_orders": df["n_orders"].fillna(0).astype("int64"),
-                    "spend_cents": df["spend_cents"].fillna(0).astype("int64"),
-                }
-            )
+        k = g["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(k, nb)),
+                "c_custkey": pa.array(k.astype(np.int64)),
+                "c_mktsegment": pa.array([""] * len(k), pa.string()),
+                "n_orders": pa.array(g["n_orders"].to_numpy().astype(np.int64)),
+                "spend_cents": pa.array(
+                    g["spend_cents"].to_numpy().astype(np.int64)
+                ),
+                "is_cust": pa.array(np.zeros(len(k), dtype=np.int64)),
+            }
         )
 
-    return joined.map_batches(fill, batch_format="pandas")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        c_side, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        o_side, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["is_cust"] == 1]
+        o = g[g["is_cust"] == 0]
+        agg = o.groupby("c_custkey", as_index=False)[
+            ["n_orders", "spend_cents"]
+        ].sum()
+        out = c[["c_custkey", "c_mktsegment"]].merge(
+            agg, on="c_custkey", how="left"
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": out["c_custkey"].astype("int64"),
+                "c_mktsegment": out["c_mktsegment"],
+                "n_orders": out["n_orders"].fillna(0).astype("int64"),
+                "spend_cents": out["spend_cents"].fillna(0).astype("int64"),
+            }
+        )
+
+    return cust.union(orders).groupby("bucket").map_groups(
+        merge, batch_format="pandas"
+    )
 
 
 SQL_LEFT_JOIN_ROLLUP = """
@@ -7719,15 +7850,18 @@ ORDER BY n DESC, l ASC, r ASC LIMIT {_BPE_TOPK}
 # ---------------------------------------------------------------------------
 # Q: TPC-H Q18-shaped "large order customers" — orders whose total lineitem
 # quantity exceeds a threshold, joined back to orders + customer, top-100 by
-# order value. Ray-native plan: lineitem quantity is pre-aggregated per
-# l_orderkey by an exact-integer combiner BEFORE the hash shuffle (the only
-# all-to-all), the HAVING filter runs distributed so only the hot ~1-2% of
-# order keys reach the driver, and that small set is broadcast ONCE via
-# ray.put as a sorted searchsorted lookup into the orders scan (same
-# adaptive story as q_tpch_q5: past a size bound the semi join would switch
-# to the native hash join — documented, not needed at the HAVING
-# selectivity TPC-H prescribes). The top-100 is per-block partial top-k
-# then one driver merge of ≤100×blocks rows — no global sort.
+# order value. Plan: lineitem quantity is pre-aggregated per l_orderkey by
+# an exact-integer combiner, then finished by ONE key-bucketed sort shuffle
+# (`_key_buckets` scales bucket count with row count; a bucket's final
+# groupby-sum + HAVING runs as one vectorized pandas call — the measured-
+# cheaper equivalent of the hash-aggregate actor tier at every scale). The
+# HAVING filter runs inside the bucket so only the hot ~1-2% of order keys
+# reach the driver, and that small set is broadcast ONCE via ray.put as a
+# sorted searchsorted lookup into the orders scan (same adaptive story as
+# q_tpch_q5: past a size bound the semi join would switch to the native
+# hash join — documented, not needed at the HAVING selectivity TPC-H
+# prescribes). The top-100 is per-block partial top-k then one driver merge
+# of ≤100×blocks rows — no global sort.
 # ---------------------------------------------------------------------------
 
 _Q18_QTY_C = 25_000  # HAVING sum(l_quantity) > 250, in qty-cents
@@ -7737,9 +7871,10 @@ _Q18_TOPK = 100
 def q_tpch_q18(sf_dir: str):
     import ray
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    n_li = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb = _key_buckets(n_li)
 
     def qty_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -7752,18 +7887,27 @@ def q_tpch_q18(sf_dir: str):
         ).groupby("l_orderkey", as_index=False).sum()
         return _arrow_out(df.astype({"sum_qty_c": "int64"}))
 
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_bucket_of(keys, nb)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", as_index=False)["sum_qty_c"].sum()
+        out = out[out["sum_qty_c"] > _Q18_QTY_C]
+        return pd.DataFrame(
+            {
+                "l_orderkey": out["l_orderkey"].astype("int64"),
+                "sum_qty_c": out["sum_qty_c"].astype("int64"),
+            }
+        )
+
     hot = (
         li.map_batches(
             qty_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
         )
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"))
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater(t["sum_qty_c"], pa.scalar(_Q18_QTY_C))
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
         .to_pandas()  # HAVING-selective: ~1-2% of orders (see header)
     )
     ho = np.argsort(hot["l_orderkey"].to_numpy())
@@ -8726,36 +8870,35 @@ _OVERLAP_PREFIX = 64
 
 
 def q_source_overlap(sf_dir: str):
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "documents", columns=["text", "source"])
+    n_buckets = 64
 
     def fp(df: pd.DataFrame) -> pa.Table:
+        # per-block (fp, source) dedup + fp-hash bucket tag: bucket is a
+        # function of fp ALONE, so every copy of an fp lands in one bucket
+        # and the in-bucket drop_duplicates below finishes the global
+        # distinct — no separate hash-aggregate stage needed.
         texts = df["text"].fillna("").str.slice(0, _OVERLAP_PREFIX)
+        g = pd.DataFrame(
+            {
+                "fp": _md5_col(texts.tolist()),
+                "source": df["source"].to_numpy(),
+            }
+        ).drop_duplicates()
+        h = np.frombuffer(
+            b"".join(bytes.fromhex(s[:16]) for s in g["fp"].tolist()),
+            dtype=">u8",
+        ).astype(np.int64)
         return pa.table(
             {
-                "fp": pa.array(_md5_col(texts.tolist()), pa.string()),
-                "source": pa.array(df["source"].to_numpy(), pa.string()),
+                "fp": pa.array(g["fp"].to_numpy(), pa.string()),
+                "source": pa.array(g["source"].to_numpy(), pa.string()),
+                "bucket": pa.array(np.abs(h) % n_buckets),
             }
         )
 
-    distinct = (
-        ds.map_batches(fp, batch_format="pandas")
-        .groupby(["fp", "source"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    n_buckets = 64
-
-    def tag(t: pa.Table) -> pa.Table:
-        h = np.frombuffer(
-            b"".join(bytes.fromhex(s[:16]) for s in t["fp"].to_pylist()),
-            dtype=">u8",
-        ).astype(np.int64)
-        return t.append_column(
-            "bucket", pa.array(np.abs(h) % n_buckets)
-        )
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["fp", "source"])
         g = g.sort_values(["fp", "source"], kind="mergesort")
         f = g["fp"].to_numpy()
         s = g["source"].to_numpy()
@@ -8780,7 +8923,7 @@ def q_source_overlap(sf_dir: str):
 
     acc: dict[tuple, int] = {}
     for r in (
-        distinct.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(fp, batch_format="pandas")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
         .take_all()
@@ -9721,57 +9864,90 @@ def _rank_thresholds(vals: np.ndarray, counts: np.ndarray) -> tuple:
 
 
 def q_rfm_cells(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Sum
+    import pyarrow.parquet as pq
 
     ds = _read(
         sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
+    nb = _key_buckets(
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    )
 
     def per_order(t: pa.Table) -> pa.Table:
-        return pa.table(
+        # per-block partial (max/count/sum per custkey) + bucket tag: one
+        # key-bucketed sort shuffle finishes the per-customer rollup below
+        g = pd.DataFrame(
             {
-                "o_custkey": t["o_custkey"],
-                "day": pa.array(
-                    t["o_orderdate"]
-                    .cast(pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                    // _DAY_US
-                ),
-                "cents": pa.array(
-                    np.rint(
-                        t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-                    ).astype(np.int64)
-                ),
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "last_day": t["o_orderdate"]
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                // _DAY_US,
+                "n_orders": np.int64(1),
+                "cents": np.rint(
+                    t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        ).groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"),
+            n_orders=("n_orders", "sum"),
+            cents=("cents", "sum"),
+        )
+        g["bucket"] = _bucket_of(g["o_custkey"].to_numpy(), nb)
+        return _arrow_out(g)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"),
+            n_orders=("n_orders", "sum"),
+            cents=("cents", "sum"),
+        )
+        return out.astype(
+            {
+                "o_custkey": "int64",
+                "last_day": "int64",
+                "n_orders": "int64",
+                "cents": "int64",
             }
         )
 
     per_cust = (
-        ds.map_batches(per_order, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Max("day", alias_name="last_day"),
-            Count(alias_name="n_orders"),
-            Sum("cents", alias_name="cents"),
+        ds.map_batches(
+            per_order, batch_format="pyarrow", batch_size=_COMBINE_BATCH
         )
-        .materialize()  # three frequency scans + the assignment pass below
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # the fused frequency scan + assignment pass below
     )
 
-    def freq_of(col: str) -> tuple:
-        acc: dict[int, int] = {}
-        for r in per_cust.map_batches(
-            lambda t, c=col: _arrow_out(
-                pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False), "n": 1})
-                .groupby(c, as_index=False)
-                .sum()
-                .astype({"n": "int64"})
-            ),
-            batch_format="pyarrow",
-        ).take_all():
-            acc[int(r[col])] = acc.get(int(r[col]), 0) + int(r["n"])
+    # ONE fused frequency pass over all three banding columns (was three
+    # separate dataset executions): emits (col, value, n) partials bounded
+    # by the per-column value domains, merged on the driver
+    def freqs(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in ("last_day", "n_orders", "cents"):
+            g = pd.DataFrame(
+                {"v": t[c].to_numpy(zero_copy_only=False), "n": 1}
+            ).groupby("v", as_index=False).sum()
+            g["col"] = c
+            frames.append(g)
+        f = pd.concat(frames, ignore_index=True)
+        return _arrow_out(
+            f[["col", "v", "n"]].astype({"v": "int64", "n": "int64"})
+        )
+
+    facc: dict[str, dict[int, int]] = {
+        "last_day": {}, "n_orders": {}, "cents": {}
+    }
+    for r in per_cust.map_batches(freqs, batch_format="pyarrow").take_all():
+        d = facc[r["col"]]
+        d[int(r["v"])] = d.get(int(r["v"]), 0) + int(r["n"])
+
+    def thresholds(acc: dict[int, int]) -> tuple:
         ks = np.array(sorted(acc), np.int64)
         return _rank_thresholds(ks, np.array([acc[k] for k in ks], np.int64))
 
-    thr = {c: freq_of(c) for c in ("last_day", "n_orders", "cents")}
+    thr = {c: thresholds(facc[c]) for c in ("last_day", "n_orders", "cents")}
 
     def assign(t: pa.Table) -> pa.Table:
         def band(col):
