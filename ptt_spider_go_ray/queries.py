@@ -819,11 +819,11 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def q_asof_join(sf_dir: str):
-    import ray.data
+    import pyarrow.parquet as pq
 
     n_buckets = _key_buckets(
-        _read(sf_dir, "events", columns=["event_id"]).count(),
-        _read(sf_dir, "orders", columns=["o_orderkey"]).count(),
+        pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows,
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows,
     )
 
     def tag_events(t: pa.Table) -> pa.Table:
@@ -2270,15 +2270,80 @@ GROUP BY word ORDER BY n DESC, word ASC LIMIT {_HH_K}
 # ---------------------------------------------------------------------------
 
 
-def q_nation_revenue(sf_dir: str):
+def q_nation_revenue(sf_dir: str, broadcast_max: int | None = None):
     import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Count, Sum
+
+    if broadcast_max is None:
+        broadcast_max = _Q3_BROADCAST_MAX
 
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pylist()
     name_by_key = {n["n_nationkey"]: n["n_name"] for n in nation}
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_max:
+        # Adaptive broadcast-map plan (the q_ship_delay pattern): the
+        # customer→nation map ships ONCE via ray.put as sorted arrays, each
+        # orders block folds into a 25-slot bincount partial, and the driver
+        # merges O(blocks × nations) rows — ZERO shuffles. Past
+        # broadcast_max the else branch keeps the native hash-join plan.
+        ct = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False)
+        co = np.argsort(ck)
+        nkeys = sorted(name_by_key)
+        nk_idx = {k: i for i, k in enumerate(nkeys)}
+        cn = np.array(
+            [nk_idx[int(k)] for k in ct["c_nationkey"].to_numpy(zero_copy_only=False)],
+            np.int64,
+        )
+        cmap_ref = ray.put((np.ascontiguousarray(ck[co]), cn[co]))
+        n_nations = len(nkeys)
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            keys, nid = ray.get(cmap_ref)
+            oc = t["o_custkey"].to_numpy(zero_copy_only=False)
+            price = np.rint(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            pos = np.clip(np.searchsorted(keys, oc), 0, max(len(keys) - 1, 0))
+            hit = keys[pos] == oc if len(keys) else np.zeros(len(oc), bool)
+            ni = nid[pos[hit]]
+            rev = np.zeros(n_nations, np.int64)
+            np.add.at(rev, ni, price[hit])  # exact int64 (no float weights)
+            return pa.table(
+                {
+                    "nid": pa.array(np.arange(n_nations, dtype=np.int64)),
+                    "revenue_e2": pa.array(rev),
+                    "n_orders": pa.array(
+                        np.bincount(ni, minlength=n_nations).astype(np.int64)
+                    ),
+                }
+            )
+
+        parts = (
+            _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            .map_batches(
+                rev_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+            )
+            .to_pandas()
+        )
+        g = parts.groupby("nid", as_index=False).sum()
+        g = g[g["n_orders"] > 0]  # inner-join semantics: only nations hit
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series(
+                    [name_by_key[nkeys[int(i)]] for i in g["nid"]], dtype=object
+                ),
+                "revenue_e2": g["revenue_e2"].to_numpy().astype(np.int64),
+                "n_orders": g["n_orders"].to_numpy().astype(np.int64),
+            }
+        )
+
     lookup_ref = ray.put(name_by_key)
 
     od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
@@ -4150,11 +4215,13 @@ def q_dense_rank(sf_dir: str):
         g = df[["lang", "n_chars"]].drop_duplicates()
         return _arrow_out(g)
 
+    # driver merge of per-block distinct partials — bounded by the
+    # (lang × n_chars) VALUE DOMAIN per block, not row count (the
+    # collision_rank pattern), so no hash-aggregate shuffle is needed
     distinct = (
         ds.map_batches(distinct_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
-        .groupby(["lang", "n_chars"])
-        .count()
         .to_pandas()
+        .drop_duplicates()
     )
     tables = {
         lang: np.sort(sub["n_chars"].to_numpy().astype(np.int64))
@@ -7655,7 +7722,86 @@ def q_tpch_q5(sf_dir: str, broadcast_max: int | None = None):
                 }
             )
 
-        ods = orders.map_batches(cust_nat, batch_format="pyarrow")
+        # Zero-shuffle finish: the date+region-filtered (o_orderkey, c_nat)
+        # side (a few % of orders) broadcasts ONCE via ray.put, every
+        # lineitem block resolves supplier AND customer nation locally,
+        # applies the same-nation predicate, and folds into a ≤25-slot
+        # per-nation partial; the driver merges O(blocks × nations) rows.
+        # No join, no aggregate shuffle — all-to-alls: zero.
+        odf = orders.map_batches(cust_nat, batch_format="pyarrow").to_pandas()
+        ok = odf["o_orderkey"].to_numpy()
+        oo = np.argsort(ok)
+        ord_ref = ray.put(
+            (
+                np.ascontiguousarray(ok[oo]),
+                np.ascontiguousarray(odf["c_nat"].to_numpy().astype(np.int64)[oo]),
+            )
+        )
+        n_nat = len(nat_keys)
+
+        def li_zero(t: pa.Table) -> pa.Table:
+            skeys, snats = ray.get(supp_ref)
+            okeys, onats = ray.get(ord_ref)
+            zero = pa.table(
+                {
+                    "nid": pa.array(np.arange(n_nat, dtype=np.int64)),
+                    "revenue_e4": pa.array(np.zeros(n_nat, np.int64)),
+                    "n": pa.array(np.zeros(n_nat, np.int64)),
+                }
+            )
+            lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            if not len(skeys) or not len(okeys) or not len(lsk):
+                return zero
+            spos = np.clip(np.searchsorted(skeys, lsk), 0, len(skeys) - 1)
+            hit = skeys[spos] == lsk
+            t = t.filter(pa.array(hit))
+            s_nat = snats[spos[hit]].astype(np.int64)
+            lok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            opos = np.clip(np.searchsorted(okeys, lok), 0, len(okeys) - 1)
+            ohit = okeys[opos] == lok
+            same = ohit & (onats[opos] == s_nat)
+            if not same.any():
+                return zero
+            price_c = np.rint(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[same] * 100.0
+            ).astype(np.int64)
+            disc_pct = np.rint(
+                t["l_discount"].to_numpy(zero_copy_only=False)[same] * 100.0
+            ).astype(np.int64)
+            nid = np.searchsorted(nat_keys, s_nat[same])
+            rev = np.zeros(n_nat, np.int64)
+            np.add.at(rev, nid, price_c * (100 - disc_pct))
+            return pa.table(
+                {
+                    "nid": pa.array(np.arange(n_nat, dtype=np.int64)),
+                    "revenue_e4": pa.array(rev),
+                    "n": pa.array(np.bincount(nid, minlength=n_nat).astype(np.int64)),
+                }
+            )
+
+        parts = (
+            _read(
+                sf_dir,
+                "lineitem",
+                columns=[
+                    "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+                ],
+            )
+            .map_batches(
+                li_zero, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+            )
+            .to_pandas()
+        )
+        g = parts.groupby("nid", as_index=False).sum()
+        g = g[g["n"] > 0]  # inner-join semantics: only nations with rows
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series(
+                    [nat_names[int(i)] for i in g["nid"]], dtype=object
+                ),
+                "revenue_e4": g["revenue_e4"].to_numpy().astype(np.int64),
+            }
+        )
     else:
         cust = _read(
             sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
