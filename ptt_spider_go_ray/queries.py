@@ -11037,10 +11037,129 @@ GROUP BY term
 """
 
 # ---------------------------------------------------------------------------
+# Q: MinHash signatures with an EXACT SQL oracle — the signature math behind
+# the (pytest-gated, probabilistic) dedup_minhash_lsh pipeline, verified
+# bit-for-bit: 3-token shingles, a 2^32 polynomial token/shingle hash both
+# engines compute identically (the SQL_FINGERPRINTS byte-fold shape, masked
+# to 2^32 so numpy uint64 and DuckDB BIGINT/HUGEINT agree), k universal
+# hashes, per-(doc, seed) min. Engine: one vectorized pass per batch — the
+# fixed-width-unicode codepoint matrix gives every token fp in ~max_len
+# column ops, shingle fps and the k seed hashes are pure uint64 array math,
+# and np.minimum.at folds them per doc. Docs never span batches, so there is
+# no merge step: the operator is a streaming map_batches, zero shuffles.
+# ---------------------------------------------------------------------------
+
+_MH_SEEDS = 8
+_MH_MOD = 1 << 32
+_MH_BASE = 1000003
+_MH_A = [(2654435761 + 2 * i) % _MH_MOD for i in range(_MH_SEEDS)]  # odd
+_MH_B = [40503 * i + 1 for i in range(_MH_SEEDS)]
+
+
+def q_minhash_signature(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    a_vec = np.array(_MH_A, dtype=np.uint64)
+    b_vec = np.array(_MH_B, dtype=np.uint64)
+
+    def sig(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "seed": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.int64()),
+            }
+        )
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        n_tok = toks.str.len().to_numpy()
+        keep = n_tok >= 3  # < 3 tokens → no shingle → no signature row
+        if not keep.any():
+            return empty
+        doc_ids = df["doc_id"].to_numpy()[keep]
+        lens = n_tok[keep].astype(np.int64)
+        flat = [t for lst in toks[keep] for t in lst]
+        # token fp: fold codepoints (ASCII [a-z0-9] ⇒ codepoint == UTF-8
+        # byte) through acc*BASE + b mod 2^32 — identical to the SQL
+        # list_reduce whose first element seeds the accumulator (0*BASE+b=b)
+        arr = np.asarray(flat, dtype=str)
+        width = arr.dtype.itemsize // 4
+        cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+        fp = np.zeros(len(arr), dtype=np.uint64)
+        for j in range(width):
+            col = cp[:, j]
+            nz = col != 0
+            fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
+        # 3-gram shingles within a doc: continue the same fold over token fps
+        widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        inner = (widx[:-2] == widx[1:-1]) & (widx[:-2] == widx[2:])
+        sfp = (
+            ((fp[:-2] * _MH_BASE + fp[1:-1]) % _MH_MOD) * _MH_BASE + fp[2:]
+        ) % _MH_MOD
+        sfp = sfp[inner]
+        sdoc = widx[:-2][inner]
+        # k universal hashes, per-(doc, seed) min; sfp*a + b < 2^64 (exact)
+        h = (sfp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_MOD
+        mins = np.full((len(lens), _MH_SEEDS), _MH_MOD, dtype=np.uint64)
+        np.minimum.at(mins, sdoc, h)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, _MH_SEEDS)),
+                "seed": pa.array(
+                    np.tile(np.arange(_MH_SEEDS, dtype=np.int64), len(lens))
+                ),
+                "sig": pa.array(mins.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+def _minhash_signature_sql() -> str:
+    seed_rows = ", ".join(
+        f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(_MH_SEEDS)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+sh AS (
+  SELECT a.doc_id,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sd AS (SELECT * FROM (VALUES {seed_rows}) AS s(seed, a, b))
+SELECT sh.doc_id,
+       CAST(sd.seed AS BIGINT) AS seed,
+       CAST(min((CAST(sh.sfp AS HUGEINT) * sd.a + sd.b) % {_MH_MOD}) AS BIGINT) AS sig
+FROM sh, sd
+GROUP BY 1, 2
+"""
+
+
+SQL_MINHASH_SIGNATURE = _minhash_signature_sql()
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
