@@ -11056,10 +11056,48 @@ _MH_A = [(2654435761 + 2 * i) % _MH_MOD for i in range(_MH_SEEDS)]  # odd
 _MH_B = [40503 * i + 1 for i in range(_MH_SEEDS)]
 
 
-def q_minhash_signature(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+def _mh_sig_batch(df: pd.DataFrame):
+    """Per-batch MinHash signature matrix: (doc_ids, mins[n_docs, k]) over
+    docs with ≥3 tokens, or None when the batch yields none. Shared by
+    q_minhash_signature (long output) and q_minhash_band_pairs (band keys)."""
     a_vec = np.array(_MH_A, dtype=np.uint64)
     b_vec = np.array(_MH_B, dtype=np.uint64)
+    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    n_tok = toks.str.len().to_numpy()
+    keep = n_tok >= 3  # < 3 tokens → no shingle → no signature row
+    if not keep.any():
+        return None
+    doc_ids = df["doc_id"].to_numpy()[keep]
+    lens = n_tok[keep].astype(np.int64)
+    flat = [t for lst in toks[keep] for t in lst]
+    # token fp: fold codepoints (ASCII [a-z0-9] ⇒ codepoint == UTF-8
+    # byte) through acc*BASE + b mod 2^32 — identical to the SQL
+    # list_reduce whose first element seeds the accumulator (0*BASE+b=b)
+    arr = np.asarray(flat, dtype=str)
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    fp = np.zeros(len(arr), dtype=np.uint64)
+    for j in range(width):
+        col = cp[:, j]
+        nz = col != 0
+        fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
+    # 3-gram shingles within a doc: continue the same fold over token fps
+    widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    inner = (widx[:-2] == widx[1:-1]) & (widx[:-2] == widx[2:])
+    sfp = (
+        ((fp[:-2] * _MH_BASE + fp[1:-1]) % _MH_MOD) * _MH_BASE + fp[2:]
+    ) % _MH_MOD
+    sfp = sfp[inner]
+    sdoc = widx[:-2][inner]
+    # k universal hashes, per-(doc, seed) min; sfp*a + b < 2^64 (exact)
+    h = (sfp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_MOD
+    mins = np.full((len(lens), _MH_SEEDS), _MH_MOD, dtype=np.uint64)
+    np.minimum.at(mins, sdoc, h)
+    return doc_ids, mins
+
+
+def q_minhash_signature(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig(df: pd.DataFrame) -> pa.Table:
         empty = pa.table(
@@ -11069,42 +11107,15 @@ def q_minhash_signature(sf_dir: str):
                 "sig": pa.array([], pa.int64()),
             }
         )
-        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
-        n_tok = toks.str.len().to_numpy()
-        keep = n_tok >= 3  # < 3 tokens → no shingle → no signature row
-        if not keep.any():
+        r = _mh_sig_batch(df)
+        if r is None:
             return empty
-        doc_ids = df["doc_id"].to_numpy()[keep]
-        lens = n_tok[keep].astype(np.int64)
-        flat = [t for lst in toks[keep] for t in lst]
-        # token fp: fold codepoints (ASCII [a-z0-9] ⇒ codepoint == UTF-8
-        # byte) through acc*BASE + b mod 2^32 — identical to the SQL
-        # list_reduce whose first element seeds the accumulator (0*BASE+b=b)
-        arr = np.asarray(flat, dtype=str)
-        width = arr.dtype.itemsize // 4
-        cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
-        fp = np.zeros(len(arr), dtype=np.uint64)
-        for j in range(width):
-            col = cp[:, j]
-            nz = col != 0
-            fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
-        # 3-gram shingles within a doc: continue the same fold over token fps
-        widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        inner = (widx[:-2] == widx[1:-1]) & (widx[:-2] == widx[2:])
-        sfp = (
-            ((fp[:-2] * _MH_BASE + fp[1:-1]) % _MH_MOD) * _MH_BASE + fp[2:]
-        ) % _MH_MOD
-        sfp = sfp[inner]
-        sdoc = widx[:-2][inner]
-        # k universal hashes, per-(doc, seed) min; sfp*a + b < 2^64 (exact)
-        h = (sfp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_MOD
-        mins = np.full((len(lens), _MH_SEEDS), _MH_MOD, dtype=np.uint64)
-        np.minimum.at(mins, sdoc, h)
+        doc_ids, mins = r
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(doc_ids, _MH_SEEDS)),
                 "seed": pa.array(
-                    np.tile(np.arange(_MH_SEEDS, dtype=np.int64), len(lens))
+                    np.tile(np.arange(_MH_SEEDS, dtype=np.int64), len(doc_ids))
                 ),
                 "sig": pa.array(mins.reshape(-1).astype(np.int64)),
             }
@@ -11155,11 +11166,112 @@ GROUP BY 1, 2
 SQL_MINHASH_SIGNATURE = _minhash_signature_sql()
 
 # ---------------------------------------------------------------------------
+# Q: LSH band candidate pairs with an EXACT SQL oracle — the banding stage of
+# MinHash LSH, deterministic end-to-end: the 8 signature slots split into 4
+# bands of 2, a band key is the ordered "sig,sig" string, and a candidate
+# pair is two docs sharing any band key. Engine: band keys per batch (docs
+# never span batches) → ONE shuffle bucketed by hash(band|key) → per-bucket
+# pair expansion (triu indices per key group, sorted so doc_a < doc_b) →
+# distributed pair dedup (_dedup_pairs: duplicates of a pair share a bucket,
+# no task sees more than ~1/n of the pairs). The oracle re-derives the same
+# pairs with a band-key self-join over the signature CTE.
+# ---------------------------------------------------------------------------
+
+_MH_BANDS = _MH_SEEDS // 2
+
+
+def q_minhash_band_pairs(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets, _dedup_pairs
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_key_buckets = _coarse_buckets(max(n_docs, 1) * _MH_BANDS)
+    n_pair_buckets = _coarse_buckets(max(n_docs, 1))
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        r = _mh_sig_batch(df)
+        if r is None:
+            return pd.DataFrame(
+                {
+                    "band": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        doc_ids, mins = r
+        s = mins.astype(np.int64).astype(str)
+        frames = []
+        for b in range(_MH_BANDS):
+            key = pd.Series(s[:, 2 * b], dtype=object).str.cat(
+                pd.Series(s[:, 2 * b + 1], dtype=object), sep=","
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band": np.full(len(doc_ids), b, dtype=np.int64),
+                        "key": key.to_numpy(object),
+                        "doc_id": doc_ids.astype(np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        bk = (out["band"].astype(str) + "|" + out["key"]).to_numpy(object)
+        out["bucket"] = (pd.util.hash_array(bk) % n_key_buckets).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for (_band, _key), sub in g.groupby(["band", "key"], sort=False):
+            ids = np.sort(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(bands, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
+
+
+SQL_MINHASH_BAND_PAIRS = f"""
+WITH s AS ({SQL_MINHASH_SIGNATURE}),
+bk AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed) AS key
+  FROM s GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk a
+JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
