@@ -11056,12 +11056,10 @@ _MH_A = [(2654435761 + 2 * i) % _MH_MOD for i in range(_MH_SEEDS)]  # odd
 _MH_B = [40503 * i + 1 for i in range(_MH_SEEDS)]
 
 
-def _mh_sig_batch(df: pd.DataFrame):
-    """Per-batch MinHash signature matrix: (doc_ids, mins[n_docs, k]) over
-    docs with ≥3 tokens, or None when the batch yields none. Shared by
-    q_minhash_signature (long output) and q_minhash_band_pairs (band keys)."""
-    a_vec = np.array(_MH_A, dtype=np.uint64)
-    b_vec = np.array(_MH_B, dtype=np.uint64)
+def _mh_shingle_batch(df: pd.DataFrame):
+    """Per-batch 3-token shingle fps: (doc_ids, sdoc, sfp) over docs with
+    ≥3 tokens (sdoc indexes into doc_ids), or None when the batch yields
+    none. The fp math is the SQL-replicable 2^32 polynomial fold."""
     toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
     n_tok = toks.str.len().to_numpy()
     keep = n_tok >= 3  # < 3 tokens → no shingle → no signature row
@@ -11087,11 +11085,22 @@ def _mh_sig_batch(df: pd.DataFrame):
     sfp = (
         ((fp[:-2] * _MH_BASE + fp[1:-1]) % _MH_MOD) * _MH_BASE + fp[2:]
     ) % _MH_MOD
-    sfp = sfp[inner]
-    sdoc = widx[:-2][inner]
+    return doc_ids, widx[:-2][inner], sfp[inner]
+
+
+def _mh_sig_batch(df: pd.DataFrame):
+    """Per-batch MinHash signature matrix: (doc_ids, mins[n_docs, k]) over
+    docs with ≥3 tokens, or None when the batch yields none. Shared by
+    q_minhash_signature (long output) and q_minhash_band_pairs (band keys)."""
+    r = _mh_shingle_batch(df)
+    if r is None:
+        return None
+    doc_ids, sdoc, sfp = r
+    a_vec = np.array(_MH_A, dtype=np.uint64)
+    b_vec = np.array(_MH_B, dtype=np.uint64)
     # k universal hashes, per-(doc, seed) min; sfp*a + b < 2^64 (exact)
     h = (sfp[:, None] * a_vec[None, :] + b_vec[None, :]) % _MH_MOD
-    mins = np.full((len(lens), _MH_SEEDS), _MH_MOD, dtype=np.uint64)
+    mins = np.full((len(doc_ids), _MH_SEEDS), _MH_MOD, dtype=np.uint64)
     np.minimum.at(mins, sdoc, h)
     return doc_ids, mins
 
@@ -11266,12 +11275,167 @@ JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: verified near-dup pairs with an EXACT SQL oracle — the full MinHash→LSH
+# →exact-Jaccard-verify chain, deterministic end-to-end (the probabilistic
+# dedup_ngram_jaccard pipeline's semantics with SQL-replicable hashes).
+# Survivor = candidate pair whose exact Jaccard over distinct shingle fps is
+# ≥ 0.8, compared in pure integers (5·|A∩B| ≥ 4·|A∪B|) so both engines
+# agree bit-for-bit. Engine shape: the candidate pair set (already deduped,
+# O(near-dups) — the same documented small-side bound as CC's label map)
+# broadcasts once as a doc→(pair, side) membership map; every documents
+# block emits its distinct shingle fps replicated per pair membership into
+# hash(pair) buckets; per-bucket verification is three C-speed pandas
+# groupbys (side counts, both-sides intersection, integer threshold). The
+# shuffle moves shingle fps × pair multiplicity — never documents.
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_verified_dups(sf_dir: str):
+    import ray
+    from .pipelines.dedup import _coarse_buckets
+
+    cand = q_minhash_band_pairs(sf_dir).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pa_ids = cand["doc_a"].to_numpy(np.int64)
+    pb_ids = cand["doc_b"].to_numpy(np.int64)
+    n_pairs = len(cand)
+    n_buckets = _coarse_buckets(n_pairs)
+    # doc → (pair ids, sides) membership map; a doc in p pairs replicates
+    # its shingles p times (the pair fan-out, not a document fan-out)
+    member: dict[int, list[tuple[int, int]]] = {}
+    for pid in range(n_pairs):
+        member.setdefault(int(pa_ids[pid]), []).append((pid, 0))
+        member.setdefault(int(pb_ids[pid]), []).append((pid, 1))
+    member_ref = ray.put(
+        {d: (np.array([p for p, _ in v], np.int64),
+             np.array([s for _, s in v], np.int64))
+         for d, v in member.items()}
+    )
+    pairs_ref = ray.put((pa_ids, pb_ids))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        mem = ray.get(member_ref)
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "pid": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64"),
+                "sfp": pd.Series([], dtype="int64"),
+            }
+        )
+        df = df[df["doc_id"].isin(mem.keys())]
+        if df.empty:
+            return empty
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        # distinct (doc, sfp) once, then replicate per pair membership
+        dd = pd.DataFrame(
+            {"doc": doc_ids[sdoc].astype(np.int64), "sfp": sfp.astype(np.int64)}
+        ).drop_duplicates()
+        out_pid, out_side, out_sfp = [], [], []
+        for doc, sub in dd.groupby("doc", sort=False):
+            pids, sides = mem[int(doc)]
+            k = len(sub)
+            out_pid.append(np.repeat(pids, k))
+            out_side.append(np.repeat(sides, k))
+            out_sfp.append(np.tile(sub["sfp"].to_numpy(), len(pids)))
+        pid = np.concatenate(out_pid)
+        return pd.DataFrame(
+            {
+                "bucket": pid % n_buckets,
+                "pid": pid,
+                "side": np.concatenate(out_side),
+                "sfp": np.concatenate(out_sfp),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids = ray.get(pairs_ref)
+        side_n = g.groupby(["pid", "side"]).size().unstack(fill_value=0)
+        both = (
+            g.groupby(["pid", "sfp"]).size().rename("c").reset_index()
+        )
+        inter = (
+            both[both["c"] == 2].groupby("pid").size()
+            .reindex(side_n.index, fill_value=0)
+        )
+        na = side_n.get(0, pd.Series(0, index=side_n.index)).to_numpy(np.int64)
+        nb = side_n.get(1, pd.Series(0, index=side_n.index)).to_numpy(np.int64)
+        i = inter.to_numpy(np.int64)
+        ok = 5 * i >= 4 * (na + nb - i)  # J ≥ 0.8 in exact integers
+        pids = side_n.index.to_numpy(np.int64)[ok]
+        return pd.DataFrame(
+            {"doc_a": a_ids[pids], "doc_b": b_ids[pids]}
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+SQL_MINHASH_VERIFIED_DUPS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS ({SQL_MINHASH_BAND_PAIRS}),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.doc_a
+  JOIN sh y ON y.doc_id = p.doc_b AND y.sfp = x.sfp
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b
+FROM pairs p
+JOIN cnt a ON a.doc_id = p.doc_a
+JOIN cnt b ON b.doc_id = p.doc_b
+LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+WHERE 5 * COALESCE(i.i, 0) >= 4 * (a.n + b.n - COALESCE(i.i, 0))
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
+    "minhash_verified_dups": (q_minhash_verified_dups, SQL_MINHASH_VERIFIED_DUPS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
