@@ -11429,6 +11429,277 @@ WHERE 5 * COALESCE(i.i, 0) >= 4 * (a.n + b.n - COALESCE(i.i, 0))
 """
 
 # ---------------------------------------------------------------------------
+# Q: SimHash fingerprints with an EXACT SQL oracle — the other near-dup
+# sketch family (token-frequency-weighted sign-sum), deterministic and
+# bit-verified like the MinHash chain. 64 bits as two 32-bit halves (lo =
+# the 2^32 polynomial token fold, hi = the same fold with a second base) so
+# DuckDB BIGINT arithmetic never overflows; bit j of a half is set when
+# Σ_tokens (2·bit_j(fp) − 1) > 0 — an exact integer sum both engines
+# compute identically (tie Σ=0 → 0). Engine: one streaming map_batches —
+# per-batch token fps, a (tokens × 32) bit matrix folded per doc with
+# np.add.at, zero shuffles. Docs need ≥1 token (unlike the ≥3 of shingles).
+# ---------------------------------------------------------------------------
+
+_SH_BASE2 = 1000033  # second fold base for the high 32 bits
+
+
+def _simhash_batch(df: pd.DataFrame):
+    """Per-batch SimHash halves: (doc_ids, lo[n], hi[n]) over docs with ≥1
+    token, or None. Token fp folds are the SQL-replicable 2^32 polynomial."""
+    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    n_tok = toks.str.len().to_numpy()
+    keep = n_tok >= 1
+    if not keep.any():
+        return None
+    doc_ids = df["doc_id"].to_numpy()[keep]
+    lens = n_tok[keep].astype(np.int64)
+    flat = [t for lst in toks[keep] for t in lst]
+    arr = np.asarray(flat, dtype=str)
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    fp_lo = np.zeros(len(arr), dtype=np.uint64)
+    fp_hi = np.zeros(len(arr), dtype=np.uint64)
+    for j in range(width):
+        col = cp[:, j]
+        nz = col != 0
+        fp_lo[nz] = (fp_lo[nz] * _MH_BASE + col[nz]) % _MH_MOD
+        fp_hi[nz] = (fp_hi[nz] * _SH_BASE2 + col[nz]) % _MH_MOD
+    widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    halves = []
+    shifts = np.arange(32, dtype=np.uint64)
+    for fp in (fp_lo, fp_hi):
+        bits = ((fp[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+        bitsum = np.zeros((len(lens), 32), dtype=np.int64)
+        np.add.at(bitsum, widx, bits)
+        # Σ(2b−1) = 2·Σb − n > 0  ⇔  2·Σb > n
+        setbits = (2 * bitsum > lens[:, None]).astype(np.int64)
+        halves.append((setbits << np.arange(32, dtype=np.int64)).sum(1))
+    return doc_ids, halves[0], halves[1]
+
+
+def q_simhash_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pa.Table:
+        r = _simhash_batch(df)
+        if r is None:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sim_lo": pa.array([], pa.int64()),
+                    "sim_hi": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids, lo, hi = r
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.astype(np.int64)),
+                "sim_lo": pa.array(lo),
+                "sim_hi": pa.array(hi),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+def _simhash_sql_body() -> str:
+    """Shared CTE chain computing (doc_id, sim_lo, sim_hi)."""
+    return rf"""
+t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, len(toks) AS n
+  FROM t WHERE len(toks) >= 1
+),
+tf AS (
+  SELECT doc_id, n,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp_lo,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_SH_BASE2} + b) % {_MH_MOD}) AS fp_hi
+  FROM tok
+),
+js AS (SELECT unnest(range(32)) AS j),
+bitsum AS (
+  SELECT doc_id, j,
+         sum((fp_lo // (1::BIGINT << j)) % 2) AS s_lo,
+         sum((fp_hi // (1::BIGINT << j)) % 2) AS s_hi,
+         any_value(n) AS n
+  FROM tf, js
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * s_lo > n THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sim_lo,
+         CAST(sum(CASE WHEN 2 * s_hi > n THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sim_hi
+  FROM bitsum GROUP BY 1
+)"""
+
+
+SQL_SIMHASH_FINGERPRINT = f"""
+WITH {_simhash_sql_body()}
+SELECT doc_id, sim_lo, sim_hi FROM sim
+"""
+
+# ---------------------------------------------------------------------------
+# Q: SimHash Hamming near-dup pairs, SQL-oracled — the block-LSH candidate
+# + exact-verify chain over the fingerprints above: the 64 bits split into
+# 4 blocks of 16 (a pair of near-dups differing in ≤3 bits must agree on
+# ≥1 whole block by pigeonhole), candidates share any (block, value) key,
+# survivors have exact Hamming distance ≤ 3 (popcounts of the two 32-bit
+# XOR halves). Engine mirrors minhash_band_pairs: block keys per batch →
+# one hash(block|value) shuffle → per-bucket triu pairs carrying both
+# fingerprints → distributed pair dedup → vectorized popcount verify.
+# ---------------------------------------------------------------------------
+
+_SH_HAMMING_MAX = 3
+
+
+def q_simhash_hamming_pairs(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets, _dedup_pairs
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_key_buckets = _coarse_buckets(max(n_docs, 1) * 4)
+    n_pair_buckets = _coarse_buckets(max(n_docs, 1))
+
+    def blocks(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "blk": pd.Series([], dtype="int64"),
+                "val": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "sim_lo": pd.Series([], dtype="int64"),
+                "sim_hi": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        r = _simhash_batch(df)
+        if r is None:
+            return empty
+        doc_ids, lo, hi = r
+        parts = []
+        for b, vals in enumerate(
+            [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+        ):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "blk": np.full(len(doc_ids), b, dtype=np.int64),
+                        "val": vals,
+                        "doc_id": doc_ids.astype(np.int64),
+                        "sim_lo": lo,
+                        "sim_hi": hi,
+                    }
+                )
+            )
+        out = pd.concat(parts, ignore_index=True)
+        key = out["blk"].to_numpy() * np.int64(65536) + out["val"].to_numpy()
+        out["bucket"] = (pd.util.hash_array(key) % n_key_buckets).astype(
+            np.int64
+        )
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Verify INSIDE the block group so only true survivors ever
+        shuffle: per (blk, val) the popcount matrix is computed over the m
+        DISTINCT fingerprints (hot block values — common bit patterns — make
+        raw doc pairs quadratic: 411k candidates vs 680 survivors at sf0.1),
+        then only fp pairs with Hamming ≤ max expand back to doc pairs
+        (those are genuine output rows)."""
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        out = []
+        for (_b, _v), sub in g.groupby(["blk", "val"], sort=False):
+            if len(sub) < 2:
+                continue
+            codes, uniq = pd.factorize(
+                (sub["sim_lo"].to_numpy().astype(np.uint64) << np.uint64(32))
+                | sub["sim_hi"].to_numpy().astype(np.uint64)
+            )
+            m = len(uniq)
+            uniq = np.asarray(uniq, dtype=np.uint64)
+            lo_u = uniq >> np.uint64(32)
+            hi_u = uniq & np.uint64(0xFFFFFFFF)
+            ham = np.zeros((m, m), dtype=np.int64)
+            for z in (lo_u[:, None] ^ lo_u[None, :], hi_u[:, None] ^ hi_u[None, :]):
+                v = z.copy()
+                while v.any():
+                    ham += (v & 1).astype(np.int64)
+                    v >>= np.uint64(1)
+            docs_by_code = [
+                np.sort(sub["doc_id"].to_numpy()[codes == c]) for c in range(m)
+            ]
+            ia, ja = np.nonzero(np.triu(ham <= _SH_HAMMING_MAX))
+            for i, j in zip(ia, ja):
+                di, dj = docs_by_code[i], docs_by_code[j]
+                if i == j:
+                    if len(di) < 2:
+                        continue
+                    xa, xb = np.triu_indices(len(di), k=1)
+                    a, b = di[xa], di[xb]
+                else:
+                    a = np.repeat(di, len(dj))
+                    b = np.tile(dj, len(di))
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": a,
+                            "doc_b": b,
+                            "hamming": np.full(len(a), ham[i, j], np.int64),
+                        }
+                    )
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(blocks, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
+
+
+SQL_SIMHASH_HAMMING_PAIRS = f"""
+WITH {_simhash_sql_body()},
+bs AS (SELECT unnest(range(4)) AS b),
+blk AS (
+  SELECT doc_id, sim_lo, sim_hi, b,
+         CASE b WHEN 0 THEN sim_lo % 65536 WHEN 1 THEN sim_lo // 65536
+                WHEN 2 THEN sim_hi % 65536 ELSE sim_hi // 65536 END AS val
+  FROM sim, bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sim_lo AS lo_a, b.sim_lo AS lo_b,
+         a.sim_hi AS hi_a, b.sim_hi AS hi_b
+  FROM blk a
+  JOIN blk b ON a.b = b.b AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {_SH_HAMMING_MAX}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11436,6 +11707,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "minhash_verified_dups": (q_minhash_verified_dups, SQL_MINHASH_VERIFIED_DUPS),
+    "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
+    "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),

@@ -16,13 +16,18 @@ from ptt_spider_go_ray.queries import (
     SQL_MINHASH_BAND_PAIRS,
     SQL_MINHASH_SIGNATURE,
     SQL_MINHASH_VERIFIED_DUPS,
+    SQL_SIMHASH_FINGERPRINT,
+    SQL_SIMHASH_HAMMING_PAIRS,
     _mh_shingle_batch,
     _mh_sig_batch,
+    _simhash_batch,
     _MH_MOD,
     _MH_SEEDS,
     q_minhash_band_pairs,
     q_minhash_signature,
     q_minhash_verified_dups,
+    q_simhash_fingerprint,
+    q_simhash_hamming_pairs,
 )
 
 BASE_TEXT = (
@@ -105,6 +110,41 @@ def test_minhash_chain_matches_oracle_on_edge_table(ray_session, docs_dir):
         want = _canon(_duck(docs_dir, sql))
         assert list(got.columns) == list(want.columns)
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_simhash_batch_edge_inputs():
+    # simhash needs only ≥1 token (vs ≥3 for shingles)
+    df = pd.DataFrame({"doc_id": [5, 6, 7], "text": ["", None, "中文 没有"]})
+    assert _simhash_batch(df) is None
+    df = pd.DataFrame({"doc_id": [4, 0], "text": ["two tokens", BASE_TEXT]})
+    doc_ids, lo, hi = _simhash_batch(df)
+    assert doc_ids.tolist() == [4, 0]
+    assert (lo < 1 << 32).all() and (hi < 1 << 32).all()
+
+
+def test_simhash_identical_docs_zero_hamming():
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [BASE_TEXT, BASE_TEXT]})
+    _ids, lo, hi = _simhash_batch(df)
+    assert lo[0] == lo[1] and hi[0] == hi[1]
+
+
+def test_simhash_chain_matches_oracle_on_edge_table(ray_session, docs_dir):
+    for fn, sql in [
+        (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
+        (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
+    ]:
+        r = fn(docs_dir)
+        got = _canon(r if isinstance(r, pd.DataFrame) else r.to_pandas())
+        want = _canon(_duck(docs_dir, sql))
+        assert list(got.columns) == list(want.columns)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_simhash_exact_dup_pair_survives(ray_session, docs_dir):
+    r = q_simhash_hamming_pairs(docs_dir)
+    got = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+    rows = {(a, b): h for a, b, h in got.to_numpy()}
+    assert rows.get((0, 1)) == 0  # identical docs → Hamming 0
 
 
 def test_minhash_verified_dups_planted_pairs(ray_session, docs_dir):
