@@ -11700,6 +11700,80 @@ WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {_SH_HAMMING_MA
 """
 
 # ---------------------------------------------------------------------------
+# Q: embedding Gram matrix (distributed linear algebra) — X^T X over the
+# embedding column, the building block of covariance/PCA/whitening at
+# corpus scale. Engine: one int64 matmul per batch (values quantized by
+# floor(v·2^20) — a POWER-OF-TWO scale, so the float64 product is exact and
+# floor is bit-identical in numpy and DuckDB, unlike decimal rounding whose
+# half-way ties the two engines break differently), emitting d(d+1)/2
+# upper-triangle partials per block; the driver merges O(blocks · d²) tiny
+# rows in arbitrary-precision Python ints (the corr_qty_price pattern — no
+# int64 overflow at any row count). Zero shuffles; the matmul is the only
+# O(rows) work and it's a single BLAS-shaped integer kernel per batch.
+# ---------------------------------------------------------------------------
+
+_GRAM_SCALE = 1 << 20
+
+
+def q_embedding_gram(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "gram_q": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qm = np.floor(mat * float(_GRAM_SCALE)).astype(np.int64)
+        g = qm.T @ qm  # integer matmul — exact
+        iu, ju = np.triu_indices(qm.shape[1])
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "gram_q": pa.array(g[iu, ju]),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    # driver merge in Python ints: exact at any scale (per-block partials
+    # are < 2^63 for blocks up to ~2^23 rows; the cross-block sum is not)
+    parts["gram_q"] = parts["gram_q"].astype(object)
+    g = parts.groupby(["i", "j"], as_index=False)["gram_q"].sum()
+    return pd.DataFrame(
+        {
+            "i": g["i"].to_numpy().astype(np.int64),
+            "j": g["j"].to_numpy().astype(np.int64),
+            "gram_q": g["gram_q"].astype("int64"),
+        }
+    )
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS u,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(u AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT) AS qv
+  FROM e
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS gram_q
+FROM q a
+JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11709,6 +11783,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "minhash_verified_dups": (q_minhash_verified_dups, SQL_MINHASH_VERIFIED_DUPS),
     "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
+    "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
