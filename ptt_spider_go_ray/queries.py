@@ -11774,6 +11774,161 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: hashing-trick token features (feature hashing / "the hashing trick") —
+# the classic fixed-width text vectorization for training pipelines: token
+# → bucket = token_fp % D, signed by one fp bit so collisions cancel in
+# expectation (Weinberger et al.). Output is the sparse long form
+# (doc_id, feature, weight) with weight = Σ ±tf, exact integers both
+# engines compute identically (the SQL-replicable 2^32 token fold). Engine:
+# one streaming map_batches — per-batch token fps, np.add.at into a
+# (docs × D) dense partial, re-sparsified per block. Zero shuffles.
+# ---------------------------------------------------------------------------
+
+_FH_DIM = 256
+
+
+def q_hashing_trick(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "feature": pa.array([], pa.int64()),
+                "weight": pa.array([], pa.int64()),
+            }
+        )
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        n_tok = toks.str.len().to_numpy()
+        keep = n_tok >= 1
+        if not keep.any():
+            return empty
+        doc_ids = df["doc_id"].to_numpy()[keep]
+        lens = n_tok[keep].astype(np.int64)
+        flat = [t for lst in toks[keep] for t in lst]
+        arr = np.asarray(flat, dtype=str)
+        width = arr.dtype.itemsize // 4
+        cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+        fp = np.zeros(len(arr), dtype=np.uint64)
+        for j in range(width):
+            col = cp[:, j]
+            nz = col != 0
+            fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
+        bucket = (fp % _FH_DIM).astype(np.int64)
+        # sign bit: bit D_log2 of the fp (above the bucket bits) → ±1
+        sign = 1 - 2 * ((fp // _FH_DIM) % 2).astype(np.int64)
+        widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        dense = np.zeros((len(lens), _FH_DIM), dtype=np.int64)
+        np.add.at(dense, (widx, bucket), sign)
+        di, fi = np.nonzero(dense)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[di].astype(np.int64)),
+                "feature": pa.array(fi.astype(np.int64)),
+                "weight": pa.array(dense[di, fi]),
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+SQL_HASHING_TRICK = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE len(toks) >= 1),
+tf AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+)
+SELECT doc_id,
+       fp % {_FH_DIM} AS feature,
+       CAST(sum(1 - 2 * ((fp // {_FH_DIM}) % 2)) AS BIGINT) AS weight
+FROM tf
+GROUP BY 1, 2
+HAVING sum(1 - 2 * ((fp // {_FH_DIM}) % 2)) != 0
+"""
+
+# ---------------------------------------------------------------------------
+# Q: random-projection embedding sketch (Johnson–Lindenstrauss with a ±1
+# sign matrix derived from an integer hash both engines compute
+# identically) — dimensionality reduction for the embedding column without
+# shipping a projection matrix: sign(d, k) = 1 − 2·((d·2654435761 + k·40503
+# + 11) mod 2^32 mod 2), projection_k = Σ_d q_d · sign(d, k) over the
+# floor(v·2^20) exact quantization. Engine: the sign matrix is built ONCE
+# per batch call from pure arithmetic (cheap, deterministic, no broadcast
+# needed) and applied as one integer matmul per batch; output is the long
+# (vec_id, k, proj_q) form. Zero shuffles, exact at any scale per block.
+# ---------------------------------------------------------------------------
+
+_RP_K = 8
+_RP_C1 = 2654435761
+_RP_C2 = 40503
+_RP_C3 = 11
+
+
+def q_random_projection(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "proj_q": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qm = np.floor(mat * float(_GRAM_SCALE)).astype(np.int64)
+        d = qm.shape[1]
+        dd, kk = np.meshgrid(
+            np.arange(d, dtype=np.uint64),
+            np.arange(_RP_K, dtype=np.uint64),
+            indexing="ij",
+        )
+        h = (dd * np.uint64(_RP_C1) + kk * np.uint64(_RP_C2) + np.uint64(_RP_C3)) % np.uint64(_MH_MOD)
+        signs = (1 - 2 * (h % np.uint64(2)).astype(np.int64))
+        proj = qm @ signs  # (rows × k) exact integer matmul
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, _RP_K)),
+                "k": pa.array(
+                    np.tile(np.arange(_RP_K, dtype=np.int64), len(vids))
+                ),
+                "proj_q": pa.array(proj.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS u,
+         unnest(range(len(embedding))) AS d
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(u AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT) AS qv
+  FROM e
+),
+ks AS (SELECT unnest(range({_RP_K})) AS k)
+SELECT vec_id, k,
+       CAST(sum(qv * (1 - 2 * (((d * {_RP_C1} + k * {_RP_C2} + {_RP_C3}) % {_MH_MOD}) % 2))) AS BIGINT) AS proj_q
+FROM q, ks
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11784,6 +11939,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "hashing_trick": (q_hashing_trick, SQL_HASHING_TRICK),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
