@@ -11562,6 +11562,16 @@ SELECT doc_id, sim_lo, sim_hi FROM sim
 _SH_HAMMING_MAX = 3
 
 
+def _popcount32(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount of 32-bit values held in uint64 — constant
+    5 array ops instead of a 32-iteration shift loop."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x55555555))
+    x = (x & np.uint64(0x33333333)) + ((x >> np.uint64(2)) & np.uint64(0x33333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    return ((x * np.uint64(0x01010101)) >> np.uint64(24)).astype(np.int64) & np.int64(0x3F)
+
+
 def q_simhash_hamming_pairs(sf_dir: str):
     import pyarrow.parquet as pq
     from .pipelines.dedup import _coarse_buckets, _dedup_pairs
@@ -11633,12 +11643,9 @@ def q_simhash_hamming_pairs(sf_dir: str):
             uniq = np.asarray(uniq, dtype=np.uint64)
             lo_u = uniq >> np.uint64(32)
             hi_u = uniq & np.uint64(0xFFFFFFFF)
-            ham = np.zeros((m, m), dtype=np.int64)
-            for z in (lo_u[:, None] ^ lo_u[None, :], hi_u[:, None] ^ hi_u[None, :]):
-                v = z.copy()
-                while v.any():
-                    ham += (v & 1).astype(np.int64)
-                    v >>= np.uint64(1)
+            ham = _popcount32(lo_u[:, None] ^ lo_u[None, :]) + _popcount32(
+                hi_u[:, None] ^ hi_u[None, :]
+            )
             docs_by_code = [
                 np.sort(sub["doc_id"].to_numpy()[codes == c]) for c in range(m)
             ]
