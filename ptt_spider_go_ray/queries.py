@@ -644,6 +644,59 @@ QUALIFY rank <= {ANN_K}
 """
 
 
+def q_ann_label_precision(sf_dir: str):
+    """Embedding-retrieval EVALUATION: precision@k of the exact cosine
+    top-k against the embeddings.label column — the standard
+    label-agreement quality gate for an ANN index. The distributed work is
+    q_ann_topk itself (broadcast queries, per-batch matmul + partial
+    top-k); this final step touches only the O(queries × k) result plus a
+    row-group-pruned label read (`vec_id in {{...}}`), never the corpus."""
+    import pyarrow.parquet as pq
+
+    top = q_ann_topk(sf_dir).to_pandas()  # queries × k rows — tiny
+    need = sorted(
+        set(top["query_id"].tolist()) | set(top["neighbor_id"].tolist())
+    )
+    lab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=[("vec_id", "in", need)],
+    ).to_pandas()
+    lmap = dict(zip(lab["vec_id"].astype("int64"), lab["label"].astype("int64")))
+    qlab = top["query_id"].map(lmap).to_numpy(np.int64)
+    nlab = top["neighbor_id"].map(lmap).to_numpy(np.int64)
+    d = pd.DataFrame(
+        {
+            "query_id": top["query_id"].astype("int64"),
+            "query_label": qlab,
+            "match": (qlab == nlab).astype(np.int64),
+        }
+    )
+    g = d.groupby(["query_id", "query_label"], as_index=False)["match"].sum()
+    return pd.DataFrame(
+        {
+            "query_id": g["query_id"].astype("int64"),
+            "query_label": g["query_label"].astype("int64"),
+            "n_match": g["match"].astype("int64"),
+            # single int/int IEEE division — bit-matches the SQL expression
+            "precision_at_k": g["match"].to_numpy(np.int64) / float(ANN_K),
+        }
+    )
+
+
+SQL_ANN_LABEL_PRECISION = f"""
+WITH topk AS ({SQL_ANN_TOPK}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+SELECT t.query_id,
+       ql.label AS query_label,
+       CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE) / {ANN_K} AS precision_at_k
+FROM topk t
+JOIN lab ql ON ql.vec_id = t.query_id
+JOIN lab nl ON nl.vec_id = t.neighbor_id
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q: union (set op) — low-push ∪ high-push event slices
 # ---------------------------------------------------------------------------
@@ -11947,6 +12000,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "simhash_hamming_pairs": (q_simhash_hamming_pairs, SQL_SIMHASH_HAMMING_PAIRS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "hashing_trick": (q_hashing_trick, SQL_HASHING_TRICK),
+    "ann_label_precision": (q_ann_label_precision, SQL_ANN_LABEL_PRECISION),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
