@@ -267,6 +267,36 @@ def _quality_scores(sf_dir: str):
     return quality_scores(sf_dir)
 
 
+def _lang_confusion(sf_dir: str):
+    """Language-ID EVALUATION: the (true lang × predicted lang) confusion
+    matrix over the oracled lang_id predictions — per-batch crosstab
+    partials bounded by the ≤6×6 label domain, driver merge of
+    O(blocks × domain) tiny rows. Exact integer counts; the oracle wraps
+    the lang_id SQL as a CTE and re-aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    from .pipelines.textanalysis import lang_id
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    parts = (
+        lang_id(sf_dir)
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    return pd.DataFrame(
+        {
+            "lang": g["lang"].astype(object),
+            "pred_lang": g["pred_lang"].astype(object),
+            "n": g["n"].to_numpy().astype(np.int64),
+        }
+    )
+
+
 def _token_counts(sf_dir: str):
     from .pipelines.textanalysis import token_counts_bpe
 
@@ -429,6 +459,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": _ann_ivf,
     "ann_lsh_topk": _ann_lsh,
     "lang_id": _lang_id,
+    "lang_confusion": _lang_confusion,
     "quality_scores": _quality_scores,
     "token_counts_bpe": _token_counts,
     "fingerprints": _fingerprints,
@@ -731,6 +762,11 @@ EXTRA_ORACLES: dict[str, str] = {
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "fingerprints": SQL_FINGERPRINTS,
     "lang_id": _lang_id_sql(),
+    "lang_confusion": (
+        f"WITH pred AS ({_lang_id_sql()})\n"
+        "SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY 1, 2"
+    ),
     "quality_scores": _quality_scores_sql(),
     # the parquet write→read roundtrip must reproduce flagship_spans exactly
     "flagship_write_roundtrip": SQL_FLAGSHIP_SPANS,
