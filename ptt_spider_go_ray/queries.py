@@ -11989,6 +11989,71 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: near-duplicate rate by source — corpus analytics over the oracled
+# MinHash→LSH→verify chain: a doc is a duplicate when it has a smaller
+# verified near-dup partner (keep-first survivorship, the dedup_exact
+# convention), rolled up per source. Engine: the verified-pair doc_b set
+# (O(near-dups), the documented small-side bound) broadcasts once; one
+# streaming pass over (doc_id, source) folds per-batch counts into
+# O(blocks × sources) partials; the dup rate is a single int/int IEEE
+# division both engines compute identically.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    import ray
+
+    dups = q_minhash_verified_dups(sf_dir)
+    if not isinstance(dups, pd.DataFrame):
+        dups = dups.to_pandas()
+    dup_ids = np.unique(dups["doc_b"].to_numpy(np.int64)) if len(dups) else np.array([], np.int64)
+    dup_ref = ray.put(dup_ids)  # sorted — searchsorted membership below
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(dup_ref)
+        doc = df["doc_id"].to_numpy(np.int64)
+        if len(ids):
+            pos = np.clip(np.searchsorted(ids, doc), 0, len(ids) - 1)
+            is_dup = (ids[pos] == doc).astype(np.int64)
+        else:
+            is_dup = np.zeros(len(doc), np.int64)
+        g = pd.DataFrame({"source": df["source"].to_numpy(object), "d": is_dup})
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("d", "size"), n_dups=("d", "sum")
+        )
+        return out.astype({"n_docs": "int64", "n_dups": "int64"})
+
+    parts = ds.map_batches(
+        part, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    g = parts.groupby("source", as_index=False)[["n_docs", "n_dups"]].sum()
+    nd = g["n_docs"].to_numpy(np.int64)
+    du = g["n_dups"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "source": g["source"].astype(object),
+            "n_docs": nd,
+            "n_dups": du,
+            "dup_rate": du / nd.astype(np.float64),
+        }
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH pairs AS ({SQL_MINHASH_VERIFIED_DUPS}),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dp.doc_id) AS BIGINT) AS n_dups,
+       CAST(count(dp.doc_id) AS DOUBLE) / count(*) AS dup_rate
+FROM documents d
+LEFT JOIN dups dp ON dp.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12001,6 +12066,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "hashing_trick": (q_hashing_trick, SQL_HASHING_TRICK),
     "ann_label_precision": (q_ann_label_precision, SQL_ANN_LABEL_PRECISION),
+    "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
