@@ -11241,10 +11241,27 @@ SQL_MINHASH_SIGNATURE = _minhash_signature_sql()
 
 _MH_BANDS = _MH_SEEDS // 2
 
+# Per-process memo keyed by (ray job id, sf_dir): minhash_band_pairs,
+# minhash_verified_dups and dup_rate_by_source share the candidate/verified
+# sets, which are pure functions of the input (the dedup.py _CAND_MEMO
+# pattern). Band pairs memoize as a MaterializedDataset (object store);
+# verified dups as the O(near-dups) driver DataFrame they already are.
+_MH_MEMO: dict[tuple, object] = {}
+
+
+def _mh_memo_key(sf_dir: str, what: str) -> tuple:
+    import ray
+
+    return (ray.get_runtime_context().get_job_id(), sf_dir, what)
+
 
 def q_minhash_band_pairs(sf_dir: str):
     import pyarrow.parquet as pq
     from .pipelines.dedup import _coarse_buckets, _dedup_pairs
+
+    key = _mh_memo_key(sf_dir, "band_pairs")
+    if key in _MH_MEMO:
+        return _MH_MEMO[key]
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_key_buckets = _coarse_buckets(max(n_docs, 1) * _MH_BANDS)
@@ -11312,7 +11329,9 @@ def q_minhash_band_pairs(sf_dir: str):
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
-    return _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets)
+    out = _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets).materialize()
+    _MH_MEMO[_mh_memo_key(sf_dir, "band_pairs")] = out
+    return out
 
 
 SQL_MINHASH_BAND_PAIRS = f"""
@@ -11347,14 +11366,20 @@ def q_minhash_verified_dups(sf_dir: str):
     import ray
     from .pipelines.dedup import _coarse_buckets
 
+    key = _mh_memo_key(sf_dir, "verified_dups")
+    if key in _MH_MEMO:
+        return _MH_MEMO[key]
+
     cand = q_minhash_band_pairs(sf_dir).to_pandas()
     if cand.empty:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_a": pd.Series([], dtype="int64"),
                 "doc_b": pd.Series([], dtype="int64"),
             }
         )
+        _MH_MEMO[key] = out
+        return out
     cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pa_ids = cand["doc_a"].to_numpy(np.int64)
     pb_ids = cand["doc_b"].to_numpy(np.int64)
@@ -11430,12 +11455,15 @@ def q_minhash_verified_dups(sf_dir: str):
             {"doc_a": a_ids[pids], "doc_b": b_ids[pids]}
         )
 
-    return (
+    out = (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(emit, batch_format="pandas", batch_size=_COMBINE_BATCH)
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
+        .to_pandas()  # O(near-dups) — the same documented driver bound as cand
     )
+    _MH_MEMO[key] = out
+    return out
 
 
 SQL_MINHASH_VERIFIED_DUPS = f"""
