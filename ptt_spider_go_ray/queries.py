@@ -12082,6 +12082,92 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: corpus build v3 — the full training-data intake chain with NEAR-dup
+# (not just exact-dup) removal, end-to-end SQL-oracled: MinHash→LSH→exact-
+# Jaccard survivors (keep-first: a doc with a smaller verified partner is
+# dropped) ∧ the stopword quality gate (n_tokens ≥ 10, 20·n_stop ≥
+# n_tokens) → token counts + 256-BPE-token chunk plan. Engine: the
+# verified-pair set is memoized/broadcast (O(near-dups)); everything else
+# is ONE streaming pass over documents — the near-dup shuffle already
+# happened inside the chain, so this composite adds zero all-to-alls.
+# ---------------------------------------------------------------------------
+
+_CB3_CHUNK = 256
+
+
+def q_corpus_build_v3(sf_dir: str):
+    import ray
+
+    dups = q_minhash_verified_dups(sf_dir)
+    if not isinstance(dups, pd.DataFrame):
+        dups = dups.to_pandas()
+    dup_ids = (
+        np.unique(dups["doc_b"].to_numpy(np.int64))
+        if len(dups)
+        else np.array([], np.int64)
+    )
+    dup_ref = ray.put(dup_ids)
+    sw = set(EN_STOPWORDS)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(dup_ref)
+        text = df["text"].fillna("")
+        doc = df["doc_id"].to_numpy(np.int64)
+        n_tokens = text.str.split().str.len().astype("int64").to_numpy()
+        n_bpe = text.str.count(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]").astype("int64").to_numpy()
+        toks = text.str.lower().str.split().explode()
+        hits = toks[toks.isin(sw)].groupby(level=0).size()
+        n_stop = (
+            hits.reindex(df.index, fill_value=0).astype("int64").to_numpy()
+            if len(hits)
+            else np.zeros(len(df), np.int64)
+        )
+        if len(ids):
+            pos = np.clip(np.searchsorted(ids, doc), 0, len(ids) - 1)
+            is_dup = ids[pos] == doc
+        else:
+            is_dup = np.zeros(len(doc), bool)
+        m = (~is_dup) & (n_tokens >= 10) & (20 * n_stop >= n_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": doc[m],
+                "n_tokens": n_tokens[m],
+                "n_bpe_tokens": n_bpe[m],
+                "n_chunks": (n_bpe[m] + _CB3_CHUNK - 1) // _CB3_CHUNK,
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=_COMBINE_BATCH)
+
+
+SQL_CORPUS_BUILD_V3 = rf"""
+WITH pairs AS ({{verified}}),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+m AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens,
+         CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                     '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'),
+                              x -> list_contains([{{sw}}], x))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT m.doc_id, n_tokens, n_bpe_tokens,
+       CAST((n_bpe_tokens + {_CB3_CHUNK} - 1) // {_CB3_CHUNK} AS BIGINT) AS n_chunks
+FROM m
+LEFT JOIN dups d ON d.doc_id = m.doc_id
+WHERE d.doc_id IS NULL AND n_tokens >= 10 AND 20 * n_stop >= n_tokens
+"""
+SQL_CORPUS_BUILD_V3 = SQL_CORPUS_BUILD_V3.format(
+    verified=SQL_MINHASH_VERIFIED_DUPS, sw=_SW_LIST
+)
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12095,6 +12181,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "hashing_trick": (q_hashing_trick, SQL_HASHING_TRICK),
     "ann_label_precision": (q_ann_label_precision, SQL_ANN_LABEL_PRECISION),
     "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
+    "corpus_build_v3": (q_corpus_build_v3, SQL_CORPUS_BUILD_V3),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
