@@ -12168,6 +12168,128 @@ SQL_CORPUS_BUILD_V3 = SQL_CORPUS_BUILD_V3.format(
 )
 
 # ---------------------------------------------------------------------------
+# Q: rendezvous (highest-random-weight) shard assignment — the partitioning
+# primitive for elastic resharding: each key goes to the shard with the
+# maximal hash weight, so growing K→K+1 moves ONLY the keys that land on
+# the new shard (no reshuffle of survivors — the property pytest asserts it
+# exactly). Weights are a double-multiply 2^32 mix both engines compute
+# identically (HUGEINT in SQL, uint64 in numpy); argmax ties break to the
+# lowest shard via the packed (h·K + (K−1−k)) max. Engine: one vectorized
+# (batch × K) weight matrix per block, streaming, zero shuffles.
+# ---------------------------------------------------------------------------
+
+_RV_K = 8
+
+
+def _rendezvous_shard(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
+    doc = doc_ids.astype(np.uint64) % np.uint64(_MH_MOD)
+    ks = np.arange(n_shards, dtype=np.uint64)
+    h1 = (
+        doc[:, None] * np.uint64(_RP_C1)
+        + ks[None, :] * np.uint64(_RP_C2)
+        + np.uint64(_RP_C3)
+    ) % np.uint64(_MH_MOD)
+    h = (h1 * np.uint64(_RP_C1)) % np.uint64(_MH_MOD)
+    # xor-fold the high half then re-mix: sequential key ranges otherwise
+    # keep a linear structure that skews the argmax (±60% shard imbalance
+    # on 0..n ids; ±5% after the fold) — still pure SQL arithmetic
+    h = h ^ (h >> np.uint64(16))
+    h = (h * np.uint64(_RP_C1)) % np.uint64(_MH_MOD)
+    packed = h * np.uint64(n_shards) + (np.uint64(n_shards - 1) - ks[None, :])
+    return (
+        np.int64(n_shards - 1)
+        - (packed.max(axis=1) % np.uint64(n_shards)).astype(np.int64)
+    )
+
+
+def q_rendezvous_shards(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "shard": pa.array(_rendezvous_shard(doc, _RV_K)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_RENDEZVOUS_SHARDS = f"""
+WITH ks AS (SELECT unnest(range({_RV_K})) AS k),
+w0 AS (
+  SELECT doc_id, k,
+         CAST((CAST((CAST(doc_id % {_MH_MOD} AS HUGEINT) * {_RP_C1}
+                + k * {_RP_C2} + {_RP_C3}) % {_MH_MOD} AS HUGEINT)
+          * {_RP_C1}) % {_MH_MOD} AS BIGINT) AS h0
+  FROM documents, ks
+),
+w AS (
+  SELECT doc_id, k,
+         (CAST(xor(h0, h0 // 65536) AS HUGEINT) * {_RP_C1}) % {_MH_MOD} AS h
+  FROM w0
+)
+SELECT doc_id,
+       CAST({_RV_K} - 1 - (max(h * {_RV_K} + ({_RV_K} - 1 - k)) % {_RV_K}) AS BIGINT) AS shard
+FROM w GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Z-order (Morton) locality key — the storage-layout primitive that
+# clusters 2-d-close rows (user, time-bucket) into contiguous key ranges so
+# range scans on either dimension touch few blocks. 16-bit quantized
+# coordinates bit-interleave into one 32-bit key; the interleave is a sum
+# of per-bit shifts both engines compute identically in exact integers.
+# Engine: vectorized bit math per block, streaming, zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_key(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def zkey(t: pa.Table) -> pa.Table:
+        u = (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(1 << 16)
+        )
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = (ts.astype(np.int64) // 86_400_000_000).astype(np.uint64) % np.uint64(
+            1 << 16
+        )
+        z = np.zeros(len(u), dtype=np.uint64)
+        for j in range(16):
+            bit = np.uint64(1) << np.uint64(j)
+            z |= ((u & bit) >> np.uint64(j)) << np.uint64(2 * j)
+            z |= ((day & bit) >> np.uint64(j)) << np.uint64(2 * j + 1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "zkey": pa.array(z.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(zkey, batch_format="pyarrow")
+
+
+SQL_ZORDER_KEY = f"""
+WITH js AS (SELECT unnest(range(16)) AS j),
+c AS (
+  SELECT event_id,
+         user_id % 65536 AS u,
+         (epoch_us(ts) // 86400000000) % 65536 AS day
+  FROM events
+)
+SELECT event_id,
+       CAST(sum(((u // (1::BIGINT << j)) % 2) * (1::BIGINT << (2 * j))
+                + ((day // (1::BIGINT << j)) % 2) * (1::BIGINT << (2 * j + 1)))
+            AS BIGINT) AS zkey
+FROM c, js
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -12182,6 +12304,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "ann_label_precision": (q_ann_label_precision, SQL_ANN_LABEL_PRECISION),
     "dup_rate_by_source": (q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE),
     "corpus_build_v3": (q_corpus_build_v3, SQL_CORPUS_BUILD_V3),
+    "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
