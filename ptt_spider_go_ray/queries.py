@@ -11906,14 +11906,19 @@ def q_hashing_trick(sf_dir: str):
         # sign bit: bit D_log2 of the fp (above the bucket bits) → ±1
         sign = 1 - 2 * ((fp // _FH_DIM) % 2).astype(np.int64)
         widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        dense = np.zeros((len(lens), _FH_DIM), dtype=np.int64)
-        np.add.at(dense, (widx, bucket), sign)
-        di, fi = np.nonzero(dense)
+        # sparse fold: O(tokens) memory, not O(docs × D) (a dense per-block
+        # matrix is 134 MB at the 65k combine batch) — bincount weights are
+        # float64 but sums of ±1 stay exact far past any batch size
+        keys = widx * np.int64(_FH_DIM) + bucket
+        uk, inv = np.unique(keys, return_inverse=True)
+        w = np.bincount(inv, weights=sign).astype(np.int64)
+        nz = w != 0
+        uk = uk[nz]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids[di].astype(np.int64)),
-                "feature": pa.array(fi.astype(np.int64)),
-                "weight": pa.array(dense[di, fi]),
+                "doc_id": pa.array(doc_ids[uk // _FH_DIM].astype(np.int64)),
+                "feature": pa.array((uk % _FH_DIM).astype(np.int64)),
+                "weight": pa.array(w[nz]),
             }
         )
 
@@ -12250,6 +12255,9 @@ def q_zorder_key(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def zkey(t: pa.Table) -> pa.Table:
+        # positive-epoch assumption: numpy floor-div and DuckDB // agree for
+        # ts ≥ 1970; pre-epoch timestamps would diverge (same class as the
+        # documented 46-bit span budget in q_range_join)
         u = (
             t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             % np.uint64(1 << 16)
