@@ -42,6 +42,8 @@ def _md5_col(texts) -> list[str]:
 
 
 _COMBINE_BATCH = 65536  # combiners need big batches to actually reduce
+_TEXT_BATCH = 4096  # per-doc text ops: token state is O(tokens in batch),
+# a 65k-doc batch of long docs is a worker-heap bomb and gains nothing
 
 
 def _arrow_out(df: pd.DataFrame) -> pa.Table:
@@ -11126,10 +11128,13 @@ def _mh_shingle_batch(df: pd.DataFrame):
     # list_reduce whose first element seeds the accumulator (0*BASE+b=b)
     arr = np.asarray(flat, dtype=str)
     width = arr.dtype.itemsize // 4
-    cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    # fold one column at a time: the uint32 view is zero-copy; converting
+    # the whole (tokens × width) matrix to uint64 up front is an O(8·n·w)
+    # allocation that blows worker heaps on big batches of long docs
+    cp = arr.view(np.uint32).reshape(len(arr), width)
     fp = np.zeros(len(arr), dtype=np.uint64)
     for j in range(width):
-        col = cp[:, j]
+        col = cp[:, j].astype(np.uint64)
         nz = col != 0
         fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
     # 3-gram shingles within a doc: continue the same fold over token fps
@@ -11183,7 +11188,7 @@ def q_minhash_signature(sf_dir: str):
             }
         )
 
-    return ds.map_batches(sig, batch_format="pandas", batch_size=_COMBINE_BATCH)
+    return ds.map_batches(sig, batch_format="pandas", batch_size=_TEXT_BATCH)
 
 
 def _minhash_signature_sql() -> str:
@@ -11325,7 +11330,7 @@ def q_minhash_band_pairs(sf_dir: str):
 
     cand = (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(bands, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .map_batches(bands, batch_format="pandas", batch_size=_TEXT_BATCH)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -11457,7 +11462,7 @@ def q_minhash_verified_dups(sf_dir: str):
 
     out = (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(emit, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .map_batches(emit, batch_format="pandas", batch_size=_TEXT_BATCH)
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()  # O(near-dups) — the same documented driver bound as cand
@@ -11537,11 +11542,11 @@ def _simhash_batch(df: pd.DataFrame):
     flat = [t for lst in toks[keep] for t in lst]
     arr = np.asarray(flat, dtype=str)
     width = arr.dtype.itemsize // 4
-    cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    cp = arr.view(np.uint32).reshape(len(arr), width)  # zero-copy view
     fp_lo = np.zeros(len(arr), dtype=np.uint64)
     fp_hi = np.zeros(len(arr), dtype=np.uint64)
     for j in range(width):
-        col = cp[:, j]
+        col = cp[:, j].astype(np.uint64)  # one column converted at a time
         nz = col != 0
         fp_lo[nz] = (fp_lo[nz] * _MH_BASE + col[nz]) % _MH_MOD
         fp_hi[nz] = (fp_hi[nz] * _SH_BASE2 + col[nz]) % _MH_MOD
@@ -11580,7 +11585,7 @@ def q_simhash_fingerprint(sf_dir: str):
             }
         )
 
-    return ds.map_batches(fp, batch_format="pandas", batch_size=_COMBINE_BATCH)
+    return ds.map_batches(fp, batch_format="pandas", batch_size=_TEXT_BATCH)
 
 
 def _simhash_sql_body() -> str:
@@ -11757,7 +11762,7 @@ def q_simhash_hamming_pairs(sf_dir: str):
 
     cand = (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(blocks, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .map_batches(blocks, batch_format="pandas", batch_size=_TEXT_BATCH)
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
@@ -11896,10 +11901,10 @@ def q_hashing_trick(sf_dir: str):
         flat = [t for lst in toks[keep] for t in lst]
         arr = np.asarray(flat, dtype=str)
         width = arr.dtype.itemsize // 4
-        cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+        cp = arr.view(np.uint32).reshape(len(arr), width)  # zero-copy view
         fp = np.zeros(len(arr), dtype=np.uint64)
         for j in range(width):
-            col = cp[:, j]
+            col = cp[:, j].astype(np.uint64)
             nz = col != 0
             fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
         bucket = (fp % _FH_DIM).astype(np.int64)
@@ -11922,7 +11927,7 @@ def q_hashing_trick(sf_dir: str):
             }
         )
 
-    return ds.map_batches(feats, batch_format="pandas", batch_size=_COMBINE_BATCH)
+    return ds.map_batches(feats, batch_format="pandas", batch_size=_TEXT_BATCH)
 
 
 SQL_HASHING_TRICK = rf"""
