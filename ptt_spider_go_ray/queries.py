@@ -12149,7 +12149,7 @@ def q_corpus_build_v3(sf_dir: str):
             }
         )
 
-    return ds.map_batches(keep, batch_format="pandas", batch_size=_COMBINE_BATCH)
+    return ds.map_batches(keep, batch_format="pandas", batch_size=_TEXT_BATCH)
 
 
 SQL_CORPUS_BUILD_V3 = rf"""
