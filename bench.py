@@ -208,17 +208,37 @@ def main() -> None:
 
     t_start = time.time()
     crawl = run_crawl_bench(args.pages, args.latency, args.cpus, batch_size=args.batch)
-    payload = {"crawl": crawl}
+    detail = {}
     if not args.crawl_only:
-        payload["queries"] = run_query_suite(SF_DIR)
-        payload["queries"]["crawl_bench"] = crawl["seconds"]
+        detail = run_query_suite(SF_DIR)
+        detail["crawl_bench"] = crawl["seconds"]
     total = time.time() - t_start
+    # The driver captures only the last ~2 KB of stdout; a 200-entry inline
+    # per-query map overflows that and loses the headline number (round-3
+    # BENCH_r03 "parsed": null). Keep the final line compact and write the
+    # full per-query timing map to a sidecar next to this script.
+    queries_summary = {}
+    if detail:
+        vals = sorted(detail.values())
+        queries_summary = {
+            "suite_total": round(sum(vals), 2),
+            "suite_median": round(vals[len(vals) // 2], 3),
+            "suite_max": round(vals[-1], 3),
+            "n_queries": len(detail),
+            "crawl_bench": crawl["seconds"],
+        }
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+        with open(sidecar, "w") as f:
+            json.dump({"sf": SF_DIR, "num_cpus": args.cpus,
+                       "queries": detail, "crawl": crawl}, f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "end-to-end seconds: synthetic-frontier crawl bench "
-                  "(pages fetched+parsed, span-sequence-verified) + query suite",
+                  "(pages fetched+parsed, span-sequence-verified) + query suite"
+                  " (per-query map in BENCH_DETAIL.json)",
         "value": round(total, 2),
         "unit": "sec",
-        "queries": payload.get("queries", {}),
+        "queries": queries_summary,
         "sf": SF_DIR,
         "num_cpus": args.cpus,
         "crawl": crawl,
