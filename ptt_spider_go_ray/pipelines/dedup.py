@@ -823,11 +823,11 @@ def streaming_dedup(sf_dir: str, n_shards: int | None = None):
     @ray.remote(num_cpus=0)
     class SeenShard:
         def __init__(self) -> None:
-            self._seen: set[int] = set()
+            self._seen: set[str] = set()
 
-        def add_new(self, hashes: list[int]) -> list[bool]:
+        def add_new(self, digests: list[str]) -> list[bool]:
             out = []
-            for h in hashes:
+            for h in digests:
                 fresh = h not in self._seen
                 if fresh:
                     self._seen.add(h)
@@ -844,30 +844,31 @@ def streaming_dedup(sf_dir: str, n_shards: int | None = None):
             import hashlib
 
             texts = t["text"].to_pylist()
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.md5((x or "").encode("utf-8")).digest()[:8],
-                        "little",
-                    )
-                    for x in texts
-                ],
-                dtype=np.uint64,
+            # full 128-bit digest for the seen decision (the hex string is
+            # also the query's order-independent output column); the 8-byte
+            # prefix only routes to the owning shard
+            digests = [
+                hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts
+            ]
+            owner = np.array(
+                [int(d[:16], 16) % len(self._shards) for d in digests],
+                dtype=np.int64,
             )
-            owner = (hs % np.uint64(len(self._shards))).astype(np.int64)
-            keep = np.zeros(len(hs), dtype=bool)
+            keep = np.zeros(len(digests), dtype=bool)
             pending = []
             for s in range(len(self._shards)):
                 idx = np.nonzero(owner == s)[0]
                 if len(idx):
                     pending.append(
                         (idx, self._shards[s].add_new.remote(
-                            [int(h) for h in hs[idx]]
+                            [digests[i] for i in idx]
                         ))
                     )
             for idx, ref in pending:
                 keep[idx] = ray.get(ref)
-            return t.filter(pa.array(keep))
+            return t.append_column(
+                "text_md5", pa.array(digests, pa.string())
+            ).filter(pa.array(keep))
 
     # concurrency 2: leaves CPU slots for the read stage even in a 4-CPU
     # test session (an actor pool sized to the whole cluster starves its
@@ -877,7 +878,7 @@ def streaming_dedup(sf_dir: str, n_shards: int | None = None):
         fn_constructor_args=(shards,),
         concurrency=2,
         batch_format="pyarrow",
-    ).select_columns(["doc_id"])
+    ).select_columns(["doc_id", "text_md5"])
 
 
 # ---------------------------------------------------------------------------

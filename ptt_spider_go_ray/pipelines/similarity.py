@@ -80,8 +80,37 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _topk_select(idx: np.ndarray, cos_col: np.ndarray, vids: np.ndarray,
+                 k: int, quantize: bool):
+    """Per-batch top-k selection for the ANN partials. With ``quantize``
+    the ranking key is (round(cos·1e4) desc, neighbor_id asc) — the same
+    total order the SQL oracle's row_number uses, so in-batch pruning can
+    never drop a row the final merge (or the oracle) would have kept."""
+    if quantize:
+        ce = np.rint(cos_col * 10000.0).astype(np.int64)
+        order = np.lexsort((vids[idx], -ce[idx]))[:k]
+        top = idx[order]
+        return top, ce[top]
+    order = np.argsort(-cos_col[idx], kind="stable")[:k]
+    top = idx[order]
+    return top, cos_col[top]
+
+
+def _topk_merge(k: int, quantize: bool):
+    score_col = "cos_e4" if quantize else "cos"
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([score_col, "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge
+
+
 def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_bits: int = 6,
-             n_tables: int = 4, probe_hamming: int = 1, seed: int = 41):
+             n_tables: int = 4, probe_hamming: int = 1, seed: int = 41,
+             quantize: bool = False):
     """LSH-bucketed ANN (the third method in the trio, after brute force and
     IVF): random-hyperplane sign codes per table (Charikar 2002), queries
     multi-probe every code within Hamming distance ``probe_hamming`` of their
@@ -131,31 +160,28 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_bits: int = 6,
                 cand |= np.isin(codes[tb], list(prb[tb][int(q_id)]))
             cand &= vids != q_id
             idx = np.nonzero(cand)[0]
-            top = idx[np.argsort(-cos[idx, qi], kind="stable")[:k]]
+            top, scores = _topk_select(idx, cos[:, qi], vids, k, quantize)
             out_q.extend([q_id] * len(top))
             out_n.extend(vids[top].tolist())
-            out_c.extend(cos[top, qi].tolist())
+            out_c.extend(scores.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
+                ("cos_e4" if quantize else "cos"): pa.array(
+                    out_c, pa.int64() if quantize else pa.float64()
+                ),
             }
         )
 
     partial = _embeddings(sf_dir).map_batches(score, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _topk_merge(k, quantize), batch_format="pandas"
+    )
 
 
 def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nlist: int = 8,
-             nprobe: int = 3, seed: int = 23):
+             nprobe: int = 3, seed: int = 23, quantize: bool = False):
     """IVF: centroids from a deterministic sample (k-means-lite: one Lloyd
     iteration over a sample — enough for bucketing), assign per batch,
     probe-filter, exact rerank within probed buckets."""
@@ -197,27 +223,24 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, nlist: int = 8,
         for qi, q_id in enumerate(q_ids):
             probe_mask = np.isin(cell, list(probes[int(q_id)])) & (vids != q_id)
             idx = np.nonzero(probe_mask)[0]
-            top = idx[np.argsort(-cos[idx, qi], kind="stable")[:k]]
+            top, scores = _topk_select(idx, cos[:, qi], vids, k, quantize)
             out_q.extend([q_id] * len(top))
             out_n.extend(vids[top].tolist())
-            out_c.extend(cos[top, qi].tolist())
+            out_c.extend(scores.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
+                ("cos_e4" if quantize else "cos"): pa.array(
+                    out_c, pa.int64() if quantize else pa.float64()
+                ),
             }
         )
 
     partial = _embeddings(sf_dir).map_batches(assign_and_score, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _topk_merge(k, quantize), batch_format="pandas"
+    )
 
 
 def kmeans_fit(sf_dir: str, k: int = 16, iters: int = 5):

@@ -204,55 +204,10 @@ def _crawl_layout(sf_dir: str):
     return assign_layout(ray.data.from_arrow(docs))
 
 
-def _dedup_minhash(sf_dir: str):
-    from .pipelines.dedup import minhash_lsh_candidates
-
-    return minhash_lsh_candidates(sf_dir)
-
-
-def _dedup_simhash(sf_dir: str):
-    from .pipelines.dedup import simhash_near_dups
-
-    return simhash_near_dups(sf_dir)
-
-
-def _dedup_ngram(sf_dir: str):
-    from .pipelines.dedup import ngram_jaccard_dups
-
-    return ngram_jaccard_dups(sf_dir, threshold=0.9)
-
-
-def _dedup_containment(sf_dir: str):
-    """Asymmetric shingle-containment near-dup (snippet-inside-page); rows-
-    only driver check, pytest-gated vs a plain-Python brute-force
-    containment oracle on planted snippet/container pairs."""
-    from .pipelines.dedup import containment_dups
-
-    return containment_dups(sf_dir, threshold=0.9)
-
-
 def _dedup_embedding(sf_dir: str):
     from .pipelines.dedup import embedding_cosine_dups
 
     return embedding_cosine_dups(sf_dir, threshold=0.3)
-
-
-def _dedup_clusters(sf_dir: str):
-    from .pipelines.dedup import dedup_clusters
-
-    return dedup_clusters(sf_dir)
-
-
-def _ann_ivf(sf_dir: str):
-    from .pipelines.similarity import ivf_topk
-
-    return ivf_topk(sf_dir, n_queries=5, k=10)
-
-
-def _ann_lsh(sf_dir: str):
-    from .pipelines.similarity import lsh_topk
-
-    return lsh_topk(sf_dir, n_queries=5, k=10)
 
 
 def _lang_id(sf_dir: str):
@@ -279,7 +234,10 @@ def _lang_confusion(sf_dir: str):
     from .pipelines.textanalysis import lang_id
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        # dropna=False keeps a NULL lang group, matching the oracle's SQL
+        # GROUP BY semantics (the generated tables are non-null today, but
+        # the engine must not silently drop rows if that ever changes)
+        g = df.groupby(["lang", "pred_lang"], as_index=False, dropna=False).size()
         return g.rename(columns={"size": "n"}).astype({"n": "int64"})
 
     parts = (
@@ -287,7 +245,7 @@ def _lang_confusion(sf_dir: str):
         .map_batches(part, batch_format="pandas")
         .to_pandas()
     )
-    g = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    g = parts.groupby(["lang", "pred_lang"], as_index=False, dropna=False)["n"].sum()
     return pd.DataFrame(
         {
             "lang": g["lang"].astype(object),
@@ -366,8 +324,9 @@ def _approx_quantiles_per_type(sf_dir: str):
 def _cms_user_counts(sf_dir: str):
     """Count-Min sketch point frequencies for a deterministic probe set
     (user_id % 7 == 0, first 64): per-batch partial sketches merged on the
-    driver — approximate (always ≥ exact) → rows-only; pytest asserts the
-    e·N/width overestimate bound vs exact counts."""
+    driver — always ≥ exact (pytest asserts the e·N/width overestimate
+    bound). SQL-attestable: the int_hash mix32 family lets the DuckDB
+    oracle rebuild the same depth×width counters and take the same min."""
     import numpy as np
     import pandas as pd
     import ray.data
@@ -378,7 +337,7 @@ def _cms_user_counts(sf_dir: str):
     hi = ds.max("user_id")
     probes = np.arange(0, hi + 1, dtype=np.int64)
     probes = probes[probes % 7 == 0][:64]
-    est, _n = cms_estimate_by(ds, "user_id", probes)
+    est, _n = cms_estimate_by(ds, "user_id", probes, int_hash=True)
     return pd.DataFrame({"user_id": probes, "est_n": est.astype(np.int64)})
 
 
@@ -450,14 +409,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_resize_plan": _media_resize_plan,
     "media_phash_dedup": _media_phash_dedup,
     "crawl_layout": _crawl_layout,
-    "dedup_minhash_lsh": _dedup_minhash,
-    "dedup_simhash": _dedup_simhash,
-    "dedup_ngram_jaccard": _dedup_ngram,
-    "dedup_containment": _dedup_containment,
     "dedup_embedding_cosine": _dedup_embedding,
-    "dedup_clusters": _dedup_clusters,
-    "ann_ivf_topk": _ann_ivf,
-    "ann_lsh_topk": _ann_lsh,
     "lang_id": _lang_id,
     "lang_confusion": _lang_confusion,
     "quality_scores": _quality_scores,
@@ -490,12 +442,15 @@ EXTRA_QUERIES["semdedup"] = _semdedup
 
 def _streaming_dedup(sf_dir: str):
     """Streaming exact dedup via sharded seen-set actors (the crawl
-    frontier's first-wins state shape over the documents table). Survivor
-    IDENTITY is arrival-order-dependent, so no SQL oracle; the
-    one-survivor-per-text-group invariant is pytest-gated."""
+    frontier's first-wins state shape over the documents table). WHICH
+    doc_id survives is arrival-order-dependent under parallel batches, but
+    the survivor TEXT-DIGEST SET is deterministic (exactly one per distinct
+    text) — so the query exposes text_md5 and the DuckDB oracle is a plain
+    SELECT DISTINCT md5(text). The doc_id-level one-survivor-per-group
+    invariant stays pytest-gated."""
     from .pipelines.dedup import streaming_dedup
 
-    return streaming_dedup(sf_dir)
+    return streaming_dedup(sf_dir).select_columns(["text_md5"])
 
 
 EXTRA_QUERIES["streaming_dedup"] = _streaming_dedup
@@ -504,7 +459,9 @@ EXTRA_QUERIES["streaming_dedup"] = _streaming_dedup
 def _kmv_intersect_users(sf_dir: str):
     """Estimated overlap of the click- and view-audience user sets via
     mergeable KMV (theta) sketches — the intersection HLL cannot compute.
-    Approximate, so no SQL oracle; error bounds pytest-gated."""
+    Approximate but DETERMINISTIC given the hash family; the int_hash
+    mix64 family makes the k-minimum order statistics (and hence all three
+    estimates) SQL-attestable. Error bounds stay pytest-gated."""
     import ray.data
 
     from .stages.sketch import kmv_intersect_by
@@ -512,7 +469,9 @@ def _kmv_intersect_users(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return kmv_intersect_by(ds, "event_type", "user_id", "click", "view")
+    return kmv_intersect_by(
+        ds, "event_type", "user_id", "click", "view", int_hash=True
+    )
 
 
 EXTRA_QUERIES["kmv_intersect_users"] = _kmv_intersect_users
@@ -755,7 +714,106 @@ FROM k
 """
 
 
+# --- SQL twins of the int_hash (mix32/mix64) sketch family -----------------
+
+
+def _mix_cols_sql(src: str, id_col: str) -> str:
+    """Lateral-alias CTE body computing the mix32 halves of ``id_col``:
+    h1 = mix32(x, M1, M2), h2raw = mix32(x, M3, M4) — every step BIGINT/
+    HUGEINT-exact, mirroring stages/sketch.py::mix32 bit for bit."""
+    from .stages.sketch import _MIX_M1, _MIX_M2, _MIX_M3, _MIX_M4
+
+    return f"""
+  SELECT {id_col},
+         ({id_col} % 4294967296 + 4294967296) % 4294967296 AS u,
+         CAST(CAST(u AS HUGEINT) * {_MIX_M1} % 4294967296 AS BIGINT) AS p1,
+         xor(p1, p1 // 65536) AS q1,
+         CAST(CAST(q1 AS HUGEINT) * {_MIX_M2} % 4294967296 AS BIGINT) AS p2,
+         xor(p2, p2 // 65536) AS h1,
+         CAST(CAST(u AS HUGEINT) * {_MIX_M3} % 4294967296 AS BIGINT) AS p3,
+         xor(p3, p3 // 65536) AS q3,
+         CAST(CAST(q3 AS HUGEINT) * {_MIX_M4} % 4294967296 AS BIGINT) AS p4,
+         xor(p4, p4 // 65536) AS h2raw
+  FROM {src}
+"""
+
+
+SQL_CMS_USER_COUNTS = f"""
+WITH ev AS ({_mix_cols_sql("events", "user_id")}),
+cnts AS (
+  SELECT d.i, (h1 + d.i * (h2raw | 1)) % 8192 AS bkt, count(*) AS n
+  FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT unnest(range(0, (SELECT max(user_id) FROM events) + 1, 7)) AS user_id
+  ORDER BY 1 LIMIT 64
+),
+pm AS ({_mix_cols_sql("probes", "user_id")}),
+pb AS (
+  SELECT user_id, d.i, (h1 + d.i * (h2raw | 1)) % 8192 AS bkt
+  FROM pm CROSS JOIN (VALUES (0), (1), (2), (3)) d(i)
+)
+SELECT pb.user_id, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est_n
+FROM pb LEFT JOIN cnts c ON c.i = pb.i AND c.bkt = pb.bkt
+GROUP BY 1
+"""
+
+
+def _kmv_sql() -> str:
+    two64 = "CAST(18446744073709551616 AS DOUBLE)"
+    sides = {}
+    for side, et in (("a", "click"), ("b", "view")):
+        src = f"(SELECT user_id FROM events WHERE event_type = '{et}')"
+        sides[side] = f"""
+h{side} AS (
+  SELECT DISTINCT CAST(h1 AS HUGEINT) * 4294967296 + h2raw AS h
+  FROM ({_mix_cols_sql(src, "user_id")})
+),
+k{side} AS (SELECT h FROM h{side} ORDER BY h LIMIT 1024),
+n{side} AS (SELECT count(*) AS c FROM h{side}),
+t{side} AS (
+  SELECT CASE WHEN (SELECT c FROM n{side}) >= 1024
+              THEN (SELECT max(h) FROM k{side})
+              ELSE CAST(18446744073709551616 AS HUGEINT) END AS t
+)"""
+    est = {
+        s: f"""CASE WHEN (SELECT c FROM n{s}) < 1024
+            THEN CAST((SELECT c FROM n{s}) AS DOUBLE)
+            ELSE 1023.0 / (CAST((SELECT max(h) FROM k{s}) AS DOUBLE) / {two64})
+       END"""
+        for s in ("a", "b")
+    }
+    return f"""
+WITH {sides["a"].lstrip()},
+{sides["b"].lstrip()},
+thr AS (SELECT least((SELECT t FROM ta), (SELECT t FROM tb)) AS t),
+inter AS (
+  SELECT count(*) AS c
+  FROM ka JOIN kb USING (h)
+  WHERE h < (SELECT t FROM thr)
+)
+SELECT {est["a"]} AS est_distinct_a,
+       {est["b"]} AS est_distinct_b,
+       CASE WHEN (SELECT t FROM thr) >= CAST(18446744073709551616 AS HUGEINT)
+            THEN CAST((SELECT c FROM inter) AS DOUBLE)
+            ELSE (SELECT c FROM inter)
+                 / (CAST((SELECT t FROM thr) AS DOUBLE) / {two64})
+       END AS est_intersection
+"""
+
+
+SQL_KMV_INTERSECT_USERS = _kmv_sql()
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT md5(COALESCE(text, '')) AS text_md5 FROM documents
+"""
+
+
 EXTRA_ORACLES: dict[str, str] = {
+    "streaming_dedup": SQL_STREAMING_DEDUP,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "kmv_intersect_users": SQL_KMV_INTERSECT_USERS,
     "explode_media": SQL_EXPLODE_MEDIA,
     "flagship_spans": SQL_FLAGSHIP_SPANS,
     "render_markdown": SQL_RENDER_MARKDOWN,

@@ -11,6 +11,46 @@ import pandas as pd
 import pyarrow as pa
 
 
+# ---------------------------------------------------------------------------
+# SQL-replicable integer hash family (murmur3-finalizer shape over the 32-bit
+# domain): multiply / xor-fold steps a DuckDB oracle can compute exactly with
+# HUGEINT intermediates (xor(), //, %), unlike the default siphash family.
+# Used by the CMS / KMV *_by entry points when ``int_hash=True`` so the
+# driver can hash-attest the sketch queries; the generic object-key paths
+# keep siphash (better avalanche for strings, no SQL requirement).
+# ---------------------------------------------------------------------------
+
+_MIX_M1 = 2654435761  # Knuth multiplicative constant
+_MIX_M2 = 2246822519  # xxhash PRIME32_2
+_MIX_M3 = 3266489917  # xxhash PRIME32_3
+_MIX_M4 = 668265263   # xxhash PRIME32_4
+
+
+def mix32(x: np.ndarray, m1: int = _MIX_M1, m2: int = _MIX_M2) -> np.ndarray:
+    """32-bit multiply/xor-fold mix of integer keys (vectorized uint64 with
+    values < 2^32 — no wrap, so DuckDB BIGINT/HUGEINT reproduces every
+    step). Two rounds of the murmur/xxhash finalizer shape break the linear
+    structure a bare multiplicative hash keeps over sequential ids."""
+    mod = np.uint64(1 << 32)
+    # numpy int64 % gives a non-negative remainder (sign of divisor) — the
+    # SQL side replicates with ((x % 2^32) + 2^32) % 2^32
+    h = (
+        np.asarray(x).astype(np.int64) % np.int64(1 << 32)
+    ).astype(np.uint64) * np.uint64(m1) % mod
+    h ^= h >> np.uint64(16)
+    h = h * np.uint64(m2) % mod
+    h ^= h >> np.uint64(16)
+    return h
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """64-bit SQL-replicable hash: two independent 32-bit mixes in the high
+    and low halves (each < 2^32, so the composition stays HUGEINT-exact)."""
+    return (mix32(x, _MIX_M1, _MIX_M2) << np.uint64(32)) | mix32(
+        x, _MIX_M3, _MIX_M4
+    )
+
+
 def _floor_log2_u64(v: np.ndarray) -> np.ndarray:
     """Vectorized floor(log2(v)) for nonzero uint64, in pure integer space.
     (float64 log2 rounds values whose top bits are all ones up to 2^64,
@@ -320,14 +360,18 @@ class CountMinSketch:
     contributes one depth×width int64 matrix and the shuffle never moves the
     key-frequency distribution itself (same discipline as HLL/KLL above)."""
 
-    def __init__(self, width: int = 8192, depth: int = 4):
+    def __init__(self, width: int = 8192, depth: int = 4,
+                 int_hash: bool = False):
         self.width = width
         self.depth = depth
+        self.int_hash = int_hash
         self.table = np.zeros((depth, width), dtype=np.int64)
         self.n_total = 0
 
-    @staticmethod
-    def _h12(values) -> tuple[np.ndarray, np.ndarray]:
+    def _h12(self, values) -> tuple[np.ndarray, np.ndarray]:
+        if self.int_hash:  # SQL-replicable family for integer keys
+            x = np.asarray(values).astype(np.int64)
+            return mix32(x), mix32(x, _MIX_M3, _MIX_M4) | np.uint64(1)
         arr = np.asarray(values, dtype=object)
         h1 = pd.util.hash_array(arr)
         h2 = pd.util.hash_array(arr, hash_key="cms2cms2cms2cms2") | np.uint64(1)
@@ -359,36 +403,42 @@ class CountMinSketch:
         return est
 
     def to_bytes(self) -> bytes:
-        head = np.array([self.width, self.depth, self.n_total], dtype=np.int64)
+        head = np.array(
+            [self.width, self.depth, self.n_total, int(self.int_hash)],
+            dtype=np.int64,
+        )
         return head.tobytes() + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "CountMinSketch":
-        head = np.frombuffer(b[:24], dtype=np.int64)
-        s = cls(int(head[0]), int(head[1]))
+        head = np.frombuffer(b[:32], dtype=np.int64)
+        s = cls(int(head[0]), int(head[1]), int_hash=bool(head[3]))
         s.n_total = int(head[2])
         s.table = (
-            np.frombuffer(b[24:], dtype=np.int64)
+            np.frombuffer(b[32:], dtype=np.int64)
             .reshape(s.depth, s.width)
             .copy()
         )
         return s
 
 
-def cms_estimate_by(ds, column: str, probes, width: int = 8192, depth: int = 4):
+def cms_estimate_by(ds, column: str, probes, width: int = 8192, depth: int = 4,
+                    int_hash: bool = False):
     """Frequency point-estimates for ``probes`` from a CMS built with
     per-batch partial sketches merged on the driver (each partial is
-    depth×width int64 — no value shuffle). Returns (estimates, n_total)."""
+    depth×width int64 — no value shuffle). Returns (estimates, n_total).
+    ``int_hash=True`` switches to the SQL-replicable mix32 family (integer
+    keys only) so a DuckDB oracle can reproduce the estimates exactly."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        s = CountMinSketch(width, depth)
+        s = CountMinSketch(width, depth, int_hash=int_hash)
         keys, counts = np.unique(
             np.asarray(t[column].to_pylist(), dtype=object), return_counts=True
         )
         s.add_many(keys, counts)
         return pa.table({"sketch": pa.array([s.to_bytes()], pa.large_binary())})
 
-    acc = CountMinSketch(width, depth)
+    acc = CountMinSketch(width, depth, int_hash=int_hash)
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         acc.merge(CountMinSketch.from_bytes(row["sketch"]))
     return acc.estimate_many(probes), acc.n_total
@@ -403,12 +453,14 @@ class KMV:
     Each sketch is ≤ 8k bytes, merge = union + truncate, so partials
     stream through map_batches and only sketches ever move."""
 
-    def __init__(self, k: int = 1024):
+    def __init__(self, k: int = 1024, int_hash: bool = False):
         self.k = k
+        self.int_hash = int_hash
         self.hashes = np.empty(0, dtype=np.uint64)
 
-    @staticmethod
-    def _hash(values) -> np.ndarray:
+    def _hash(self, values) -> np.ndarray:
+        if self.int_hash:  # SQL-replicable family for integer keys
+            return mix64(np.asarray(values).astype(np.int64))
         return pd.util.hash_array(np.asarray(values, dtype=object))
 
     def add_many(self, values) -> None:
@@ -446,27 +498,37 @@ class KMV:
         return inter / (thr / 2.0 ** 64)
 
     def to_bytes(self) -> bytes:
-        return int(self.k).to_bytes(4, "little") + self.hashes.tobytes()
+        return (
+            int(self.k).to_bytes(4, "little")
+            + int(self.int_hash).to_bytes(1, "little")
+            + self.hashes.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "KMV":
-        s = cls(k=int.from_bytes(data[:4], "little"))
-        s.hashes = np.frombuffer(data[4:], dtype=np.uint64).copy()
+        s = cls(
+            k=int.from_bytes(data[:4], "little"),
+            int_hash=bool(data[4]),
+        )
+        s.hashes = np.frombuffer(data[5:], dtype=np.uint64).copy()
         return s
 
 
-def kmv_intersect_by(ds, key: str, column: str, key_a, key_b, k: int = 1024):
+def kmv_intersect_by(ds, key: str, column: str, key_a, key_b, k: int = 1024,
+                     int_hash: bool = False):
     """Estimated |distinct(column | key=a) ∩ distinct(column | key=b)| via
     per-batch KMV partials (one sketch per side per batch, ≤ 8k bytes)
     merged on the driver — values never shuffle. Returns a one-row
-    DataFrame with both sides' distinct estimates and the intersection."""
+    DataFrame with both sides' distinct estimates and the intersection.
+    ``int_hash=True`` uses the SQL-replicable mix64 family (integer keys)
+    so a DuckDB oracle can reproduce all three estimates bit-for-bit."""
 
     def sketch_batch(df: pd.DataFrame) -> pa.Table:
         sides, blobs = [], []
         for side, kk in (("a", key_a), ("b", key_b)):
             vals = df.loc[df[key] == kk, column]
             if len(vals):
-                s = KMV(k)
+                s = KMV(k, int_hash=int_hash)
                 s.add_many(vals.to_numpy())
                 sides.append(side)
                 blobs.append(s.to_bytes())
@@ -477,7 +539,7 @@ def kmv_intersect_by(ds, key: str, column: str, key_a, key_b, k: int = 1024):
             }
         )
 
-    acc = {"a": KMV(k), "b": KMV(k)}
+    acc = {"a": KMV(k, int_hash=int_hash), "b": KMV(k, int_hash=int_hash)}
     for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
         acc[row["side"]].merge(KMV.from_bytes(row["sketch"]))
     return pd.DataFrame(
