@@ -1222,20 +1222,80 @@ def _composite(keys: np.ndarray, ts_rel: np.ndarray) -> np.ndarray:
     return (keys.astype(np.int64) << _TS_BITS) | ts_rel.astype(np.int64)
 
 
-def q_range_join(sf_dir: str):
+def _salt_bucket(keys: np.ndarray, slices: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Hot-key-safe bucket for the windowed joins: hash of (key, time-slice)
+    instead of the bare key, so one pathological key's history spreads over
+    span/slice_us buckets instead of landing in a single group task."""
+    combined = keys.astype(np.int64) * np.int64(1_000_003) + slices.astype(np.int64)
+    return (pd.util.hash_array(combined) % n_buckets).astype(np.int64)
+
+
+def _footer_ts_min_us(sf_dir: str, table: str, col: str) -> int:
+    """Global min of a timestamp column from parquet footer statistics (no
+    scan); falls back to a Dataset aggregate if any row group lacks stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    mins = []
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            c = row_group.column(ci)
+            if c.path_in_schema == col:
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    mins = None
+                else:
+                    mins.append(st.min)
+                break
+        if mins is None:
+            break
+    if mins:
+        return int(pd.Timestamp(min(mins)).value // 1000)
+    m = _read(sf_dir, table, columns=[col]).min(col)
+    return int(pd.Timestamp(m).value // 1000)
+
+
+def q_range_join(sf_dir: str, slice_us: int | None = None):
+    """Range join with HOT-KEY-SAFE partitioning: bucket = hash(key,
+    time-slice) rather than hash(key), so a single pathological customer's
+    entire history can no longer funnel into one group task (the
+    q_salted_agg discipline applied to a windowed join). Boundary
+    correction: slices are ≥ the 7-day window, orders live only in the
+    slice of their window START, and every event within 7d of its slice
+    start is replicated one slice BACKWARD — so each order finds its whole
+    [t, t+7d) window inside its own bucket and no merge shuffle is needed.
+    Replication overhead is window/slice (25% at the 4-window default).
+    Exact for any slice_us ≥ the window; the planted-90%-hot-user pytest
+    pins both the spread and oracle equality."""
+    import pyarrow.parquet as pq
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    if slice_us is None:
+        slice_us = 4 * week_us
+    if slice_us < week_us:
+        raise ValueError("slice_us must be >= the 7-day window")
     n_buckets = _key_buckets(
-        _read(sf_dir, "events", columns=["event_id"]).count(),
-        _read(sf_dir, "orders", columns=["o_orderkey"]).count(),
+        pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows,
+        pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows,
     )
+    t0 = _footer_ts_min_us(sf_dir, "events", "ts")
     od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def tag_orders(t: pa.Table) -> pa.Table:
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_ts = (
+            pc.cast(t["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        s = np.maximum(o_ts - t0, 0) // slice_us  # slice of the window START
         return pa.table(
             {
-                "bucket": pa.array(_bucket_of(keys, n_buckets)),
+                "bucket": pa.array(_salt_bucket(keys, s, n_buckets)),
                 "side": pa.array(["o"] * t.num_rows),
-                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "key": pa.array(keys),
                 "id": pc.cast(t["o_orderkey"], pa.int64()),
                 "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
             }
@@ -1244,22 +1304,35 @@ def q_range_join(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def tag_events(t: pa.Table) -> pa.Table:
-        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e_ts = (
+            pc.cast(t["ts"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        rel = e_ts - t0  # ≥ 0: t0 is the global events min
+        s = rel // slice_us
+        # backward replication: an event within `window` of its slice start
+        # also serves orders in the previous slice whose window crosses in
+        rep = (s >= 1) & (rel % slice_us < week_us)
+        all_keys = np.concatenate([keys, keys[rep]])
+        all_s = np.concatenate([s, s[rep] - 1])
+        ids = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_col = pc.cast(t["ts"], pa.timestamp("us")).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "bucket": pa.array(_bucket_of(keys, n_buckets)),
-                "side": pa.array(["e"] * t.num_rows),
-                "key": pc.cast(t["user_id"], pa.int64()),
-                "id": pc.cast(t["event_id"], pa.int64()),
-                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "bucket": pa.array(_salt_bucket(all_keys, all_s, n_buckets)),
+                "side": pa.array(["e"] * len(all_keys)),
+                "key": pa.array(all_keys),
+                "id": pa.array(np.concatenate([ids, ids[rep]])),
+                "ts": pa.array(np.concatenate([ts_col, ts_col[rep]])),
             }
         )
 
     both = od.map_batches(tag_orders, batch_format="pyarrow").union(
         ev.map_batches(tag_events, batch_format="pyarrow")
     )
-
-    week_us = 7 * 24 * 3600 * 1_000_000
 
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
         orders = g[g["side"] == "o"]
@@ -1268,7 +1341,9 @@ def q_range_join(sf_dir: str):
                 {"o_orderkey": pd.Series(dtype="int64"),
                  "n_events_7d": pd.Series(dtype="int64")}
             )
-        events = g[g["side"] == "e"]
+        # distinct (key,slice) cells can collide into one hash bucket; an
+        # event and its backward replica must then not be counted twice
+        events = g[g["side"] == "e"].drop_duplicates("id")
         if len(events) == 0:
             return pd.DataFrame(
                 {"o_orderkey": orders["id"].astype("int64").to_numpy(),
@@ -1321,37 +1396,76 @@ GROUP BY o.o_orderkey
 # ---------------------------------------------------------------------------
 
 
-def q_sliding_window(sf_dir: str):
+def q_sliding_window(sf_dir: str, slice_us: int | None = None):
+    """Sliding window with the same HOT-KEY-SAFE (key, time-slice) bucket
+    as q_range_join: a 90%-hot user spreads over span/slice_us group
+    tasks. Boundary correction for the BACKWARD-looking window: slices are
+    ≥ the 30-min window and every event within `window` of its slice END
+    replicates one slice FORWARD as context-only (tgt=0) — each target
+    finds its whole (t-30m, t] window in its own bucket, no merge shuffle.
+    Exact for any slice_us ≥ the window."""
+    import pyarrow.parquet as pq
+
+    half_hour_us = 30 * 60 * 1_000_000
+    if slice_us is None:
+        slice_us = 4 * half_hour_us
+    if slice_us < half_hour_us:
+        raise ValueError("slice_us must be >= the 30-minute window")
+    n_buckets = _key_buckets(
+        pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    )
+    t0 = _footer_ts_min_us(sf_dir, "events", "ts")
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    n_buckets = _key_buckets(ds.count())
 
     def tag(t: pa.Table) -> pa.Table:
-        keys = t["user_id"].to_numpy(zero_copy_only=False)
+        keys = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_np = (
+            pc.cast(t["ts"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+        )
+        rel = ts_np.astype("datetime64[us]").astype(np.int64) - t0
+        s = rel // slice_us
+        # forward replication: an event within `window` of its slice end is
+        # context for targets at the start of the next slice
+        rep = rel % slice_us >= slice_us - half_hour_us
+        ids = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        all_keys = np.concatenate([keys, keys[rep]])
+        all_s = np.concatenate([s, s[rep] + 1])
         return pa.table(
             {
-                "bucket": pa.array(_bucket_of(keys, n_buckets)),
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "bucket": pa.array(_salt_bucket(all_keys, all_s, n_buckets)),
+                "event_id": pa.array(np.concatenate([ids, ids[rep]])),
+                "user_id": pa.array(all_keys),
+                "ts": pa.array(np.concatenate([ts_np, ts_np[rep]])),
+                "tgt": pa.array(
+                    np.concatenate(
+                        [np.ones(len(keys), np.int8), np.zeros(int(rep.sum()), np.int8)]
+                    )
+                ),
             }
         )
 
-    half_hour_us = 30 * 60 * 1_000_000
-
     def window_counts(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        t0 = ts.min()
+        # context = every distinct event in the bucket (a forward replica
+        # and its original can collide into one hash bucket — dedup by id);
+        # targets = original rows only
+        ctx = g.drop_duplicates("event_id")
+        ts = ctx["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0b = ts.min()
         cap = np.int64((1 << _TS_BITS) - 1)
-        rel = ts - t0
+        rel = ts - t0b
         if rel.max() >= cap:
             raise ValueError(
                 "event timestamp span exceeds the 46-bit composite-key budget "
                 "(~2.2 years); pre-bucket by time range before the window"
             )
-        keys = g["user_id"].to_numpy()
-        comp = np.sort(_composite(keys, rel))
-        lo = _composite(keys, np.clip(rel - half_hour_us, 0, cap))
-        hi = _composite(keys, rel)
+        comp = np.sort(_composite(ctx["user_id"].to_numpy(), rel))
+        tg = g[g["tgt"] == 1]
+        t_ts = tg["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t_rel = t_ts - t0b
+        t_keys = tg["user_id"].to_numpy()
+        lo = _composite(t_keys, np.clip(t_rel - half_hour_us, 0, cap))
+        hi = _composite(t_keys, t_rel)
         # SQL RANGE frames include same-ts PEERS and exclude only the current
         # row itself: count rows in [ts-30m, ts] then subtract self
         n = (
@@ -1361,8 +1475,8 @@ def q_sliding_window(sf_dir: str):
         )
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].astype("int64").to_numpy(),
-                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "event_id": tg["event_id"].astype("int64").to_numpy(),
+                "user_id": tg["user_id"].astype("int64").to_numpy(),
                 "n_prev_30m": n.astype(np.int64),
             }
         )

@@ -162,12 +162,13 @@ def test_ntile_degenerate_groups(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_range_join_overflow_guard(ray_session, tmp_path):
-    """A per-bucket event span beyond the 46-bit composite-key budget must
-    raise (clipping would silently produce wrong window counts)."""
+def test_range_join_long_span_handled_by_time_slicing(ray_session, tmp_path):
+    """A multi-year event span used to overflow the 46-bit composite-key
+    budget and raise; the (key, time-slice) salted bucketing bounds every
+    group's span to slice+window, so the same input now yields exact
+    counts (event 2 is 3.4 years after the order — outside the 7d window)."""
     import datetime
 
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -194,8 +195,84 @@ def test_range_join_overflow_guard(ray_session, tmp_path):
         ),
         tmp_path / "orders.parquet",
     )
-    with pytest.raises(Exception, match="46-bit"):
-        to_pandas(q_range_join(str(tmp_path)))
+    got = to_pandas(q_range_join(str(tmp_path)))
+    assert got["o_orderkey"].tolist() == [1]
+    assert got["n_events_7d"].tolist() == [1]  # only the day-0 event
+
+
+def _planted_hot_key_tables(tmp_path, n_hot=900, n_cold=100):
+    """events: 90% of rows on user 7 spread over ~70 days (plus cold tail);
+    orders: one per user per week. The hot user's history spans many
+    time-slices, so salted bucketing must spread it across group tasks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2001-03-01").value // 1000  # us
+    hot_ts = base + np.sort(rng.integers(0, 70 * 86400 * 1_000_000, n_hot))
+    cold_ts = base + rng.integers(0, 70 * 86400 * 1_000_000, n_cold)
+    users = np.concatenate(
+        [np.full(n_hot, 7), rng.integers(100, 120, n_cold)]
+    ).astype(np.int64)
+    ts = np.concatenate([hot_ts, cold_ts]).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_hot + n_cold, dtype=np.int64)),
+                "user_id": pa.array(users),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    o_users = np.concatenate([np.full(10, 7), np.arange(100, 120)]).astype(np.int64)
+    o_ts = (
+        base + np.arange(len(o_users), dtype=np.int64) * 7 * 86400 * 1_000_000
+    ).astype("datetime64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(len(o_users), dtype=np.int64)),
+                "o_custkey": pa.array(o_users),
+                "o_orderdate": pa.array(o_ts, pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+
+
+def test_range_join_hot_key_salting_exact(ray_session, tmp_path):
+    """Planted 90%-hot-user skew: the salted (key, slice) bucketing must
+    spread the hot key over >1 bucket AND still match DuckDB exactly
+    (boundary replication makes the per-slice counts exact)."""
+    from ptt_spider_go_ray.queries import (
+        SQL_RANGE_JOIN,
+        _key_buckets,
+        _salt_bucket,
+        q_range_join,
+    )
+
+    _planted_hot_key_tables(tmp_path)
+    week_us = 7 * 24 * 3600 * 1_000_000
+    got = canon(to_pandas(q_range_join(str(tmp_path), slice_us=week_us)))
+    want = canon(_duck_on(tmp_path, SQL_RANGE_JOIN, ["events", "orders"]))
+    pd.testing.assert_frame_equal(got, want, check_names=False)
+    # structural assertion: the hot key's slices occupy >1 bucket
+    n_buckets = _key_buckets(1000, 30)
+    slices = np.arange(10, dtype=np.int64)  # 70 days / 7d slices
+    hot = _salt_bucket(np.full(10, 7, np.int64), slices, n_buckets)
+    assert len(np.unique(hot)) > 1
+
+
+def test_sliding_window_hot_key_salting_exact(ray_session, tmp_path):
+    from ptt_spider_go_ray.queries import SQL_SLIDING_WINDOW, q_sliding_window
+
+    _planted_hot_key_tables(tmp_path)
+    got = canon(
+        to_pandas(q_sliding_window(str(tmp_path), slice_us=45 * 60 * 1_000_000))
+    )
+    want = canon(_duck_on(tmp_path, SQL_SLIDING_WINDOW, ["events"]))
+    pd.testing.assert_frame_equal(got, want, check_names=False)
 
 
 def test_left_join_rollup_zero_order_customers(ray_session, tmp_path):
