@@ -12088,6 +12088,7 @@ def q_simhash_hamming_pairs(sf_dir: str):
             }
         )
         out = []
+        tile = 1024  # rows of the pairwise matrix per chunk: O(tile·m)
         for (_b, _v), sub in g.groupby(["blk", "val"], sort=False):
             if len(sub) < 2:
                 continue
@@ -12099,33 +12100,48 @@ def q_simhash_hamming_pairs(sf_dir: str):
             uniq = np.asarray(uniq, dtype=np.uint64)
             lo_u = uniq >> np.uint64(32)
             hi_u = uniq & np.uint64(0xFFFFFFFF)
-            ham = _popcount32(lo_u[:, None] ^ lo_u[None, :]) + _popcount32(
-                hi_u[:, None] ^ hi_u[None, :]
+            # one argsort groups docs by code (the per-code `codes == c`
+            # scan was O(m·rows) — quadratic-ish on a hot block value)
+            order = np.argsort(codes, kind="stable")
+            sorted_docs = sub["doc_id"].to_numpy()[order]
+            bounds = np.concatenate(
+                [[0], np.cumsum(np.bincount(codes, minlength=m))]
             )
             docs_by_code = [
-                np.sort(sub["doc_id"].to_numpy()[codes == c]) for c in range(m)
+                np.sort(sorted_docs[bounds[c]:bounds[c + 1]]) for c in range(m)
             ]
-            ia, ja = np.nonzero(np.triu(ham <= _SH_HAMMING_MAX))
-            for i, j in zip(ia, ja):
-                di, dj = docs_by_code[i], docs_by_code[j]
-                if i == j:
-                    if len(di) < 2:
+            # tiled pairwise popcount: a hot block value (many balanced docs
+            # hashing to the same 16-bit slice) no longer allocates an m×m
+            # matrix — peak memory is tile·m per chunk
+            for i0 in range(0, m, tile):
+                i1 = min(i0 + tile, m)
+                ham_t = _popcount32(
+                    lo_u[i0:i1, None] ^ lo_u[None, :]
+                ) + _popcount32(hi_u[i0:i1, None] ^ hi_u[None, :])
+                ia_t, ja = np.nonzero(ham_t <= _SH_HAMMING_MAX)
+                for it, j in zip(ia_t, ja):
+                    i = i0 + it
+                    if j < i:  # upper triangle (incl. diagonal) only
                         continue
-                    xa, xb = np.triu_indices(len(di), k=1)
-                    a, b = di[xa], di[xb]
-                else:
-                    a = np.repeat(di, len(dj))
-                    b = np.tile(dj, len(di))
-                    a, b = np.minimum(a, b), np.maximum(a, b)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": a,
-                            "doc_b": b,
-                            "hamming": np.full(len(a), ham[i, j], np.int64),
-                        }
+                    di, dj = docs_by_code[i], docs_by_code[j]
+                    if i == j:
+                        if len(di) < 2:
+                            continue
+                        xa, xb = np.triu_indices(len(di), k=1)
+                        a, b = di[xa], di[xb]
+                    else:
+                        a = np.repeat(di, len(dj))
+                        b = np.tile(dj, len(di))
+                        a, b = np.minimum(a, b), np.maximum(a, b)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": a,
+                                "doc_b": b,
+                                "hamming": np.full(len(a), ham_t[it, j], np.int64),
+                            }
+                        )
                     )
-                )
         if not out:
             return empty
         return pd.concat(out, ignore_index=True)
@@ -12516,6 +12532,13 @@ GROUP BY 1
 
 _CB3_CHUNK = 256
 
+# Tokenization patterns shared VERBATIM by the engine (Python re) and the
+# oracle (DuckDB RE2): explicit ASCII classes instead of \s/\d, whose
+# semantics differ between the engines (Python \s splits on NBSP and \d
+# matches non-ASCII digits; RE2 is ASCII-only) — the ADVICE divergence.
+_CB3_TOK_RE = r"[^\t\n\f\r\v ]+"
+_CB3_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r\v ]"
+
 
 def q_corpus_build_v3(sf_dir: str):
     import ray
@@ -12537,9 +12560,9 @@ def q_corpus_build_v3(sf_dir: str):
         ids = ray.get(dup_ref)
         text = df["text"].fillna("")
         doc = df["doc_id"].to_numpy(np.int64)
-        n_tokens = text.str.split().str.len().astype("int64").to_numpy()
-        n_bpe = text.str.count(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]").astype("int64").to_numpy()
-        toks = text.str.lower().str.split().explode()
+        n_tokens = text.str.findall(_CB3_TOK_RE).str.len().astype("int64").to_numpy()
+        n_bpe = text.str.count(_CB3_BPE_RE).astype("int64").to_numpy()
+        toks = text.str.lower().str.findall(_CB3_TOK_RE).explode()
         hits = toks[toks.isin(sw)].groupby(level=0).size()
         n_stop = (
             hits.reindex(df.index, fill_value=0).astype("int64").to_numpy()
@@ -12569,13 +12592,11 @@ WITH pairs AS ({{verified}}),
 dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
 m AS (
   SELECT doc_id,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-         END AS n_tokens,
-         CAST(len(regexp_extract_all(COALESCE(text, ''),
-                                     '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
-           AS n_bpe_tokens,
-         CAST(len(list_filter(regexp_split_to_array(trim(lower(COALESCE(text, ''))), '\s+'),
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '{_CB3_TOK_RE}'))
+           AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '{_CB3_BPE_RE}'))
+           AS BIGINT) AS n_bpe_tokens,
+         CAST(len(list_filter(regexp_extract_all(lower(COALESCE(text, '')), '{_CB3_TOK_RE}'),
                               x -> list_contains([{{sw}}], x))) AS BIGINT) AS n_stop
   FROM documents
 )
@@ -12672,17 +12693,18 @@ def q_zorder_key(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def zkey(t: pa.Table) -> pa.Table:
-        # positive-epoch assumption: numpy floor-div and DuckDB // agree for
-        # ts ≥ 1970; pre-epoch timestamps would diverge (same class as the
-        # documented 46-bit span budget in q_range_join)
+        # negative-safe on BOTH engines: int64 numpy % is non-negative (sign
+        # of divisor), and the oracle replicates with ((x%m)+m)%m; the day
+        # floor-division is numpy floor semantics, which the oracle rebuilds
+        # explicitly for pre-epoch timestamps (DuckDB // truncates toward 0)
         u = (
-            t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            % np.uint64(1 << 16)
-        )
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % np.int64(1 << 16)
+        ).astype(np.uint64)
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        day = (ts.astype(np.int64) // 86_400_000_000).astype(np.uint64) % np.uint64(
-            1 << 16
-        )
+        day = (
+            (ts.astype(np.int64) // 86_400_000_000) % np.int64(1 << 16)
+        ).astype(np.uint64)
         z = np.zeros(len(u), dtype=np.uint64)
         for j in range(16):
             bit = np.uint64(1) << np.uint64(j)
@@ -12702,8 +12724,10 @@ SQL_ZORDER_KEY = f"""
 WITH js AS (SELECT unnest(range(16)) AS j),
 c AS (
   SELECT event_id,
-         user_id % 65536 AS u,
-         (epoch_us(ts) // 86400000000) % 65536 AS day
+         (user_id % 65536 + 65536) % 65536 AS u,
+         ((CASE WHEN epoch_us(ts) >= 0 THEN epoch_us(ts) // 86400000000
+                ELSE -((-epoch_us(ts) + 86400000000 - 1) // 86400000000)
+           END) % 65536 + 65536) % 65536 AS day
   FROM events
 )
 SELECT event_id,

@@ -264,6 +264,72 @@ def test_range_join_hot_key_salting_exact(ray_session, tmp_path):
     assert len(np.unique(hot)) > 1
 
 
+def test_corpus_build_v3_unicode_whitespace_and_digits(ray_session, tmp_path):
+    """NBSP must NOT split tokens and Arabic-Indic digits must NOT count as
+    \\d on either engine: both sides now tokenize with the same explicit
+    ASCII classes (the former Python-unicode vs RE2-ASCII divergence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_CORPUS_BUILD_V3, q_corpus_build_v3
+
+    texts = [
+        # NBSP between words; unicode digits; enough stopword tokens (the
+        # and/of/to fillers) to clear the 20·n_stop ≥ n_tokens gate
+        "the café bar has ٠١ and the rest of the to the set",
+        "the quick brown fox and the lazy dog of the to a in is it set",
+        " leading unicode space the and of to in it is a big set now",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = canon(to_pandas(q_corpus_build_v3(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_CORPUS_BUILD_V3, ["documents"]))
+    assert len(got) == 3  # nothing silently dropped by tokenization skew
+    pd.testing.assert_frame_equal(got, want, check_names=False)
+
+
+def test_zorder_key_negative_ids_and_pre_epoch_ts(ray_session, tmp_path):
+    """Negative user_id and pre-1970 timestamps must produce identical
+    z-keys on both engines (the former uint64-wrap vs signed-% and
+    floor-div vs truncating-// divergences)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_ZORDER_KEY, q_zorder_key
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "user_id": pa.array([-5, -70000, 42, 0], pa.int64()),
+                "ts": pa.array(
+                    [
+                        datetime.datetime(1969, 12, 31, 23, 0),
+                        datetime.datetime(1950, 6, 1),
+                        datetime.datetime(2001, 1, 1),
+                        datetime.datetime(1970, 1, 1),
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = canon(to_pandas(q_zorder_key(str(tmp_path))))
+    want = canon(_duck_on(tmp_path, SQL_ZORDER_KEY, ["events"]))
+    pd.testing.assert_frame_equal(got, want, check_names=False)
+
+
 def test_sliding_window_hot_key_salting_exact(ray_session, tmp_path):
     from ptt_spider_go_ray.queries import SQL_SLIDING_WINDOW, q_sliding_window
 
