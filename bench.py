@@ -52,7 +52,8 @@ def warm_up(num_cpus: int) -> None:
 
 
 def run_crawl_bench(pages: int, latency_s: float, num_cpus: int,
-                    batch_size: int = 8, verify: bool = True) -> dict:
+                    batch_size: int = 8, verify: bool = True,
+                    handshake_s: float = 0.0, pool_size: int = 20) -> dict:
     from ptt_spider_go_ray.config import Config
     from ptt_spider_go_ray.pipelines.crawl import run_crawl
     from ptt_spider_go_ray.sources.synthetic import (
@@ -71,7 +72,8 @@ def run_crawl_bench(pages: int, latency_s: float, num_cpus: int,
     cc.robots = False
     cc.seen_capacity = 1 << 20
 
-    factory = functools.partial(mock_transport_factory, spec, latency_s)
+    factory = functools.partial(mock_transport_factory, spec, latency_s,
+                                handshake_s=handshake_s, pool_size=pool_size)
     warm_up(num_cpus)
     t0 = time.time()
     res = run_crawl(
@@ -168,7 +170,45 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--scale-levels", default="4,16",
                     help="comma-separated num_cpus pair for --scaling (N,4N)")
+    ap.add_argument("--pool-ab", action="store_true",
+                    help="reproduce the reference's optimized-vs-unoptimized "
+                         "HTTP-pool A/B (benchmark.sh) on the mock transport: "
+                         "keep-alive pool vs handshake-per-request")
     args = ap.parse_args()
+
+    if args.pool_ab:
+        # The reference publishes 45 s (default client) vs 28 s (pooled
+        # keep-alive) on a live 2-page crawl. Same shape here: identical
+        # crawl, identical simulated per-request latency, but the
+        # un-optimized side pays a TLS/TCP handshake on EVERY request
+        # (pool_size=0) while the optimized side amortizes it via the
+        # keep-alive pool (one handshake per worker process).
+        init_ray(args.cpus)
+        import ray
+
+        handshake = 0.08
+        results = {}
+        for label, pool in (("pooled", 20), ("no_keepalive", 0)):
+            r = run_crawl_bench(
+                args.pages, args.latency, args.cpus, batch_size=args.batch,
+                handshake_s=handshake, pool_size=pool,
+            )
+            results[label] = r
+        print(json.dumps({
+            "metric": "crawl pool A/B: pooled keep-alive vs handshake-per-request "
+                      f"(handshake_s={handshake}, same crawl + latency)",
+            "unit": "pages_per_sec",
+            "value": results["pooled"]["pages_per_sec"],
+            "pooled": {k: results["pooled"][k]
+                       for k in ("pages_per_sec", "loop_seconds", "verified")},
+            "no_keepalive": {k: results["no_keepalive"][k]
+                             for k in ("pages_per_sec", "loop_seconds", "verified")},
+            "speedup": round(results["pooled"]["pages_per_sec"]
+                             / results["no_keepalive"]["pages_per_sec"], 2),
+            "num_cpus": args.cpus,
+        }))
+        ray.shutdown()
+        return
 
     if args.scaling:
         levels = tuple(int(x) for x in args.scale_levels.split(","))

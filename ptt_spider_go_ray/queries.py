@@ -118,15 +118,14 @@ def q_group_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        # combiner: ≤n_langs partial rows per batch instead of full rows
-        g = df.groupby("lang", as_index=False).agg(
-            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
-        )
-        return _arrow_out(g.astype({"n_docs": "int64", "sum_chars": "int64"}))
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: ≤n_langs partial rows per batch instead of full rows —
+        # Arrow-native group_by, no per-batch pandas conversion of the scan
+        g = t.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_chars"])
 
     return ds.map_batches(
-        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
     ).groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")
     )
@@ -257,15 +256,17 @@ FROM documents
 def q_top_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def partial_topk(df: pd.DataFrame) -> pa.Table:
+    def partial_topk(t: pa.Table) -> pa.Table:
         # per-batch partial top-20: the final sort sees ≤20 rows per batch
-        # instead of the whole table (no full all-to-all for a top-k)
-        return _arrow_out(
-            df.sort_values(["value", "event_id"], ascending=[False, True]).head(20)
+        # instead of the whole table (no full all-to-all for a top-k);
+        # Arrow sort_indices + take — zero pandas conversion
+        idx = pc.sort_indices(
+            t, sort_keys=[("value", "descending"), ("event_id", "ascending")]
         )
+        return t.take(idx.slice(0, 20))
 
     return (
-        ds.map_batches(partial_topk, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .sort(["value", "event_id"], descending=[True, False])
         .limit(20)
     )
@@ -775,15 +776,13 @@ def q_active_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id"])
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        # combiner: one count row per user per batch
-        g = df.groupby("user_id", as_index=False).size()
-        return _arrow_out(
-            g.rename(columns={"size": "n_events"}).astype({"n_events": "int64"})
-        )
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: one count row per user per batch (Arrow-native)
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "n_events"])
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         # barrier: sort-based Aggregate chained onto a large-batch map stage
         # schedules pathologically on this Ray version (boundary sampler)
         .materialize()
@@ -814,12 +813,24 @@ def q_top3_per_user(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
     n_buckets = _key_buckets(ds.count())
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["user_id", "value", "event_id"],
-                            ascending=[True, False, True])
-        df = df[df.groupby("user_id", sort=False).cumcount() < 3]
-        keys = df["user_id"].to_numpy()
-        return _arrow_out(df.assign(bucket=_bucket_of(keys, n_buckets)))
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow sort + numpy run-length rank: no pandas round-trip
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("value", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        runs = np.diff(np.r_[starts, len(u)])
+        rank = np.arange(len(u)) - np.repeat(starts, runs)
+        s = s.filter(pa.array(rank < 3))
+        keys = s["user_id"].to_numpy(zero_copy_only=False)
+        return s.append_column("bucket", pa.array(_bucket_of(keys, n_buckets)))
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "value", "event_id"],
@@ -829,7 +840,7 @@ def q_top3_per_user(sf_dir: str):
         return g[g["rk"] <= 3][["user_id", "event_id", "value", "rk"]]
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .groupby("bucket")
         .map_groups(top3, batch_format="pandas")
     )
@@ -856,11 +867,13 @@ def q_distinct_users_per_type(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
-    def local_distinct(df: pd.DataFrame) -> pa.Table:
-        return _arrow_out(df.drop_duplicates())
+    def local_distinct(t: pa.Table) -> pa.Table:
+        # Arrow-native per-batch dedup: group_by on both columns with no
+        # aggregates yields the distinct pairs
+        return t.group_by(["event_type", "user_id"]).aggregate([])
 
     pairs = (
-        ds.map_batches(local_distinct, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(local_distinct, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         # barrier: a sort-based Aggregate chained directly onto a
         # large-batch map stage schedules pathologically (~10x) on this Ray
         # version — the boundary sampler stalls the stream. The per-batch
@@ -871,14 +884,12 @@ def q_distinct_users_per_type(sf_dir: str):
         .materialize()
     )
 
-    def partial_counts(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("event_type", as_index=False).size()
-        return _arrow_out(
-            g.rename(columns={"size": "n_users"}).astype({"n_users": "int64"})
-        )
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "n_users"])
 
     return (
-        pairs.map_batches(partial_counts, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        pairs.map_batches(partial_counts, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
         .groupby("event_type")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
@@ -1613,16 +1624,17 @@ def q_percentiles(sf_dir: str):
     path is the KLL sketch (approx_quantiles_sketch)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    # pass 0: per-group count / min / max (per-batch partials, driver merge)
-    def stats_partial(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), lo=("value", "min"), hi=("value", "max")
+    # pass 0: per-group count / min / max (per-batch partials, driver merge;
+    # Arrow-native group_by — no per-batch pandas conversion)
+    def stats_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
         )
-        return _arrow_out(g.astype({"n": "int64"}))
+        return g.rename_columns(["event_type", "n", "lo", "hi"])
 
     meta: dict[str, tuple] = {}
     for r in ds.map_batches(
-        stats_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        stats_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
     ).take_all():
         n, lo, hi = meta.get(r["event_type"], (0, np.inf, -np.inf))
         meta[r["event_type"]] = (
@@ -1636,26 +1648,29 @@ def q_percentiles(sf_dir: str):
             return np.zeros(len(v), np.int64)
         return np.minimum(((v - lo) / w).astype(np.int64), _PCT_BINS - 1)
 
-    # pass 1: per-(group, bin) counts
-    def hist_partial(df: pd.DataFrame) -> pa.Table:
-        ets, bins, ns = [], [], []
-        for et, sub in df.groupby("event_type", sort=False):
-            bc = np.bincount(bin_of(et, sub["value"].to_numpy()),
-                             minlength=_PCT_BINS)
-            nz = np.nonzero(bc)[0]
-            ets.extend([et] * len(nz))
-            bins.extend(nz.tolist())
-            ns.extend(bc[nz].tolist())
+    # pass 1: per-(group, bin) counts — one combined bincount over
+    # (group_index · BINS + bin), no per-group pandas subframes
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et_np = t["event_type"].to_numpy(zero_copy_only=False)
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(et_np, return_inverse=True)
+        bins = np.empty(len(vals), np.int64)
+        for i, et in enumerate(uniq):
+            m = inv == i
+            bins[m] = bin_of(et, vals[m])
+        bc = np.bincount(inv * _PCT_BINS + bins, minlength=len(uniq) * _PCT_BINS)
+        nz = np.nonzero(bc)[0]
         return pa.table(
-            {"event_type": pa.array(ets, pa.string()),
-             "bin": pa.array(bins, pa.int64()), "n": pa.array(ns, pa.int64())}
+            {"event_type": pa.array(uniq[nz // _PCT_BINS].astype(str)),
+             "bin": pa.array((nz % _PCT_BINS).astype(np.int64)),
+             "n": pa.array(bc[nz].astype(np.int64))}
         )
 
     counts: dict[str, np.ndarray] = {
         et: np.zeros(_PCT_BINS, np.int64) for et in meta
     }
     for r in ds.map_batches(
-        hist_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        hist_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
     ).take_all():
         counts[r["event_type"]][int(r["bin"])] += int(r["n"])
 
@@ -2032,20 +2047,20 @@ _HIST_BINS = 64
 def q_value_histogram(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["value"])
 
-    def minmax(df: pd.DataFrame) -> pa.Table:
-        v = df["value"].to_numpy()
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table({"lo": pa.array([float(v.min())]),
                          "hi": pa.array([float(v.max())])})
 
     lo, hi = np.inf, -np.inf
     for r in ds.map_batches(
-        minmax, batch_format="pandas", batch_size=_COMBINE_BATCH
+        minmax, batch_format="pyarrow", batch_size=_COMBINE_BATCH
     ).take_all():
         lo, hi = min(lo, r["lo"]), max(hi, r["hi"])
     w = (hi - lo) / _HIST_BINS
 
-    def hist(df: pd.DataFrame) -> pa.Table:
-        v = df["value"].to_numpy()
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
         b = np.minimum(np.floor((v - lo) / w).astype(np.int64), _HIST_BINS - 1) \
             if w > 0 else np.zeros(len(v), np.int64)
         bc = np.bincount(b, minlength=_HIST_BINS)
@@ -2055,7 +2070,7 @@ def q_value_histogram(sf_dir: str):
 
     total = np.zeros(_HIST_BINS, np.int64)
     for r in ds.map_batches(
-        hist, batch_format="pandas", batch_size=_COMBINE_BATCH
+        hist, batch_format="pyarrow", batch_size=_COMBINE_BATCH
     ).take_all():
         total[int(r["bin"])] += int(r["n"])
     nz = np.nonzero(total)[0]
@@ -11283,25 +11298,24 @@ def _mh_shingle_batch(df: pd.DataFrame):
     flat = [t for lst in toks[keep] for t in lst]
     # token fp: fold codepoints (ASCII [a-z0-9] ⇒ codepoint == UTF-8
     # byte) through acc*BASE + b mod 2^32 — identical to the SQL
-    # list_reduce whose first element seeds the accumulator (0*BASE+b=b)
+    # list_reduce whose first element seeds the accumulator (0*BASE+b=b).
+    # The fold runs in native uint32: wrap-around IS the mod-2^32, so no
+    # per-column uint64 astype and no O(8·n·w) up-front conversion
     arr = np.asarray(flat, dtype=str)
     width = arr.dtype.itemsize // 4
-    # fold one column at a time: the uint32 view is zero-copy; converting
-    # the whole (tokens × width) matrix to uint64 up front is an O(8·n·w)
-    # allocation that blows worker heaps on big batches of long docs
-    cp = arr.view(np.uint32).reshape(len(arr), width)
-    fp = np.zeros(len(arr), dtype=np.uint64)
-    for j in range(width):
-        col = cp[:, j].astype(np.uint64)
-        nz = col != 0
-        fp[nz] = (fp[nz] * _MH_BASE + col[nz]) % _MH_MOD
-    # 3-gram shingles within a doc: continue the same fold over token fps
-    widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    inner = (widx[:-2] == widx[1:-1]) & (widx[:-2] == widx[2:])
-    sfp = (
-        ((fp[:-2] * _MH_BASE + fp[1:-1]) % _MH_MOD) * _MH_BASE + fp[2:]
-    ) % _MH_MOD
-    return doc_ids, widx[:-2][inner], sfp[inner]
+    cp = arr.view(np.uint32).reshape(len(arr), width)  # zero-copy view
+    fp = np.zeros(len(arr), dtype=np.uint32)
+    base32 = np.uint32(_MH_BASE)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = cp[:, j]
+            nz = col != 0
+            fp[nz] = fp[nz] * base32 + col[nz]
+        # 3-gram shingles within a doc: continue the same fold (uint32 wrap)
+        widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        inner = (widx[:-2] == widx[1:-1]) & (widx[:-2] == widx[2:])
+        sfp = (fp[:-2] * base32 + fp[1:-1]) * base32 + fp[2:]
+    return doc_ids, widx[:-2][inner], sfp[inner].astype(np.uint64)
 
 
 def _mh_sig_batch(df: pd.DataFrame):
@@ -11913,22 +11927,28 @@ def _simhash_batch(df: pd.DataFrame):
     arr = np.asarray(flat, dtype=str)
     width = arr.dtype.itemsize // 4
     cp = arr.view(np.uint32).reshape(len(arr), width)  # zero-copy view
-    fp_lo = np.zeros(len(arr), dtype=np.uint64)
-    fp_hi = np.zeros(len(arr), dtype=np.uint64)
-    for j in range(width):
-        col = cp[:, j].astype(np.uint64)  # one column converted at a time
-        nz = col != 0
-        fp_lo[nz] = (fp_lo[nz] * _MH_BASE + col[nz]) % _MH_MOD
-        fp_hi[nz] = (fp_hi[nz] * _SH_BASE2 + col[nz]) % _MH_MOD
+    # the fold runs entirely in uint32: native wrap-around IS the mod-2^32,
+    # so no per-column uint64 astype (the profile's dominant allocation)
+    fp_lo = np.zeros(len(arr), dtype=np.uint32)
+    fp_hi = np.zeros(len(arr), dtype=np.uint32)
+    b_lo = np.uint32(_MH_BASE)
+    b_hi = np.uint32(_SH_BASE2)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = cp[:, j]  # zero-copy uint32 column
+            nz = col != 0
+            fp_lo[nz] = fp_lo[nz] * b_lo + col[nz]
+            fp_hi[nz] = fp_hi[nz] * b_hi + col[nz]
     widx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     halves = []
-    shifts = np.arange(32, dtype=np.uint64)
+    shifts = np.arange(32, dtype=np.uint32)
     for fp in (fp_lo, fp_hi):
-        bits = ((fp[:, None] >> shifts[None, :]) & 1).astype(np.int64)
-        bitsum = np.zeros((len(lens), 32), dtype=np.int64)
+        # uint32 end-to-end: no (tokens × 32) int64 materialization
+        bits = (fp[:, None] >> shifts[None, :]) & np.uint32(1)
+        bitsum = np.zeros((len(lens), 32), dtype=np.uint32)
         np.add.at(bitsum, widx, bits)
         # Σ(2b−1) = 2·Σb − n > 0  ⇔  2·Σb > n
-        setbits = (2 * bitsum > lens[:, None]).astype(np.int64)
+        setbits = (2 * bitsum.astype(np.int64) > lens[:, None]).astype(np.int64)
         halves.append((setbits << np.arange(32, dtype=np.int64)).sum(1))
     return doc_ids, halves[0], halves[1]
 

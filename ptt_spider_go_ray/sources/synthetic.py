@@ -36,7 +36,8 @@ class SiteSpec:
 
 
 def mock_transport_factory(spec: "SiteSpec | None" = None, latency_s: float = 0.0,
-                           transport_error_urls: frozenset | None = None):
+                           transport_error_urls: frozenset | None = None,
+                           handshake_s: float = 0.0, pool_size: int = 20):
     """Library-level factory for fetch stages: partial(mock_transport_factory,
     spec, ...) is picklable BY REFERENCE into Ray workers (a factory defined
     in a test module or script is not importable there)."""
@@ -46,6 +47,8 @@ def mock_transport_factory(spec: "SiteSpec | None" = None, latency_s: float = 0.
         SyntheticSite(spec),
         transport_error_urls=set(transport_error_urls or ()),
         latency_s=latency_s,
+        handshake_s=handshake_s,
+        pool_size=pool_size,
     )
 
 

@@ -72,19 +72,48 @@ class MockTransport:
     """Deterministic transport over a SyntheticSite with scripted behaviors
     (FIXTURES.md F6). Tracks per-URL hit counts so tests can assert
     no-refetch-after-resume; counting is exact because each test/bench run
-    owns its transport instances."""
+    owns its transport instances.
+
+    Connection-pool model for the reference's optimized-vs-unoptimized
+    HTTP-client A/B (benchmark.sh:24-121: pooled keep-alive client 28 s vs
+    default 45 s on a live 2-page crawl): ``handshake_s`` is the TLS/TCP
+    setup cost paid whenever the request's host has no warm connection;
+    ``pool_size`` is how many hosts this transport keeps warm (LRU).
+    ``pool_size=0`` disables keep-alive — every request pays the
+    handshake, the un-optimized client."""
 
     def __init__(self, site, transport_error_urls: set[str] | None = None,
-                 latency_s: float = 0.0):
+                 latency_s: float = 0.0, handshake_s: float = 0.0,
+                 pool_size: int = 20):
         self.site = site
         self.transport_error_urls = transport_error_urls or set()
         self.hits: dict[str, int] = {}
         self.latency_s = latency_s
+        self.handshake_s = handshake_s
+        self.pool_size = pool_size
+        self._warm: dict[str, None] = {}  # host → (LRU order via dict)
+        self.handshakes = 0
+
+    def _connect(self, url: str) -> None:
+        host = url.split("/", 3)[2] if "://" in url else ""
+        if self.pool_size > 0 and host in self._warm:
+            self._warm.pop(host)  # refresh LRU position
+            self._warm[host] = None
+            return
+        self.handshakes += 1
+        if self.handshake_s:
+            time.sleep(self.handshake_s)
+        if self.pool_size > 0:
+            self._warm[host] = None
+            while len(self._warm) > self.pool_size:
+                self._warm.pop(next(iter(self._warm)))
 
     def __call__(self, url: str) -> tuple[int, dict, bytes]:
         self.hits[url] = self.hits.get(url, 0) + 1
         if any(sub in url for sub in self.transport_error_urls):
             raise TransportError(f"connection refused: {url}")
+        if self.handshake_s or self.pool_size == 0:
+            self._connect(url)
         if self.latency_s:
             time.sleep(self.latency_s)  # simulated network latency (bench realism)
         spec = self.site.spec

@@ -200,6 +200,35 @@ def test_request_exception_wrapped_as_transport_error():
     assert "connection refused" in err
 
 
+def test_mock_transport_pool_model():
+    """The A/B pool simulation (reference benchmark.sh shape): with a
+    keep-alive pool one handshake per host; with pool_size=0 a handshake
+    per request; LRU eviction forces a re-handshake."""
+    from ptt_spider_go_ray.sources.synthetic import SiteSpec, SyntheticSite
+    from ptt_spider_go_ray.stages.fetch import MockTransport
+
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 2}, articles_per_page=2))
+    u1 = site.index_url("Beauty", 1)
+    u2 = site.index_url("Beauty", 2)
+
+    eps = 1e-9  # enables the connect path without measurable sleeping
+    pooled = MockTransport(site, handshake_s=eps, pool_size=20)
+    for u in (u1, u2, u1, u2):
+        pooled(u)
+    assert pooled.handshakes == 1  # one host, one warm connection
+
+    cold = MockTransport(site, handshake_s=eps, pool_size=0)
+    for u in (u1, u2, u1):
+        cold(u)
+    assert cold.handshakes == 3  # no keep-alive: every request reconnects
+
+    lru = MockTransport(site, handshake_s=eps, pool_size=1)
+    lru(u1)
+    lru("https://i.imgur.com/x.jpg")  # different host evicts www.ptt.cc
+    lru(u1)
+    assert lru.handshakes == 3
+
+
 def test_default_cap_is_50mb():
     """The production cap matches the reference's 50 MB image limit
     (constants/constants.go:42)."""
