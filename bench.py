@@ -215,14 +215,20 @@ def main() -> None:
         if len(levels) != 2 or levels[0] == levels[1]:
             ap.error("--scale-levels needs exactly two distinct num_cpus "
                      f"values, got {args.scale_levels!r}")
+        # explicit --pages/--latency/--batch override the scaling defaults:
+        # higher cpu levels need MORE tasks per wave (pages/batch ≥ slots)
+        # or the first BFS wave alone caps the measurable efficiency
+        s_pages = args.pages if args.pages != CRAWL_PAGES else SCALING_PAGES
+        s_latency = args.latency if args.latency != CRAWL_LATENCY_S else SCALING_LATENCY_S
+        s_batch = args.batch if args.batch != 8 else SCALING_BATCH
         results = {}
         for cpus in levels:
             cmd = [
                 sys.executable, __file__, "--crawl-only",
                 "--cpus", str(cpus),
-                "--pages", str(SCALING_PAGES),
-                "--latency", str(SCALING_LATENCY_S),
-                "--batch", str(SCALING_BATCH),
+                "--pages", str(s_pages),
+                "--latency", str(s_latency),
+                "--batch", str(s_batch),
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True)
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
