@@ -47,7 +47,19 @@ def main(argv=None) -> int:
     ap.add_argument("--num-cpus", type=int, default=8)
     ap.add_argument("--log", default="auto", choices=["auto", "plain", "styled", "noop"],
                     help="logger mode (ui/logger.go parity)")
+    ap.add_argument("--tui", action="store_true",
+                    help="interactive startup form + live status surface "
+                         "(main.go:31-45, ui/tui.go parity)")
     args = ap.parse_args(argv)
+
+    if args.tui:
+        # main.go:31-45: the form's results override the flags (flag values
+        # seed the placeholders; file mode zeroes pages/push like tui.go:139)
+        from .ui_form import run_startup_form
+
+        sc = run_startup_form(args.board or "beauty", args.pages, args.push)
+        args.board, args.pages = sc.board, sc.pages
+        args.push, args.file_url = sc.push_rate, sc.file_url
 
     from .config import load
     from .functions.parse import validate_board
@@ -63,7 +75,10 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # the CLI owns a Ray session only when it created one (an embedding
+    # process — e.g. pytest's session fixture — keeps its own)
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -98,10 +113,14 @@ def main(argv=None) -> int:
     # styled mode (or auto on a TTY) gets the live refreshing status block
     # (ui/live.go analog); plain/noop keep one line per round
     live = None
-    if args.log == "styled" or (
+    if args.tui or args.log == "styled" or (
         args.log == "auto" and getattr(sys.stderr, "isatty", lambda: False)()
     ):
-        live = LiveStatus()
+        # --tui always gets the live surface (runWithTUI wires the live
+        # model unconditionally, main.go:58-62); pages_total drives the
+        # index-page progress bar (ui/live.go pageBar)
+        live = LiveStatus(pages_total=args.pages * max(1, len(boards))
+                          if not args.file_url else 0)
 
     def print_progress(p: dict) -> None:
         # per-round progress (T5 metrics surface; ui/live.go analog)
@@ -147,7 +166,8 @@ def main(argv=None) -> int:
         "out_dir": res.out_dir,
         "finished": res.finished,
     }, ensure_ascii=False))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 

@@ -103,7 +103,7 @@ class LiveStatus:
     cursor-up) every ``rehome_every`` updates so any smear self-heals."""
 
     def __init__(self, stream=None, max_shard_rows: int = 8, tail: int = 5,
-                 rehome_every: int = 20):
+                 rehome_every: int = 20, pages_total: int = 0):
         import collections
 
         self.stream = stream or sys.stderr
@@ -114,6 +114,21 @@ class LiveStatus:
         self.rehome_every = max(1, rehome_every)
         self._t0 = time.monotonic()
         self._mu = threading.Lock()
+        # progress bars (ui/live.go:77-79 pageBar/downloadBar): index pages
+        # against the known total, media saved against media dispatched.
+        # Cumulative per-kind counts fold from each round's "by_kind" dict.
+        self.pages_total = pages_total
+        self._kind_cum: dict[str, int] = {}
+        self._media_ok = 0
+
+    @staticmethod
+    def _bar(done: int, total: int, width: int = 30) -> str:
+        """ASCII fill bar (progress.Model analog, live.go:77 width 40)."""
+        if total <= 0:
+            return ""
+        done = min(done, total)  # clamp, like progress.Model's percent
+        fill = int(done / total * width)
+        return f"[{'█' * fill}{'░' * (width - fill)}] {done}/{total}"
 
     def log(self, msg: str) -> None:
         """Append to the rolling tail (live.go's 12-entry rolling log)."""
@@ -134,6 +149,17 @@ class LiveStatus:
             f"errors {err_c}{p['fetch_errors']}{rst}   "
             f"dup_rate {p['dup_rate']}   cuckoo FP {p['cuckoo_false_positives']}",
         ]
+        # live.go:191-240 progress bars — pages vs the known index total,
+        # media rows saved vs media URLs dispatched so far
+        for k, n in p.get("by_kind", {}).items():
+            self._kind_cum[k] = self._kind_cum.get(k, 0) + n
+        self._media_ok += p.get("media", 0)
+        pages_bar = self._bar(self._kind_cum.get("index", 0), self.pages_total)
+        if pages_bar:
+            lines.append(f" pages {pages_bar}")
+        media_bar = self._bar(self._media_ok, self._kind_cum.get("media", 0))
+        if media_bar:
+            lines.append(f" media {media_bar}")
         shards = p.get("shards", [])
         for s in shards[: self.max_shard_rows]:
             lines.append(

@@ -555,6 +555,12 @@ def run_crawl(
                 {
                     "round": epoch,
                     "dispatched": tbl.num_rows,
+                    # per-kind dispatch counts (index/article/media) feed the
+                    # live progress bars (ui/live.go pageBar/downloadBar)
+                    "by_kind": {
+                        str(kv["values"]): int(kv["counts"])
+                        for kv in pc.value_counts(tbl["kind"]).to_pylist()
+                    },
                     "total_dispatched": dispatched,
                     "docs": sum(o["doc"].num_rows for o in outs if o["doc"] is not None),
                     "media": sum(

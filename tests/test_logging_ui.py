@@ -102,3 +102,37 @@ def test_live_status_block_renders_and_rewrites():
 
     live.finish("done")
     assert buf.getvalue().endswith("done\n")
+
+
+def test_live_status_progress_bars_accumulate():
+    """ui/live.go pageBar/downloadBar analog: the pages bar fills against
+    the known index total, the media bar tracks saved vs dispatched, and
+    both accumulate across rounds from per-round by_kind deltas."""
+    from ptt_spider_go_ray.logging_ui import LiveStatus
+
+    buf = io.StringIO()
+    live = LiveStatus(buf, max_shard_rows=2, tail=2, pages_total=4)
+    p1 = _progress(1)
+    p1["by_kind"] = {"index": 2, "article": 100, "media": 120}
+    live.update(p1)
+    first = buf.getvalue()
+    assert "pages [" in first and "2/4" in first
+    assert "media [" in first and "90/120" in first
+
+    p2 = _progress(2)
+    p2["by_kind"] = {"index": 2, "media": 60}
+    live.update(p2)
+    second = buf.getvalue()[len(first):]
+    assert "4/4" in second            # pages bar full
+    assert "270/180" not in second    # media saved caps at dispatched...
+    assert "media [" in second
+
+
+def test_live_status_no_bars_without_totals():
+    from ptt_spider_go_ray.logging_ui import LiveStatus
+
+    buf = io.StringIO()
+    live = LiveStatus(buf, pages_total=0)
+    live.update(_progress(1))        # no by_kind key at all
+    assert "pages [" not in buf.getvalue()
+    assert "media [" not in buf.getvalue()
