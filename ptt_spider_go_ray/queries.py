@@ -1507,22 +1507,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 # ---------------------------------------------------------------------------
-# Q: semi join — customers with ≥1 1997 order. Distributed shape: distinct
-# keys via groupby (no driver materialization of the big side), then a
-# native hash join projects the customer rows.
+# Q: semi/anti join — customers with ≥1 (resp. no) order in a date window.
+# Adaptive shape (the q_tpch_q3 / q_nation_revenue pattern): the key set is
+# bounded a priori by the customer-table row count (free, parquet footer);
+# under the broadcast threshold the window's distinct custkeys fold as
+# per-block unique partials into one driver array (≤ n_cust ints), ship
+# ONCE via ray.put, and the customer scan semi-filters with np.isin — zero
+# shuffles, no join actors. Above the threshold the fallback keeps the
+# distributed plan: distinct keys via groupby, then a native hash join
+# (pytest forces and equality-checks the fallback).
 # ---------------------------------------------------------------------------
 
+_SEMI_BROADCAST_MAX = 5_000_000
 
-def q_semi_join(sf_dir: str):
+
+def _window_custkeys(sf_dir: str, lo: str, hi: str) -> np.ndarray:
+    """Sorted distinct o_custkey values for orders in [lo, hi) — streamed
+    per-block unique partials, driver union bounded by the key domain."""
+    parts = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.unique(
+                    t.filter(
+                        pc.and_(
+                            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp(lo))),
+                            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp(hi))),
+                        )
+                    )["o_custkey"]
+                )
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    chunks = [
+        b["k"].to_numpy(zero_copy_only=False)
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    return np.unique(np.concatenate(chunks)) if chunks else np.array([], np.int64)
+
+
+def _semi_anti_join(sf_dir: str, lo: str, hi: str, anti: bool,
+                    broadcast_max: int | None):
+    import pyarrow.parquet as pq
+    import ray
     from ray.data.aggregate import Count
+
+    if broadcast_max is None:
+        broadcast_max = _SEMI_BROADCAST_MAX
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust <= broadcast_max:
+        keys_ref = ray.put(_window_custkeys(sf_dir, lo, hi))
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            mask = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), ks)
+            return t.filter(pa.array(~mask if anti else mask))
+
+        return cust.map_batches(semi, batch_format="pyarrow")
 
     keys = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
         .map_batches(
             lambda t: t.filter(
                 pc.and_(
-                    pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
-                    pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp(lo))),
+                    pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp(hi))),
                 )
             ).select(["o_custkey"]),
             batch_format="pyarrow",
@@ -1530,13 +1581,22 @@ def q_semi_join(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="_n"))
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     joined = cust.join(
-        keys, join_type="inner",
+        keys, join_type="left_outer" if anti else "inner",
         num_partitions=_join_partitions(sf_dir, "customer", "orders"),
         on=("c_custkey",), right_on=("o_custkey",),
     )
+    if anti:
+        return joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["_n"])).select(["c_custkey", "c_name"]),
+            batch_format="pyarrow",
+        )
     return joined.select_columns(["c_custkey", "c_name"])
+
+
+def q_semi_join(sf_dir: str, broadcast_max: int | None = None):
+    return _semi_anti_join(sf_dir, "1997-01-01", "1998-01-01", anti=False,
+                           broadcast_max=broadcast_max)
 
 
 SQL_SEMI_JOIN = """
@@ -1547,39 +1607,13 @@ WHERE EXISTS (SELECT 1 FROM orders
                 AND o_orderdate < TIMESTAMP '1998-01-01')
 """
 
-# ---------------------------------------------------------------------------
-# Q: anti join — customers with NO December-1997 order (left_outer + null
-# filter; the narrow window keeps the result non-empty at every sf).
-# ---------------------------------------------------------------------------
+# anti join — customers with NO December-1997 order (narrow window keeps
+# the result non-empty at every sf); shape shared with q_semi_join above.
 
 
-def q_anti_join(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    keys = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-        .map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-12-01"))),
-                    pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
-                )
-            ).select(["o_custkey"]),
-            batch_format="pyarrow",
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-    )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    joined = cust.join(
-        keys, join_type="left_outer",
-        num_partitions=_join_partitions(sf_dir, "customer", "orders"),
-        on=("c_custkey",), right_on=("o_custkey",),
-    )
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["_n"])).select(["c_custkey", "c_name"]),
-        batch_format="pyarrow",
-    )
+def q_anti_join(sf_dir: str, broadcast_max: int | None = None):
+    return _semi_anti_join(sf_dir, "1997-12-01", "1998-01-01", anti=True,
+                           broadcast_max=broadcast_max)
 
 
 SQL_ANTI_JOIN = """

@@ -1852,3 +1852,17 @@ def test_pagerank_star_graph(ray_session, tmp_path):
     assert all(hub > v for n, v in ranks.items() if n != 1)
     # all six order nodes are symmetric -> identical rank
     assert len({v for n, v in ranks.items() if n != 1}) == 1
+
+
+def test_semi_anti_join_fallback_matches_broadcast(ray_session):
+    """Past the broadcast bound semi/anti degrade to distinct-keys groupby +
+    native hash join; both plans must produce identical frames AND match
+    the oracle."""
+    import ptt_spider_go_ray.queries as Q
+
+    for fn, sql in ((Q.q_semi_join, Q.SQL_SEMI_JOIN),
+                    (Q.q_anti_join, Q.SQL_ANTI_JOIN)):
+        bcast = canon(to_pandas(fn(SF)))
+        native = canon(to_pandas(fn(SF, broadcast_max=0)))
+        pd.testing.assert_frame_equal(bcast, native)
+        pd.testing.assert_frame_equal(bcast, canon(duck_result(sql)))
