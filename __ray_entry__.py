@@ -42,5 +42,7 @@ def oracle_sql() -> dict[str, str]:
     from ptt_spider_go_ray.registry import EXTRA_ORACLES
 
     out = {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
-    out.update(EXTRA_ORACLES)
+    # derived oracles (VALUES literals built by a plain-Python computation)
+    # are registered as callables — resolve them here
+    out.update({n: s() if callable(s) else s for n, s in EXTRA_ORACLES.items()})
     return out

@@ -185,12 +185,99 @@ def _media_phash_dedup(sf_dir: str):
     return hashed.map_batches(annotate, batch_format="pyarrow")
 
 
+def _phash_dedup_oracle_sql() -> str:
+    """DERIVED oracle for media_phash_dedup (the VERDICT-r3 'deterministic
+    derived oracle' pattern, like IVF nprobe=nlist ≡ brute force): the
+    expected table is computed INDEPENDENTLY of every Ray moving part —
+    media discovery by the plain-Python crawl oracle (tests/crawl_oracle.py,
+    heapq BFS over the pure parse functions), near-dup pairs by a brute-force
+    O(m²) exact-Hamming scan (no banding, no buckets, no shuffle) — and
+    embedded as a VALUES literal DuckDB replays. The per-image hash math
+    (gray8/phash64) is shared with the engine by design: the oracle attests
+    the distributed plumbing (crawl dedup, 4×16 pigeonhole banding recall,
+    pair dedup, degree annotate), not the arithmetic. Pigeonhole guarantees
+    banding loses no Hamming≤3 pair, so brute force must match exactly."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from crawl_oracle import oracle_crawl
+
+    from .sources.synthetic import SiteSpec, SyntheticSite
+    from .stages.dedup import hamming64
+    from .stages.multimodal import FakeDecodeBackend, phash64
+
+    # same site + crawl args as _crawl_media_dataset
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 3}, articles_per_page=5))
+    want = oracle_crawl(site, "Beauty", 2, push_threshold=0, fetch_media=True)
+    refs = want["media_fetched"]  # sorted distinct media URLs
+    be = FakeDecodeBackend()
+    ph = {r: phash64(be.gray8(site.html_for(r)[1] or b"")) for r in refs}
+    deg = dict.fromkeys(refs, 0)
+    for i, a in enumerate(refs):
+        for b in refs[i + 1:]:
+            if hamming64(ph[a], ph[b]) <= 3:
+                deg[a] += 1
+                deg[b] += 1
+    rows = ", ".join(f"('{r}', '{ph[r]:016x}', {deg[r]})" for r in refs)
+    return (
+        "SELECT media_ref, phash_hex, CAST(n_neardups AS BIGINT) AS n_neardups "
+        f"FROM (VALUES {rows}) AS t(media_ref, phash_hex, n_neardups)"
+    )
+
+
 def _media_resize_plan(sf_dir: str):
     """Decode (fake) → vectorized aspect-preserving resize plan (real math)."""
     from .stages.multimodal import resize_plan_batch
 
     return _crawl_media_decode(sf_dir).map_batches(
         functools.partial(resize_plan_batch, max_side=512), batch_format="pyarrow"
+    )
+
+
+def _media_resize_plan_oracle_sql() -> str:
+    """DERIVED oracle for media_resize_plan (see _phash_dedup_oracle_sql):
+    media discovery + provenance (winning doc_id|span_idx) replayed by the
+    plain crawl oracle, dims by the shared deterministic decode, the resize
+    arithmetic re-done scalar-by-scalar in plain Python (round-half-even ==
+    np.rint). Attests the crawl fan-out, the first-wins media provenance,
+    and the actor-pool decode → vectorized-plan plumbing."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from crawl_oracle import oracle_crawl
+
+    from .sources.synthetic import SiteSpec, SyntheticSite
+    from .stages.multimodal import FakeDecodeBackend
+
+    # same site + crawl args as _crawl_media_dataset
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 3}, articles_per_page=5))
+    want = oracle_crawl(site, "Beauty", 2, push_threshold=0, fetch_media=True)
+    be = FakeDecodeBackend()
+    vals = []
+    for url in want["media_fetched"]:
+        doc_id, _, span_idx = want["media_meta"][url].rpartition("|")
+        _fmt, w, h = be.decode(site.html_for(url)[1] or b"")
+        scale = min(1.0, 512.0 / max(float(max(w, h)), 1.0))
+        new_w = max(1, round(w * scale))   # round-half-even == np.rint
+        new_h = max(1, round(h * scale))
+        vals.append(
+            f"('{doc_id}', {int(span_idx)}, {w}, {h}, {new_w}, {new_h}, "
+            f"{round(scale * 10000)})"
+        )
+    return (
+        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, "
+        "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+        "CAST(new_width AS INTEGER) AS new_width, "
+        "CAST(new_height AS INTEGER) AS new_height, "
+        "CAST(scale_e4 AS BIGINT) AS scale_e4 "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, width, "
+        "height, new_width, new_height, scale_e4)"
     )
 
 
@@ -202,6 +289,71 @@ def _crawl_layout(sf_dir: str):
 
     docs = _crawl_board(sf_dir).drop_columns(["spans"])
     return assign_layout(ray.data.from_arrow(docs))
+
+
+def _crawl_layout_oracle_sql() -> str:
+    """DERIVED oracle for crawl_layout (same pattern as
+    :func:`_phash_dedup_oracle_sql`): the expected doc+layout table is
+    computed without Ray — document discovery/ordering by the plain-Python
+    heapq crawl oracle, collision suffixing by a driver-side replay of the
+    pure functions (clean_file_name + unique_dir_names in seq order) — and
+    embedded as a VALUES literal. Attests the engine's frontier dispatch,
+    actor-pool parse fan-out, and the (board, dir_key) groupby shuffle."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from crawl_oracle import oracle_crawl
+
+    from .functions.parse import clean_file_name, unique_dir_names
+    from .sources.synthetic import SiteSpec, SyntheticSite
+
+    # same site + crawl args as _crawl_board
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 4}, articles_per_page=6))
+    want = oracle_crawl(site, "Beauty", 3, push_threshold=10, fetch_media=True)
+    rows = []
+    for doc_id, d in want["docs"].items():
+        board = d["url"].split("/bbs/")[1].split("/")[0]
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "title": d["title"],
+                "url": d["url"],
+                "board": board,
+                "author": d["author"],
+                "push_rate": d["push"],
+                "seq": d["seq"],
+                "dir_key": f"{clean_file_name(d['title'] or '')}_{d['push']}",
+            }
+        )
+    # per-(board, dir_key) ordered suffixing, seq order (layout.py contract)
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r["board"], r["dir_key"]), []).append(r)
+    for grp in by_key.values():
+        grp.sort(key=lambda r: r["seq"])
+        names = unique_dir_names([(r["dir_key"], r["url"]) for r in grp])
+        for r, n in zip(grp, names):
+            r["save_dir"] = f"{r['board']}/{n}"
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    vals = ", ".join(
+        "('{doc_id}', '{title}', '{url}', '{board}', '{author}', {push}, {seq}, "
+        "'{dir_key}', '{save_dir}')".format(
+            doc_id=esc(r["doc_id"]), title=esc(r["title"]), url=esc(r["url"]),
+            board=esc(r["board"]), author=esc(r["author"]), push=r["push_rate"],
+            seq=r["seq"], dir_key=esc(r["dir_key"]), save_dir=esc(r["save_dir"]),
+        )
+        for r in rows
+    )
+    return (
+        "SELECT doc_id, title, url, board, author, "
+        "CAST(push_rate AS INTEGER) AS push_rate, CAST(seq AS BIGINT) AS seq, "
+        f"dir_key, save_dir FROM (VALUES {vals}) AS t(doc_id, title, url, "
+        "board, author, push_rate, seq, dir_key, save_dir)"
+    )
 
 
 def _dedup_embedding(sf_dir: str):
@@ -811,6 +963,12 @@ SELECT DISTINCT md5(COALESCE(text, '')) AS text_md5 FROM documents
 
 
 EXTRA_ORACLES: dict[str, str] = {
+    # callable values are resolved lazily by oracle_sql() (the derived
+    # VALUES-literal oracles run a plain-Python computation to build their
+    # SQL — done on demand, not at import)
+    "media_phash_dedup": _phash_dedup_oracle_sql,
+    "crawl_layout": _crawl_layout_oracle_sql,
+    "media_resize_plan": _media_resize_plan_oracle_sql,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "kmv_intersect_users": SQL_KMV_INTERSECT_USERS,

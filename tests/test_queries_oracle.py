@@ -14,7 +14,8 @@ from ptt_spider_go_ray.registry import EXTRA_ORACLES, EXTRA_QUERIES
 # EXTRA queries that gained DuckDB oracles (span synthesis, text analysis)
 ALL_ORACLED = {
     **{name: (fn, sql) for name, (fn, sql) in SQL_QUERIES.items()},
-    **{name: (EXTRA_QUERIES[name], sql) for name, sql in EXTRA_ORACLES.items()},
+    **{name: (EXTRA_QUERIES[name], sql() if callable(sql) else sql)
+       for name, sql in EXTRA_ORACLES.items()},
 }
 
 SF = "/root/testdata/sf0.001"
