@@ -291,6 +291,102 @@ def _crawl_layout(sf_dir: str):
     return assign_layout(ray.data.from_arrow(docs))
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _doc_rows_values_sql(rows: list[dict]) -> str:
+    """doc rows (doc_id/title/url/board/author/push/seq/spans) → a VALUES
+    literal whose spans column is list_value(struct_pack(...)) — DuckDB's
+    to_pandas of that equals Arrow list<struct> to_pandas elementwise."""
+
+    def span_sql(sp: dict) -> str:
+        return (
+            f"struct_pack(kind := {_sql_str(sp['kind'])}, "
+            f"text := {_sql_str(sp['text'])}, "
+            f"media_ref := {_sql_str(sp['media_ref'])}, "
+            f"\"offset\" := CAST({sp['offset']} AS INTEGER))"
+        )
+
+    vals = ", ".join(
+        "({d}, {t}, {u}, {b}, {a}, {p}, {s}, list_value({sp}))".format(
+            d=_sql_str(r["doc_id"]), t=_sql_str(r["title"]), u=_sql_str(r["url"]),
+            b=_sql_str(r["board"]), a=_sql_str(r["author"]), p=r["push"],
+            s=r["seq"], sp=", ".join(span_sql(x) for x in r["spans"]),
+        )
+        for r in rows
+    )
+    return (
+        "SELECT doc_id, title, url, board, author, "
+        "CAST(push_rate AS INTEGER) AS push_rate, CAST(seq AS BIGINT) AS seq, "
+        f"spans FROM (VALUES {vals}) AS t(doc_id, title, url, board, author, "
+        "push_rate, seq, spans)"
+    )
+
+
+def _oracle_doc_rows(want: dict, board_of) -> list[dict]:
+    return [
+        {
+            "doc_id": doc_id, "title": d["title"], "url": d["url"],
+            "board": board_of(d["url"]), "author": d["author"],
+            "push": d["push"], "seq": d["seq"], "spans": d["spans"],
+        }
+        for doc_id, d in want["docs"].items()
+    ]
+
+
+def _crawl_board_oracle_sql() -> str:
+    """DERIVED oracle for crawl_board (see _phash_dedup_oracle_sql): the
+    full document table — interleaved normalized spans included — replayed
+    by the plain-Python heapq crawl oracle and embedded as a VALUES literal
+    with list_value(struct_pack(...)) spans. Attests the whole board-mode
+    path: frontier seed/dispatch, push filter, parse fan-out, per-doc span
+    normalization."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from crawl_oracle import oracle_crawl
+
+    from .sources.synthetic import SiteSpec, SyntheticSite
+
+    # same site + crawl args as _crawl_board
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 4}, articles_per_page=6))
+    want = oracle_crawl(site, "Beauty", 3, push_threshold=10, fetch_media=True)
+    rows = _oracle_doc_rows(want, lambda u: u.split("/bbs/")[1].split("/")[0])
+    return _doc_rows_values_sql(rows)
+
+
+def _crawl_file_mode_oracle_sql() -> str:
+    """DERIVED oracle for crawl_file_mode: same replay over the file-mode
+    seed list (prefix filter, content-resolved titles, push=0)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+    )
+    from crawl_oracle import oracle_crawl
+
+    from .sources.synthetic import SiteSpec, SyntheticSite
+
+    # same site + seed lines as _crawl_file_mode (board label "beauty")
+    spec = SiteSpec(boards={"Beauty": 4, "Joke": 3}, articles_per_page=6)
+    site = SyntheticSite(spec)
+    lines = [
+        site.article_url("Beauty", 2, 1),
+        "# comment line",
+        site.article_url("Joke", 1, 2),
+        site.article_url("Beauty", 3, 4),
+        "https://other.host/bbs/Beauty/x.html",
+    ]
+    want = oracle_crawl(site, "", 0, file_lines=lines, fetch_media=False)
+    rows = _oracle_doc_rows(want, lambda u: "beauty")
+    return _doc_rows_values_sql(rows)
+
+
 def _crawl_layout_oracle_sql() -> str:
     """DERIVED oracle for crawl_layout (same pattern as
     :func:`_phash_dedup_oracle_sql`): the expected doc+layout table is
@@ -969,6 +1065,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,
+    "crawl_board": _crawl_board_oracle_sql,
+    "crawl_file_mode": _crawl_file_mode_oracle_sql,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "kmv_intersect_users": SQL_KMV_INTERSECT_USERS,

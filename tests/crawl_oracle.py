@@ -84,19 +84,20 @@ def oracle_crawl(site, board, pages, push_threshold=0, batch_urls=256,
                 )
                 # engine span normalization replay: per-doc first-occurrence
                 # media dedup, offsets reassigned 0..n-1 (parse_stages.py)
-                span_idx_of, _seen_refs, _i = {}, set(), 0
+                span_idx_of, _seen_refs, norm_spans = {}, set(), []
                 for sp in spans:
                     if sp["kind"] == "media":
                         if sp["media_ref"] in _seen_refs:
                             continue
                         _seen_refs.add(sp["media_ref"])
-                        span_idx_of[sp["media_ref"]] = _i
-                    _i += 1
+                        span_idx_of[sp["media_ref"]] = len(norm_spans)
+                    norm_spans.append({**sp, "offset": len(norm_spans)})
                 doc_id = url.split("/bbs/")[-1]
                 doc_id = "bbs/" + (doc_id[:-5] if doc_id.endswith(".html") else doc_id)
                 title = determine_final_title(list_title, parsed_title, file_mode)
                 docs[doc_id] = {"title": title, "media_refs": refs, "push": push,
-                                "author": author, "url": url, "seq": seq}
+                                "author": author, "url": url, "seq": seq,
+                                "spans": norm_spans}
                 if fetch_media:
                     for i, ref in enumerate(refs):
                         # author slot carries the provenance meta for media

@@ -47,8 +47,16 @@ def to_pandas(result) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    # nested columns (list<struct> spans from the crawl queries) are not
+    # orderable — sort rows by the scalar columns only (doc_id etc. are
+    # unique keys in those frames, so the order stays deterministic)
+    keys = [
+        c for c in df.columns
+        if not df[c].map(lambda v: isinstance(v, (np.ndarray, list, dict))).any()
+    ]
+    if keys:
+        df = df.sort_values(by=keys, kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ORACLED))
