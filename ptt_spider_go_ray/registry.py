@@ -237,13 +237,11 @@ def _media_resize_plan(sf_dir: str):
     )
 
 
-def _media_resize_plan_oracle_sql() -> str:
-    """DERIVED oracle for media_resize_plan (see _phash_dedup_oracle_sql):
-    media discovery + provenance (winning doc_id|span_idx) replayed by the
-    plain crawl oracle, dims by the shared deterministic decode, the resize
-    arithmetic re-done scalar-by-scalar in plain Python (round-half-even ==
-    np.rint). Attests the crawl fan-out, the first-wins media provenance,
-    and the actor-pool decode → vectorized-plan plumbing."""
+def _media_oracle_items() -> list[tuple[str, str, int, bytes]]:
+    """Shared replay for the media-stage derived oracles: the media rows
+    the engine's crawl feeds the actor-pool stages, computed by the plain
+    crawl oracle — (url, doc_id, span_idx, payload bytes) per fetched
+    media URL, first-wins provenance."""
     import os
     import sys
 
@@ -253,21 +251,118 @@ def _media_resize_plan_oracle_sql() -> str:
     from crawl_oracle import oracle_crawl
 
     from .sources.synthetic import SiteSpec, SyntheticSite
-    from .stages.multimodal import FakeDecodeBackend
 
     # same site + crawl args as _crawl_media_dataset
     site = SyntheticSite(SiteSpec(boards={"Beauty": 3}, articles_per_page=5))
     want = oracle_crawl(site, "Beauty", 2, push_threshold=0, fetch_media=True)
-    be = FakeDecodeBackend()
-    vals = []
+    out = []
     for url in want["media_fetched"]:
         doc_id, _, span_idx = want["media_meta"][url].rpartition("|")
-        _fmt, w, h = be.decode(site.html_for(url)[1] or b"")
+        out.append((url, doc_id, int(span_idx), site.html_for(url)[1] or b""))
+    return out
+
+
+def _float_list_sql(vec) -> str:
+    # repr(float(float32)) round-trips: DuckDB parses the double literal and
+    # the FLOAT[] cast rounds back to exactly the original float32
+    return "CAST(list_value({}) AS FLOAT[])".format(
+        ", ".join(repr(float(v)) for v in vec)
+    )
+
+
+def _crawl_media_decode_oracle_sql() -> str:
+    """DERIVED oracle for crawl_media_decode (see _phash_dedup_oracle_sql):
+    crawl replayed plain, per-item decode math shared by design; attests
+    the fan-out, provenance, and actor-pool plumbing."""
+    from .stages.multimodal import FakeDecodeBackend
+
+    be = FakeDecodeBackend()
+    vals = []
+    for url, doc_id, span_idx, data in _media_oracle_items():
+        fmt, w, h = be.decode(data)
+        vals.append(
+            f"('{doc_id}', {span_idx}, '{url}', {len(data)}, '{fmt}', {w}, {h}, "
+            f"{_float_list_sql(be.features(data, 16))})"
+        )
+    return (
+        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, format, "
+        "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+        f"feature FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, "
+        "media_ref, n_bytes, format, width, height, feature)"
+    )
+
+
+def _media_audio_features_oracle_sql() -> str:
+    """DERIVED oracle for media_audio_features: same replay, audio probe."""
+    from .stages.multimodal import FakeAudioBackend
+
+    be = FakeAudioBackend()
+    vals = []
+    for url, doc_id, span_idx, data in _media_oracle_items():
+        rate, n = be.probe(data)
+        vals.append(
+            f"('{doc_id}', {span_idx}, '{url}', {len(data)}, {rate}, {n}, "
+            f"{n * 1000 // rate}, {_float_list_sql(be.features(data, 13))})"
+        )
+    return (
+        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(sample_rate AS INTEGER) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, "
+        "CAST(duration_ms AS BIGINT) AS duration_ms, feature "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, media_ref, "
+        "n_bytes, sample_rate, n_samples, duration_ms, feature)"
+    )
+
+
+def _media_frame_sample_oracle_sql() -> str:
+    """DERIVED oracle for media_frame_sample: same replay, the fan-out
+    frame sampling (stride 10, max 4 frames, fps 25) re-done scalar-wise."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    vals = []
+    for url, doc_id, span_idx, data in _media_oracle_items():
+        h = int.from_bytes(_hl.blake2b(data, digest_size=8).digest(), "little")
+        n = 1 + h % 500
+        for k, frame in enumerate(range(0, n, 10)):
+            if k >= 4:
+                break
+            rng = _np.random.default_rng((h + frame) & 0xFFFFFFFF)
+            feat = rng.standard_normal(16).astype(_np.float32)
+            vals.append(
+                f"('{doc_id}', {span_idx}, '{url}', {frame}, "
+                f"{frame * 1000 // 25}, {_float_list_sql(feat)})"
+            )
+    return (
+        "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref, "
+        "CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(ts_ms AS BIGINT) AS ts_ms, feature "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, media_ref, "
+        "frame_idx, ts_ms, feature)"
+    )
+
+
+def _media_resize_plan_oracle_sql() -> str:
+    """DERIVED oracle for media_resize_plan (see _phash_dedup_oracle_sql):
+    media discovery + provenance (winning doc_id|span_idx) replayed by the
+    plain crawl oracle, dims by the shared deterministic decode, the resize
+    arithmetic re-done scalar-by-scalar in plain Python (round-half-even ==
+    np.rint). Attests the crawl fan-out, the first-wins media provenance,
+    and the actor-pool decode → vectorized-plan plumbing."""
+    from .stages.multimodal import FakeDecodeBackend
+
+    be = FakeDecodeBackend()
+    vals = []
+    for url, doc_id, span_idx, data in _media_oracle_items():
+        _fmt, w, h = be.decode(data)
         scale = min(1.0, 512.0 / max(float(max(w, h)), 1.0))
         new_w = max(1, round(w * scale))   # round-half-even == np.rint
         new_h = max(1, round(h * scale))
         vals.append(
-            f"('{doc_id}', {int(span_idx)}, {w}, {h}, {new_w}, {new_h}, "
+            f"('{doc_id}', {span_idx}, {w}, {h}, {new_w}, {new_h}, "
             f"{round(scale * 10000)})"
         )
     return (
@@ -1067,6 +1162,9 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_resize_plan": _media_resize_plan_oracle_sql,
     "crawl_board": _crawl_board_oracle_sql,
     "crawl_file_mode": _crawl_file_mode_oracle_sql,
+    "crawl_media_decode": _crawl_media_decode_oracle_sql,
+    "media_audio_features": _media_audio_features_oracle_sql,
+    "media_frame_sample": _media_frame_sample_oracle_sql,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "kmv_intersect_users": SQL_KMV_INTERSECT_USERS,
