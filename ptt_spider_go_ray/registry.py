@@ -237,7 +237,8 @@ def _media_resize_plan(sf_dir: str):
     )
 
 
-def _media_oracle_items() -> list[tuple[str, str, int, bytes]]:
+@functools.lru_cache(maxsize=1)
+def _media_oracle_items() -> tuple[tuple[str, str, int, bytes], ...]:
     """Shared replay for the media-stage derived oracles: the media rows
     the engine's crawl feeds the actor-pool stages, computed by the plain
     crawl oracle — (url, doc_id, span_idx, payload bytes) per fetched
@@ -259,7 +260,7 @@ def _media_oracle_items() -> list[tuple[str, str, int, bytes]]:
     for url in want["media_fetched"]:
         doc_id, _, span_idx = want["media_meta"][url].rpartition("|")
         out.append((url, doc_id, int(span_idx), site.html_for(url)[1] or b""))
-    return out
+    return tuple(out)
 
 
 def _float_list_sql(vec) -> str:
