@@ -743,7 +743,43 @@ def _render_markdown(sf_dir: str):
     return flagship(sf_dir, render=True).select_columns(["doc_id", "markdown"])
 
 
+def _ingest_jsonl_roundtrip(sf_dir: str):
+    """documents → JSONL shards (/tmp scratch) → read_json → harmonize to
+    the footer schema. Exercises the JSONL source end-to-end; oracle is the
+    original table (a lossless format boundary must be invisible)."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import canonical_schema, export_jsonl, ingest_jsonl
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/documents_jsonl_{tag}"
+    schema = canonical_schema(sf_dir, "documents")
+    export_jsonl(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), scratch)
+    return ingest_jsonl(scratch, schema)
+
+
+def _ingest_csv_roundtrip(sf_dir: str):
+    """events → CSV shards → read_csv → harmonize (ns→us timestamp cast).
+    The timestamped table goes through CSV because the JSONL writer is
+    lossy below one second (sources/ingest.py caveats)."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import canonical_schema, export_csv, ingest_csv
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/events_csv_{tag}"
+    schema = canonical_schema(sf_dir, "events")
+    export_csv(ray.data.read_parquet(f"{sf_dir}/events.parquet"), scratch)
+    return ingest_csv(scratch, schema)
+
+
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
+    "ingest_jsonl_roundtrip": _ingest_jsonl_roundtrip,
+    "ingest_csv_roundtrip": _ingest_csv_roundtrip,
     "flagship_spans": _flagship_spans,
     "explode_media": _explode_media,
     "crawl_board": _crawl_board,
@@ -1158,6 +1194,8 @@ EXTRA_ORACLES: dict[str, str] = {
     # callable values are resolved lazily by oracle_sql() (the derived
     # VALUES-literal oracles run a plain-Python computation to build their
     # SQL — done on demand, not at import)
+    "ingest_jsonl_roundtrip": "SELECT * FROM documents",
+    "ingest_csv_roundtrip": "SELECT * FROM events",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

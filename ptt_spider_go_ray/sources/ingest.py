@@ -1,0 +1,86 @@
+"""Source-format ingest: JSONL / CSV → canonical Arrow schema → partitioned
+parquet, all streaming.
+
+The reference's only non-HTML source is the seed text file
+(/root/reference/crawler/crawler.go file mode); a training-data engine also
+has to take bulk table drops in whatever format the producer emits. This
+module is the format boundary: `ray.data.read_json` / `read_csv` shards the
+input, and `harmonize` casts every batch onto the canonical schema taken
+from the table's parquet footer (column order, integer widths, timestamp
+unit) — so the rest of the engine never sees format-specific dtypes
+(JSON's int64 epochs, CSV's ns timestamps).
+
+Scale shape: reads shard per file, the cast is a per-batch Arrow kernel
+(zero-copy where dtypes already match), writes are one file per block into
+a cleaned directory — a failed ingest re-runs per-partition; nothing
+materializes on the driver.
+
+Format caveats (tested in tests/test_ingest.py):
+- JSONL loses sub-second timestamp precision (epoch-seconds writer), so
+  timestamped tables round-trip through CSV; JSONL is for string/int
+  tables (documents).
+- CSV reads timestamps as ns; harmonize casts back to the canonical us.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+
+
+def canonical_schema(sf_dir: str, table: str) -> pa.Schema:
+    """The table's schema from its parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").schema_arrow
+
+
+def harmonize(ds, schema: pa.Schema):
+    """Cast every batch onto ``schema``: column order + exact dtypes.
+    JSON int64 epochs become timestamps via an epoch-unit cast; extra
+    columns are dropped, missing columns raise (schema contract)."""
+
+    def cast(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            c = t[f.name]
+            if c.type != f.type:
+                if pa.types.is_timestamp(f.type) and pa.types.is_integer(c.type):
+                    # JSON epoch ints: the writer emits epoch-seconds
+                    c = c.cast(pa.timestamp("s")).cast(f.type)
+                else:
+                    c = c.cast(f.type)
+            cols.append(c)
+        return pa.table(cols, schema=schema)
+
+    return ds.map_batches(cast, batch_format="pyarrow", batch_size=None)
+
+
+def export_jsonl(ds, out_dir: str) -> None:
+    """One JSONL file per block into a cleaned dir (idempotent re-runs)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_json(out_dir)
+
+
+def export_csv(ds, out_dir: str) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_csv(out_dir)
+
+
+def ingest_jsonl(path: str, schema: pa.Schema):
+    import ray.data
+
+    return harmonize(ray.data.read_json(path), schema)
+
+
+def ingest_csv(path: str, schema: pa.Schema):
+    import ray.data
+
+    return harmonize(ray.data.read_csv(path), schema)
+
+
+def write_canonical(ds, out_dir: str) -> None:
+    """Partitioned parquet sink (one file per block — resumable layout)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(out_dir)

@@ -1,0 +1,81 @@
+"""Source-format ingest tests (sources/ingest.py): the harmonize cast
+contract and the documented JSONL precision caveat. The full round-trip
+equality (JSONL documents, CSV events vs the original parquet) runs in the
+oracle suite — ingest_jsonl_roundtrip / ingest_csv_roundtrip are oracled
+queries."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_harmonize_reorders_casts_and_drops_extras(ray_session):
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import harmonize
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    # reversed column order, narrower int, plus an extra column to drop
+    src = pa.table(
+        {"extra": [9, 9], "b": ["x", "y"], "a": pa.array([1, 2], pa.int32())}
+    )
+    out = pa.concat_tables(
+        harmonize(ray.data.from_arrow(src), schema).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    assert out.schema == schema
+    assert out["a"].to_pylist() == [1, 2] and out["b"].to_pylist() == ["x", "y"]
+
+
+def test_harmonize_epoch_seconds_to_timestamp(ray_session):
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import harmonize
+
+    schema = pa.schema([("ts", pa.timestamp("us"))])
+    src = pa.table({"ts": pa.array([1704067798], pa.int64())})
+    out = pa.concat_tables(
+        harmonize(ray.data.from_arrow(src), schema).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    assert out["ts"].to_pylist() == [pd.Timestamp("2024-01-01 00:09:58")]
+
+
+def test_harmonize_missing_column_raises(ray_session):
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import harmonize
+
+    schema = pa.schema([("a", pa.int64()), ("missing", pa.string())])
+    ds = harmonize(ray.data.from_arrow(pa.table({"a": [1]})), schema)
+    with pytest.raises(Exception):  # schema contract: absent column is an error
+        ds.materialize()
+
+
+def test_jsonl_timestamp_precision_caveat(ray_session, tmp_path):
+    """Why the timestamped table round-trips through CSV: the JSONL writer
+    emits epoch-seconds, so sub-second precision dies. This pins the
+    documented caveat (a future lossless writer flips this test)."""
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import (
+        canonical_schema,
+        export_jsonl,
+        ingest_jsonl,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = ray.data.read_parquet(f"{sf}/events.parquet")
+    out = str(tmp_path / "events_jsonl")
+    export_jsonl(src, out)
+    back = ingest_jsonl(out, canonical_schema(sf, "events")).to_pandas()
+    orig = pd.read_parquet(f"{sf}/events.parquet")
+    back = back.sort_values("event_id").reset_index(drop=True)
+    orig = orig.sort_values("event_id").reset_index(drop=True)
+    assert (back["ts"] == orig["ts"].dt.floor("s")).all()
+    assert (orig["ts"].dt.microsecond != 0).any()  # precision genuinely lost
+    # every non-timestamp column survives exactly
+    for col in ("event_id", "user_id", "event_type", "value", "props"):
+        pd.testing.assert_series_equal(back[col], orig[col], check_names=False)
