@@ -137,6 +137,72 @@ FROM documents GROUP BY lang
 """
 
 # ---------------------------------------------------------------------------
+# Q: domain-mixture sampling weights — the training-mix planning step: per
+# source, how much data exists vs the target mixture (uniform here) and the
+# per-source sampling weight that achieves it. Distributed shape: per-batch
+# Arrow combiner partials (≤ n_sources rows each) → one tiny groupby → the
+# weight arithmetic runs on the driver over rows bounded by the SOURCE VALUE
+# DOMAIN (same guarded class as the other value-domain merges). n_units is
+# the char-count proxy for tokens (swap in token_stats for BPE-exact mass).
+# Fractions/weights are e6-quantized with floor(x*1e6+0.5) — both engines
+# compute the identical double expression, so the ints hash-match.
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_weights(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_units"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_units", alias_name="n_units"))
+    )
+    tbl = pa.concat_tables(
+        agg.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )  # ≤ n_sources rows — value-domain bound
+    units = tbl["n_units"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tot = float(units.sum())
+    n_src = float(len(units))
+    actual = np.floor(1e6 * units / tot + 0.5).astype(np.int64)
+    target = np.floor(1e6 / n_src + 0.5).astype(np.int64)
+    weight = np.floor(1e6 * tot / (n_src * units) + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "source": tbl["source"],
+            "n_docs": tbl["n_docs"].cast(pa.int64()),
+            "n_units": tbl["n_units"].cast(pa.int64()),
+            "actual_frac_e6": pa.array(actual),
+            "target_frac_e6": pa.array(np.full(len(units), target, np.int64)),
+            "weight_e6": pa.array(weight),
+        }
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_units
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_units) AS DOUBLE) AS tot,
+         CAST(count(*) AS DOUBLE) AS n_src
+  FROM agg
+)
+SELECT source, n_docs, n_units,
+  CAST(FLOOR(1e6 * n_units / tot + 0.5) AS BIGINT) AS actual_frac_e6,
+  CAST(FLOOR(1e6 / n_src + 0.5) AS BIGINT) AS target_frac_e6,
+  CAST(FLOOR(1e6 * tot / (n_src * n_units) + 0.5) AS BIGINT) AS weight_e6
+FROM agg, tot
+"""
+
+# ---------------------------------------------------------------------------
 # Q: exact dedup, first-wins (D2 oracle semantics, SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
@@ -12821,6 +12887,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "push_filter": (q_push_filter, SQL_PUSH_FILTER),
     "push_decode": (q_push_decode, SQL_PUSH_DECODE),
     "group_counts": (q_group_counts, SQL_GROUP_COUNTS),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "collision_rank": (q_collision_rank, SQL_COLLISION_RANK),
     "top_events": (q_top_events, SQL_TOP_EVENTS),
