@@ -4597,6 +4597,69 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_dup_trigram_fraction(sf_dir: str):
+    """Gopher-style repetition filter signal: per document, the fraction of
+    word TRIGRAMS that are duplicates (Rae et al. 2021's duplicate-n-gram
+    family — the word-level cousin is q_repetition_ratio). Same scale shape
+    as repetition_ratio: the signal is per-document, so the stage streams
+    with NO shuffle — one vectorized explode + shifted-concat + groupby per
+    batch. Split is a literal single-space split (== DuckDB string_split);
+    docs with <3 words are excluded on both sides. dup_tri_frac is one
+    int64/int64 IEEE division, bit-matching DuckDB's double."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pa.Table:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        d = pd.DataFrame({"i": ex.index, "w": ex.astype(str)})
+        # trigram string at each position via shifted concat; the mask keeps
+        # only windows fully inside one document
+        tri = d["w"] + " " + d["w"].shift(-1, fill_value="") + " " + d["w"].shift(-2, fill_value="")
+        same = (d["i"] == d["i"].shift(-1)) & (d["i"] == d["i"].shift(-2))
+        t = pd.DataFrame({"i": d["i"][same], "tri": tri[same]})
+        if not len(t):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_trigrams": pa.array([], pa.int64()),
+                    "n_distinct_trigrams": pa.array([], pa.int64()),
+                    "dup_tri_frac": pa.array([], pa.float64()),
+                }
+            )
+        g = t.groupby("i")["tri"]
+        n_tri = g.size()
+        n_dist = g.nunique()
+        nt = n_tri.to_numpy(dtype=np.int64)
+        nd = n_dist.to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].reindex(n_tri.index).to_numpy(dtype=np.int64)
+                ),
+                "n_trigrams": pa.array(nt),
+                "n_distinct_trigrams": pa.array(nd),
+                "dup_tri_frac": pa.array((nt - nd) / nt),
+            }
+        )
+
+    return ds.map_batches(signals, batch_format="pandas", batch_size=4096)
+
+
+SQL_DUP_TRIGRAM_FRACTION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)] AS tg
+  FROM t WHERE len(w) >= 3
+)
+SELECT doc_id,
+  CAST(len(tg) AS BIGINT) AS n_trigrams,
+  CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_tri_frac
+FROM g
+"""
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -12956,6 +13019,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "windowed_watermark": (q_windowed_watermark, SQL_WINDOWED_WATERMARK),
     "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+    "dup_trigram_fraction": (q_dup_trigram_fraction, SQL_DUP_TRIGRAM_FRACTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
