@@ -139,3 +139,30 @@ def test_cli_tui_board_mode_e2e(ray_session, tmp_path, monkeypatch, capsys):
     # pages, in-place rewrite codes present
     assert "pages [" in captured.err and "2/2" in captured.err
     assert "\x1b[K" in captured.err
+
+
+def test_cli_tui_file_mode_e2e(ray_session, tmp_path, monkeypatch, capsys):
+    """--tui file mode: the form's file branch feeds --file, seeds stream
+    from the file, titles resolve from article content (P8)."""
+    import ptt_spider_go_ray.__main__ as M
+    from ptt_spider_go_ray.sources.synthetic import SiteSpec, SyntheticSite
+
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 10, "Joke": 5}))
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(
+        site.article_url("Beauty", 2, 1) + "\n# skip\n"
+        + site.article_url("Beauty", 3, 2) + "\n"
+    )
+    answers = scripted("2", str(seeds), "beauty")
+    monkeypatch.setattr("builtins.input", lambda: answers())
+    rc = M.main([
+        "--tui", "--mock", "--no-media",
+        "--out", str(tmp_path / "out"),
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    summary = json.loads(captured.out.strip().splitlines()[-1])
+    assert summary["finished"] and summary["docs"] == 2
+    # file mode has no known pages total — the pages bar must be absent
+    assert "pages [" not in captured.err
