@@ -4660,6 +4660,91 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: winnowing fingerprints — the MOSS local document fingerprint (Schleimer
+# et al. 2003): rolling K-char polynomial hashes, then per window of W
+# consecutive hashes keep the minimum (RIGHTMOST occurrence on ties), dedup
+# selected positions. Guarantees any shared substring of length ≥ K+W-1
+# yields a shared fingerprint — the substring-dedup primitive the shingle
+# family can't give. Per-document signal: streams with NO shuffle; per doc
+# the hash roll is K vectorized int64 ops and the window-min one
+# sliding_window_view reduction. The oracle builds the identical pipeline
+# from DuckDB list comprehensions (codepoints → list_reduce polynomial →
+# per-window list_min with reversed list_position for the rightmost tie).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 8, 4
+_WINNOW_M, _WINNOW_B = 2147483647, 257
+
+
+def q_winnowing_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    K, W, M, B = _WINNOW_K, _WINNOW_W, _WINNOW_M, _WINNOW_B
+
+    def fps(t: pa.Table) -> pa.Table:
+        out_doc, out_pos, out_fp = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = text or ""
+            cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+            n_pos = len(cp) - K + 1
+            if n_pos < W:
+                continue
+            h = np.zeros(n_pos, np.int64)
+            for j in range(K):  # K=8 vectorized rolls, not a per-char loop
+                h = (h * B + cp[j:j + n_pos]) % M
+            win = np.lib.stride_tricks.sliding_window_view(h, W)
+            # rightmost argmin: argmin scans left-to-right, so reverse first
+            ridx = W - 1 - np.argmin(win[:, ::-1], axis=1)
+            pos = np.unique(np.arange(len(win)) + 1 + ridx)  # 1-based, deduped
+            out_doc.append(np.full(len(pos), doc_id, np.int64))
+            out_pos.append(pos)
+            out_fp.append(h[pos - 1])
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "pos": pa.array(np.concatenate(out_pos)),
+                "fp": pa.array(np.concatenate(out_fp)),
+            }
+        )
+
+    return ds.map_batches(fps, batch_format="pyarrow", batch_size=4096)
+
+
+SQL_WINNOWING_FINGERPRINTS = f"""
+WITH c AS (
+  SELECT doc_id,
+         [CAST(unicode(text[j]) AS BIGINT) FOR j IN range(1, len(text)+1)] AS cp,
+         len(text) AS n
+  FROM documents WHERE len(text) >= {_WINNOW_K}
+), h AS (
+  SELECT doc_id,
+         [list_reduce(list_slice(cp, i, i+{_WINNOW_K - 1}),
+                      (a, x) -> (a * {_WINNOW_B} + x) % {_WINNOW_M})
+          FOR i IN range(1, n-{_WINNOW_K - 2})] AS hl
+  FROM c
+), s AS (
+  SELECT doc_id,
+         [struct_pack(
+            pos := i + {_WINNOW_W} - list_position(
+                     list_reverse(list_slice(hl, i, i+{_WINNOW_W - 1})),
+                     list_min(list_slice(hl, i, i+{_WINNOW_W - 1}))),
+            fp := list_min(list_slice(hl, i, i+{_WINNOW_W - 1}))
+          ) FOR i IN range(1, len(hl)-{_WINNOW_W - 2})] AS sel
+  FROM h WHERE len(hl) >= {_WINNOW_W}
+)
+SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+FROM (SELECT doc_id, unnest(sel) AS u FROM s)
+"""
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -13020,6 +13105,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "dense_rank": (q_dense_rank, SQL_DENSE_RANK),
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "dup_trigram_fraction": (q_dup_trigram_fraction, SQL_DUP_TRIGRAM_FRACTION),
+    "winnowing_fingerprints": (q_winnowing_fingerprints, SQL_WINNOWING_FINGERPRINTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

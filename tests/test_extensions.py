@@ -1353,3 +1353,36 @@ def test_inverted_index_df_and_postings_order(ray_session, tmp_path):
         "beta": (2, "3,7"),
         "gamma": (1, "3"),
     }
+
+
+def test_winnowing_shared_substring_guarantee(ray_session, tmp_path):
+    """MOSS guarantee: two documents sharing a substring of length >=
+    K + W - 1 (= 11 here) must share at least one fingerprint value;
+    fingerprints stream per doc with no shuffle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import q_winnowing_fingerprints
+
+    shared = "zq shared plagiarized run xv"   # 28 chars >> K+W-1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta " + shared + " gamma delta",
+                    "totally different prefix " + shared + " and suffix here",
+                    "no overlap with anyone at all in this one",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s1"] * 3),
+            "n_chars": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    df = q_winnowing_fingerprints(str(tmp_path)).to_pandas()
+    fps = {d: set(g["fp"]) for d, g in df.groupby("doc_id")}
+    assert fps[1] & fps[2], "shared substring must produce a shared fingerprint"
+    # doc 3 shares no 11-char substring with doc 1 — overlap must be empty
+    assert not fps[1] & fps[3]
