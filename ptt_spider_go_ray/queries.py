@@ -4745,6 +4745,107 @@ FROM (SELECT doc_id, unnest(sel) AS u FROM s)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: winnowing overlap — document pairs sharing ≥ min_shared winnowing
+# fingerprints (the plagiarism-detector step on top of the fingerprints:
+# substring-level near-dup candidates the shingle family misses). Same
+# distributed shape as the MinHash band pairs: per-batch distinct
+# (doc_id, fp) — a doc's rows live in one batch, so batch-local dedup IS
+# global — then one fp-hash bucket shuffle of (doc_id, fp) ints (text never
+# moves), per-fp pair fan-out inside the bucket (hot-fp risk is the
+# documented simhash-pairs class; a corpus-stopword 15-gram would need the
+# same cap). The cross-bucket pair count deliberately avoids Ray's hash
+# aggregate (measured ~10× slower than bucketed map_groups for ~1M pair
+# rows here): each fp-bucket emits PARTIAL per-pair counts, then one
+# pair-hash bucket shuffle sums them — partials shrink the shuffled rows
+# and both shuffles move only int64 triples.
+# ---------------------------------------------------------------------------
+
+
+def q_winnowing_overlap(sf_dir: str, min_shared: int = 2):
+    import pyarrow.parquet as pq
+
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1) * 8)
+    fps = q_winnowing_fingerprints(sf_dir)
+
+    def distinct_bucket(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "fp": t["fp"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (df["fp"].to_numpy() % nb).astype(np.int64)
+                ),
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "fp": pa.array(df["fp"].to_numpy()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            docs = np.unique(grp["doc_id"].to_numpy())
+            if len(docs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(docs), 1)
+            a_out.append(docs[ii])
+            b_out.append(docs[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "pb": pd.Series(dtype="int64"),
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        raw = pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
+        # partial count per pair within this fp-bucket (combiner)
+        part = raw.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="n")
+        part["n"] = part["n"].astype(np.int64)
+        part["pb"] = (
+            pd.util.hash_pandas_object(part[["doc_a", "doc_b"]], index=False)
+            .to_numpy()
+            .astype(np.int64, copy=False)
+            % nb
+        )
+        return part[["pb", "doc_a", "doc_b", "n"]]
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)["n"]
+            .sum()
+            .reset_index(name="n_shared")
+        )
+        out = out[out["n_shared"] >= min_shared]
+        return out[["doc_a", "doc_b", "n_shared"]]
+
+    return (
+        fps.map_batches(distinct_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
+
+
+SQL_WINNOWING_OVERLAP = f"""
+WITH wfp AS ({SQL_WINNOWING_FINGERPRINTS}), d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_repetition_ratio(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -13106,6 +13207,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
     "dup_trigram_fraction": (q_dup_trigram_fraction, SQL_DUP_TRIGRAM_FRACTION),
     "winnowing_fingerprints": (q_winnowing_fingerprints, SQL_WINNOWING_FINGERPRINTS),
+    "winnowing_overlap": (q_winnowing_overlap, SQL_WINNOWING_OVERLAP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
