@@ -102,11 +102,16 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
 
     import ray
 
+    # input (mtime, size) in the key: a regenerated documents.parquet under
+    # the same path (fixture reuse) invalidates the memo within one Ray job
+    st = os.stat(f"{sf_dir}/documents.parquet")
     key = (
         ray.get_runtime_context().get_job_id() if ray.is_initialized() else None,
         os.path.realpath(sf_dir),
         n_perm,
         n_bands,
+        st.st_mtime_ns,
+        st.st_size,
     )
     if key[0] is not None and key in _CAND_MEMO:
         return _CAND_MEMO[key]
@@ -152,9 +157,12 @@ def minhash_lsh_candidates(sf_dir: str, n_perm: int = 64, n_bands: int = 16):
     # same pair can surface from multiple bands → distributed pair dedup
     out = _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets).materialize()
     if key[0] is not None:
-        # evict entries from finished jobs — their object-store blocks are
-        # unreachable once the session they belong to has ended
-        for stale in [k for k in _CAND_MEMO if k[0] != key[0]]:
+        # evict entries from finished jobs (their object-store blocks are
+        # unreachable once the session ended) and superseded snapshots of
+        # this sf_dir, so the memo stays O(live inputs), not append-only
+        for stale in [
+            k for k in _CAND_MEMO if k[0] != key[0] or (k[1] == key[1] and k != key)
+        ]:
             _CAND_MEMO.pop(stale)
         _CAND_MEMO[key] = out
     return out

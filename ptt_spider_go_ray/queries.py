@@ -11793,6 +11793,17 @@ def _mh_memo_key(sf_dir: str, what: str) -> tuple:
     )
 
 
+def _mh_memo_put(key: tuple, value: object) -> None:
+    # evict entries from finished jobs (their object-store blocks died with
+    # the session) and superseded (mtime, size) snapshots of the same
+    # (sf_dir, what), so the memo stays O(live inputs), not append-only
+    for stale in [
+        k for k in _MH_MEMO if k[0] != key[0] or (k[1:3] == key[1:3] and k != key)
+    ]:
+        _MH_MEMO.pop(stale)
+    _MH_MEMO[key] = value
+
+
 def q_minhash_band_pairs(sf_dir: str):
     import pyarrow.parquet as pq
     from .pipelines.dedup import _coarse_buckets, _dedup_pairs
@@ -11868,7 +11879,7 @@ def q_minhash_band_pairs(sf_dir: str):
         .map_groups(pairs, batch_format="pandas")
     )
     out = _dedup_pairs(cand, ("doc_a", "doc_b"), n_pair_buckets).materialize()
-    _MH_MEMO[_mh_memo_key(sf_dir, "band_pairs")] = out
+    _mh_memo_put(_mh_memo_key(sf_dir, "band_pairs"), out)
     return out
 
 
@@ -11920,7 +11931,7 @@ def _mh_pair_overlap(sf_dir: str) -> pd.DataFrame:
     )
     cand = q_minhash_band_pairs(sf_dir).to_pandas()
     if cand.empty:
-        _MH_MEMO[key] = empty_out
+        _mh_memo_put(key, empty_out)
         return empty_out
     cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pa_ids = cand["doc_a"].to_numpy(np.int64)
@@ -12006,7 +12017,7 @@ def _mh_pair_overlap(sf_dir: str) -> pd.DataFrame:
     )
     if out.empty:
         out = empty_out
-    _MH_MEMO[key] = out
+    _mh_memo_put(key, out)
     return out
 
 
