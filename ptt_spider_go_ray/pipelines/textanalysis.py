@@ -54,6 +54,38 @@ def quality_scores(sf_dir: str):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def compression_ratio(sf_dir: str):
+    """zlib compressibility per document — the Gopher/RefinedWeb quality
+    proxy (near-1 ratio → high-entropy or already-compressed junk; near-0 →
+    templated/repetitive boilerplate). Streaming map_batches, CPU-bound per
+    batch, no shuffle; zlib level 6 fixed so results are deterministic.
+    DuckDB has no zlib, so the oracle is the pytest plain-Python replay
+    (driver sees rows-only) — the ratio itself is ONE int64/int64 division
+    for bit-stable comparison."""
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [(t or "").encode("utf-8") for t in df["text"]]
+        n_raw = np.array([len(b) for b in raw], dtype=np.int64)
+        n_comp = np.array(
+            [len(zlib.compress(b, 6)) for b in raw], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_raw_bytes": n_raw,
+                "n_comp_bytes": n_comp,
+                "compression_ratio": np.where(
+                    n_raw > 0, n_comp / np.maximum(n_raw, 1), 1.0
+                ),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pandas")
+
+
 def token_counts_bpe(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 

@@ -13119,6 +13119,111 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: int8 embedding quantization — per-vector max-abs symmetric scale, the
+# storage/serving compression step before an ANN index ships. One streaming
+# pass, no shuffle: a batch holds whole vectors, so the per-vector scale is
+# batch-local. Float discipline for cross-engine hash parity: every value is
+# (v / scale) * 127.0 then floor, evaluated in DOUBLE on both engines —
+# identical expression tree, no reassociation, so the doubles bit-match
+# (the oracle CASTs the unnested FLOAT to DOUBLE before the same ops).
+# ---------------------------------------------------------------------------
+
+
+def q_quantize_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy().astype(np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = np.diff(offsets)
+        vec_ids = np.repeat(
+            t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(
+            offsets[:-1], counts
+        )
+        # per-vector max |v| via reduceat (empty vectors can't occur in the
+        # generated table; reduceat would mis-handle zero-length segments)
+        scale = np.maximum.reduceat(np.abs(vals), offsets[:-1])
+        scale_el = np.repeat(scale, counts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.floor(vals / scale_el * 127.0)
+        code = np.where(scale_el == 0.0, 0.0, code).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids),
+                "pos": pa.array(pos),
+                "code": pa.array(code),
+                "scale": pa.array(scale_el),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e0 AS (
+  SELECT vec_id, unnest(embedding) AS vf,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+),
+e AS (SELECT vec_id, CAST(vf AS DOUBLE) AS v, pos FROM e0),
+s AS (SELECT vec_id, max(abs(v)) AS scale FROM e GROUP BY 1)
+SELECT e.vec_id, CAST(e.pos AS BIGINT) AS pos,
+       CAST(CASE WHEN s.scale = 0 THEN 0
+                 ELSE floor(e.v / s.scale * 127.0) END AS BIGINT) AS code,
+       s.scale AS scale
+FROM e JOIN s USING (vec_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: non-ASCII character ratio — the CCNet/RefinedWeb-style script signal
+# (high ratio → non-Latin script or mojibake; complements the stopword
+# lang_id). Streaming map_batches; the ratio is ONE int64/int64 IEEE
+# division so it hash-matches the oracle bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_nonascii_ratio(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n_chars = text.str.len().astype("int64").to_numpy()
+        n_non = text.str.count(r"[^\x00-\x7F]").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars": n_chars,
+                "n_nonascii": n_non,
+                "nonascii_ratio": np.where(
+                    n_chars > 0, n_non / np.maximum(n_chars, 1), 0.0
+                ),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pandas", batch_size=_TEXT_BATCH)
+
+
+SQL_NONASCII_RATIO = r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[^\x00-\x7F]'))
+           AS BIGINT) AS n_nonascii
+  FROM documents
+)
+SELECT doc_id, n_chars, n_nonascii,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_nonascii AS DOUBLE) / n_chars ELSE 0.0 END
+         AS nonascii_ratio
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13219,6 +13324,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "dup_trigram_fraction": (q_dup_trigram_fraction, SQL_DUP_TRIGRAM_FRACTION),
     "winnowing_fingerprints": (q_winnowing_fingerprints, SQL_WINNOWING_FINGERPRINTS),
     "winnowing_overlap": (q_winnowing_overlap, SQL_WINNOWING_OVERLAP),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+    "nonascii_ratio": (q_nonascii_ratio, SQL_NONASCII_RATIO),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

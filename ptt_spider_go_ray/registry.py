@@ -605,6 +605,12 @@ def _token_counts(sf_dir: str):
     return token_counts_bpe(sf_dir)
 
 
+def _compression_ratio(sf_dir: str):
+    from .pipelines.textanalysis import compression_ratio
+
+    return compression_ratio(sf_dir)
+
+
 def _fingerprints(sf_dir: str):
     from .pipelines.textanalysis import fingerprints
 
@@ -794,6 +800,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "lang_confusion": _lang_confusion,
     "quality_scores": _quality_scores,
     "token_counts_bpe": _token_counts,
+    "compression_ratio": _compression_ratio,
     "fingerprints": _fingerprints,
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
