@@ -13224,6 +13224,68 @@ FROM m
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-document line statistics — the C4/RefinedWeb line-level quality
+# family (terminal-punctuation fraction, empty/short lines, max line
+# length) that the doc-level quality scorer can't see. Streaming
+# map_batches, no shuffle; all lengths are codepoint counts and the two
+# fractions are single int64/int64 IEEE divisions, so every value
+# hash-matches DuckDB bit-exactly. Split semantics shared with the oracle:
+# splitting "" on \n yields ONE empty line on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_line_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        ex = lines.explode()
+        lens = ex.str.len().astype("int64")
+        by = lens.groupby(level=0)
+        n_lines = by.size().astype("int64")
+        sum_len = by.sum().astype("int64")
+        max_len = by.max().astype("int64")
+        n_empty = (lens == 0).groupby(level=0).sum().astype("int64")
+        endp = (
+            ex.str.contains(r"[.!?]$", regex=True, na=False)
+            .groupby(level=0)
+            .sum()
+            .astype("int64")
+        )
+        n = n_lines.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_lines": n,
+                "n_empty_lines": n_empty.to_numpy(),
+                "max_line_len": max_len.to_numpy(),
+                "mean_line_len": sum_len.to_numpy() / n,
+                "frac_end_punct": endp.to_numpy() / n,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=_TEXT_BATCH)
+
+
+SQL_LINE_STATS = r"""
+WITH l AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(lines, x -> length(x) = 0)) AS BIGINT)
+    AS n_empty_lines,
+  CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+    AS max_line_len,
+  CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+    / len(lines) AS mean_line_len,
+  CAST(len(list_filter(lines, x -> regexp_matches(x, '[.!?]$'))) AS DOUBLE)
+    / len(lines) AS frac_end_punct
+FROM l
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13326,6 +13388,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "winnowing_overlap": (q_winnowing_overlap, SQL_WINNOWING_OVERLAP),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "nonascii_ratio": (q_nonascii_ratio, SQL_NONASCII_RATIO),
+    "line_stats": (q_line_stats, SQL_LINE_STATS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
