@@ -13286,6 +13286,99 @@ FROM l
 """
 
 # ---------------------------------------------------------------------------
+# Q: paragraph-level dedup stats — the Dolma-style middle granularity
+# between doc-level dedup and n-gram repetition: per document, how many of
+# its paragraphs appear ≥2 times anywhere in the corpus. Scale shape: docs
+# explode to (bucket, doc_id, md5) rows once; ALL instances of a paragraph
+# hash land in one md5-hash bucket, so the bucket-local count IS the global
+# count; per-doc partials then take one int-row shuffle home. Text never
+# moves — only 32-byte digests and int64 counts. Paragraphs are split on
+# blank lines and stripped with the explicit " \t\n\r" charset so Python
+# strip and DuckDB trim(x, chars) agree exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_paragraph_dedup(sf_dir: str):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1) * 4)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def paras(df: pd.DataFrame) -> pd.DataFrame:
+        doc_out, h_out = [], []
+        for doc, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            for p in (t or "").split("\n\n"):
+                p = p.strip(" \t\n\r")
+                if p:
+                    doc_out.append(doc)
+                    h_out.append(hashlib.md5(p.encode("utf-8")).hexdigest())
+        h = np.array(h_out, dtype=object)
+        return pd.DataFrame(
+            {
+                "bucket": (pd.util.hash_array(h) % nb).astype(np.int64),
+                "doc_id": np.array(doc_out, dtype=np.int64),
+                "h": h,
+            }
+        )
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("h", sort=False)["doc_id"].transform("size")
+        part = (
+            g.assign(d=(cnt >= 2).astype(np.int64))
+            .groupby("doc_id", as_index=False)
+            .agg(n=("d", "size"), nd=("d", "sum"))
+            .astype({"n": "int64", "nd": "int64"})
+        )
+        part["db"] = (part["doc_id"].to_numpy() % nb).astype(np.int64)
+        return part[["db", "doc_id", "n", "nd"]]
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)[["n", "nd"]].sum()
+        n = s["n"].to_numpy(np.int64)
+        nd = s["nd"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": s["doc_id"].to_numpy(np.int64),
+                "n_paras": n,
+                "n_dup_paras": nd,
+                "dup_para_frac": nd / n,
+            }
+        )
+
+    return (
+        ds.map_batches(paras, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH p0 AS (
+  SELECT doc_id,
+         trim(unnest(string_split(COALESCE(text, ''), chr(10) || chr(10))),
+              ' ' || chr(9) || chr(10) || chr(13)) AS para
+  FROM documents
+),
+p AS (SELECT doc_id, md5(para) AS h FROM p0 WHERE length(para) > 0),
+c AS (SELECT h, count(*) AS cnt FROM p GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_para_frac
+FROM p JOIN c USING (h)
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13389,6 +13482,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "nonascii_ratio": (q_nonascii_ratio, SQL_NONASCII_RATIO),
     "line_stats": (q_line_stats, SQL_LINE_STATS),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
