@@ -13379,6 +13379,152 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q6 (forecasting revenue change) — the canonical scan-filter-agg:
+# one streaming pass, per-block int64 partials, driver adds a handful of
+# ints. Money discipline: price and discount are exact cent multiples, so
+# revenue = Σ price_e2 · disc_e2 in integer e4 units — no float-sum order
+# drift, hash-exact vs the oracle (the q_nation_revenue pattern).
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q6(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def part(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc_e2 >= 4)
+            & (disc_e2 <= 6)
+            & (qty < 24)
+        )
+        return pa.table(
+            {
+                "revenue_e4": pa.array(
+                    [int((price_e2[m] * disc_e2[m]).sum())], pa.int64()
+                ),
+                "n_rows": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_e4": [np.int64(parts["revenue_e4"].sum())],
+            "n_rows": [np.int64(parts["n_rows"].sum())],
+        }
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# Q: TPC-H Q13 (customer order-count distribution) — left-join distribution
+# including the zero-order bucket. Scale shape: per-block (custkey, n)
+# partials from orders; one custkey-bucket shuffle sums them and folds each
+# bucket into an order-count histogram partial; the driver merges
+# O(buckets × distinct-count) tiny histogram rows and derives the 0 bucket
+# from the customer rowcount — the customer key set broadcasts once
+# (sorted-array membership), orders never leave their blocks un-reduced.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q13(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from .pipelines.dedup import _coarse_buckets
+
+    ct = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ckeys = np.sort(ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    n_customers = len(ckeys)
+    ckeys_ref = ray.put(ckeys)
+    nb = _coarse_buckets(max(n_customers, 1))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, oc), 0, len(keys) - 1)
+            oc = oc[keys[pos] == oc]  # FK-guard: orphan custkeys dropped
+        uniq, cnt = np.unique(oc, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array((uniq % nb).astype(np.int64)),
+                "c_custkey": pa.array(uniq),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("c_custkey", sort=False)["n"].sum()
+        hist = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(np.int64),
+                "custdist": hist.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    n_zero = n_customers - int(g["custdist"].sum())
+    if n_zero > 0:
+        g = pd.concat(
+            [g, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    return pd.DataFrame(
+        {
+            "c_count": g["c_count"].to_numpy(np.int64),
+            "custdist": g["custdist"].to_numpy(np.int64),
+        }
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13483,6 +13629,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "nonascii_ratio": (q_nonascii_ratio, SQL_NONASCII_RATIO),
     "line_stats": (q_line_stats, SQL_LINE_STATS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
