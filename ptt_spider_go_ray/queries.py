@@ -13525,6 +13525,50 @@ FROM c_orders GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: MinHash threshold sweep — the dedup TUNING curve: pairs-found and
+# docs-dropped at each exact-Jaccard threshold over the LSH candidate set
+# (the knob a pipeline operator turns before committing a corpus build).
+# Defined over LSH candidates — below the banding design point (J≈0.8) the
+# curve reflects banding recall, which is exactly what the operator needs
+# to see. Distributed work = the memoized pair_overlap chain; the sweep
+# itself is integer threshold compares over the O(near-dups) driver frame.
+# ---------------------------------------------------------------------------
+
+_MH_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+def q_minhash_threshold_sweep(sf_dir: str):
+    o = _mh_pair_overlap(sf_dir)
+    i = o["i"].to_numpy(np.int64) if len(o) else np.array([], np.int64)
+    u = (
+        (o["na"] + o["nb"] - o["i"]).to_numpy(np.int64)
+        if len(o)
+        else np.array([], np.int64)
+    )
+    doc_b = o["doc_b"].to_numpy(np.int64) if len(o) else np.array([], np.int64)
+    rows = []
+    for t in _MH_SWEEP_THRESHOLDS:
+        ok = 100 * i >= t * u  # J ≥ t/100 in exact integers
+        rows.append((t, int(ok.sum()), int(len(np.unique(doc_b[ok])))))
+    return pd.DataFrame(
+        rows, columns=["threshold_pct", "n_pairs", "n_docs_dropped"]
+    ).astype({"threshold_pct": "int64", "n_pairs": "int64", "n_docs_dropped": "int64"})
+
+
+SQL_MINHASH_THRESHOLD_SWEEP = _MH_OVERLAP_SQL + f"""
+, th AS (SELECT unnest([{', '.join(map(str, _MH_SWEEP_THRESHOLDS))}])
+           AS threshold_pct)
+SELECT CAST(th.threshold_pct AS BIGINT) AS threshold_pct,
+       CAST(count(CASE WHEN 100 * i >= th.threshold_pct * (na + nb - i)
+                       THEN 1 END) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT CASE WHEN 100 * i >= th.threshold_pct
+                                     * (na + nb - i)
+                                THEN doc_b END) AS BIGINT) AS n_docs_dropped
+FROM th LEFT JOIN overlap ON TRUE
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13631,6 +13675,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "minhash_threshold_sweep": (q_minhash_threshold_sweep, SQL_MINHASH_THRESHOLD_SWEEP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

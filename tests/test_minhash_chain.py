@@ -182,3 +182,18 @@ def test_mh_memo_put_evicts_stale_snapshots():
     assert k_dead_job not in _MH_MEMO  # finished job evicted
     assert k_other_what in _MH_MEMO and k_other_dir in _MH_MEMO
     _MH_MEMO.clear()
+
+
+def test_threshold_sweep_discriminates_on_edge_table(ray_session, docs_dir):
+    from ptt_spider_go_ray.queries import (
+        SQL_MINHASH_THRESHOLD_SWEEP,
+        q_minhash_threshold_sweep,
+    )
+
+    got = _canon(q_minhash_threshold_sweep(docs_dir))
+    want = _canon(_duck(docs_dir, SQL_MINHASH_THRESHOLD_SWEEP))
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    by_t = got.set_index("threshold_pct")["n_pairs"]
+    # the planted one-word edit sits at J = 16/22 ≈ 0.727: counted at 70,
+    # excluded at 80 — the sweep must actually discriminate thresholds
+    assert by_t.loc[70] > by_t.loc[80]
