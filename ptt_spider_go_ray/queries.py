@@ -13569,6 +13569,120 @@ GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q17 (small-quantity-order revenue, adapted to the columns the
+# test tables carry: brand filter only) — the correlated-average pattern:
+# revenue from lineitems whose quantity is below 0.2× that part's average.
+# Two passes over lineitem, zero shuffles: per-block (partkey, Σqty, n)
+# partials for the brand's parts reduce to an O(brand parts) map that
+# broadcasts once; pass B tests the predicate in EXACT integers
+# (qty < 0.2·avg ⇔ 5·qty_e2·n < Σqty_e2 — no float division on either
+# engine) and folds cent-exact revenue partials. Broadcast bound: the
+# per-brand part map is value-domain-bounded (1/25 of parts); past that
+# the q_nation_revenue broadcast_max→hash-join fallback pattern applies.
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#13"
+
+
+def q_tpch_q17(sf_dir: str, brand: str | None = None):
+    import pyarrow.parquet as pq
+    import ray
+
+    brand = _Q17_BRAND if brand is None else brand
+    pt = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bkeys = np.sort(pk[np.asarray(pt["p_brand"]) == brand])
+    bkeys_ref = ray.put(bkeys)
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def qty_part(t: pa.Table) -> pa.Table:
+        keys = ray.get(bkeys_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_e2 = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            m = keys[pos] == lp
+        else:
+            m = np.zeros(len(lp), bool)
+        uniq, inv = np.unique(lp[m], return_inverse=True)
+        sq = np.zeros(len(uniq), np.int64)
+        np.add.at(sq, inv, q_e2[m])
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "p": pa.array(uniq),
+                "sq": pa.array(sq),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    parts = li.map_batches(qty_part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("p", as_index=False)[["sq", "cnt"]].sum()
+    ap = np.ascontiguousarray(agg["p"].to_numpy(np.int64))
+    order = np.argsort(ap)
+    avg_ref = ray.put(
+        (
+            ap[order],
+            agg["sq"].to_numpy(np.int64)[order],
+            agg["cnt"].to_numpy(np.int64)[order],
+        )
+    )
+
+    li2 = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        keys, sq, cnt = ray.get(avg_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_e2 = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            hit = keys[pos] == lp
+            m = hit & (5 * q_e2 * cnt[pos] < sq[pos])
+        else:
+            m = np.zeros(len(lp), bool)
+        return pa.table(
+            {
+                "revenue_e2": pa.array([int(price_e2[m].sum())], pa.int64()),
+                "n_rows": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts2 = li2.map_batches(rev_part, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_e2": [np.int64(parts2["revenue_e2"].sum())],
+            "n_rows": [np.int64(parts2["n_rows"].sum())],
+        }
+    )
+
+
+SQL_TPCH_Q17 = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+agg AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+         count(*) AS cnt
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+         AS BIGINT) AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN agg a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * a.cnt < a.sq
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13676,6 +13790,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "minhash_threshold_sweep": (q_minhash_threshold_sweep, SQL_MINHASH_THRESHOLD_SWEEP),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
