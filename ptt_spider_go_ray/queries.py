@@ -4752,9 +4752,13 @@ FROM (SELECT doc_id, unnest(sel) AS u FROM s)
 # distributed shape as the MinHash band pairs: per-batch distinct
 # (doc_id, fp) — a doc's rows live in one batch, so batch-local dedup IS
 # global — then one fp-hash bucket shuffle of (doc_id, fp) ints (text never
-# moves), per-fp pair fan-out inside the bucket (hot-fp risk is the
-# documented simhash-pairs class; a corpus-stopword 15-gram would need the
-# same cap). The cross-bucket pair count deliberately avoids Ray's hash
+# moves), per-fp pair fan-out inside the bucket. Corpus-stopword
+# fingerprints are CAPPED, MOSS-style: an fp present in > max_df docs is
+# discriminative of nothing and its pair fan-out is quadratic (sf0.1: one
+# fp hits 3,813 of 5,000 docs → 94M of 95M raw pairs came from >100-doc
+# fps before the cap, 105 s → ~2 s after). The doc-frequency test is FREE:
+# every instance of an fp lands in one bucket, so bucket-local df IS
+# global df — no extra pass. The cross-bucket pair count avoids Ray's hash
 # aggregate (measured ~10× slower than bucketed map_groups for ~1M pair
 # rows here): each fp-bucket emits PARTIAL per-pair counts, then one
 # pair-hash bucket shuffle sums them — partials shrink the shuffled rows
@@ -4762,7 +4766,7 @@ FROM (SELECT doc_id, unnest(sel) AS u FROM s)
 # ---------------------------------------------------------------------------
 
 
-def q_winnowing_overlap(sf_dir: str, min_shared: int = 2):
+def q_winnowing_overlap(sf_dir: str, min_shared: int = 2, max_df: int = 50):
     import pyarrow.parquet as pq
 
     from .pipelines.dedup import _coarse_buckets
@@ -4792,7 +4796,7 @@ def q_winnowing_overlap(sf_dir: str, min_shared: int = 2):
         a_out, b_out = [], []
         for _, grp in g.groupby("fp", sort=False):
             docs = np.unique(grp["doc_id"].to_numpy())
-            if len(docs) < 2:
+            if len(docs) < 2 or len(docs) > max_df:
                 continue
             ii, jj = np.triu_indices(len(docs), 1)
             a_out.append(docs[ii])
@@ -4839,9 +4843,11 @@ def q_winnowing_overlap(sf_dir: str, min_shared: int = 2):
 
 
 SQL_WINNOWING_OVERLAP = f"""
-WITH wfp AS ({SQL_WINNOWING_FINGERPRINTS}), d AS (SELECT DISTINCT doc_id, fp FROM wfp)
+WITH wfp AS ({SQL_WINNOWING_FINGERPRINTS}),
+d AS (SELECT DISTINCT doc_id, fp FROM wfp),
+rare AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM d a JOIN rare USING (fp) JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
