@@ -13689,6 +13689,173 @@ WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * a.cnt < a.sq
 """
 
 # ---------------------------------------------------------------------------
+# Q: exact shared-substring runs — the Lee-et-al.-style exact substring
+# dedup signal: for every doc pair, the length of the longest exactly-
+# shared character run ≥ min_run, found by matching K-char rolling hashes
+# at EVERY position (no winnow sampling) and growing diagonal streaks
+# (pos_a − pos_b constant, consecutive). Scale shape: three stages — hash
+# rows (doc, pos, fp) bucket-shuffle by fp (max-df stopword cap, free as
+# in winnowing_overlap), position-level matches re-shuffle by pair, runs
+# grow vectorized inside the pair bucket (sort + diff islands, C-speed).
+# Only int64 quads ever move. At 100 TB the hash-join stage is the
+# documented approximation path — a suffix-array build per shard is the
+# exact-scan alternative; hash matching with a 2^31−1 modulus is what the
+# oracle replays, so engine and oracle agree bit-for-bit by construction.
+# ---------------------------------------------------------------------------
+
+_ESR_K, _ESR_MIN_RUN, _ESR_MAX_DF = 20, 40, 50
+
+
+def q_exact_substring_runs(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .pipelines.dedup import _coarse_buckets
+
+    K, M, B = _ESR_K, _WINNOW_M, _WINNOW_B
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1) * 8)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        out_doc, out_pos, out_fp = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = text or ""
+            cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+            n_pos = len(cp) - K + 1
+            if n_pos < 1:
+                continue
+            h = np.zeros(n_pos, np.int64)
+            for j in range(K):  # K vectorized rolls, not a per-char loop
+                h = (h * B + cp[j:j + n_pos]) % M
+            out_doc.append(np.full(n_pos, doc_id, np.int64))
+            out_pos.append(np.arange(1, n_pos + 1, dtype=np.int64))
+            out_fp.append(h)
+        if not out_doc:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        fp = np.concatenate(out_fp)
+        return pa.table(
+            {
+                "bucket": pa.array((fp % nb).astype(np.int64)),
+                "doc_id": pa.array(np.concatenate(out_doc)),
+                "pos": pa.array(np.concatenate(out_pos)),
+                "fp": pa.array(fp),
+            }
+        )
+
+    def matches_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["pb", "doc_a", "doc_b", "pa", "pbos"]
+        # fully vectorized — NO per-fp Python loop (~1M mostly-singleton fp
+        # groups per bucket would pay ~1 ms of pandas each): duplicated()
+        # kills singletons, the df window kills stopword fps, and the
+        # pair fan-out is one C-speed self-merge on fp
+        g = g[g.duplicated("fp", keep=False)]
+        if len(g):
+            dfc = g.drop_duplicates(["fp", "doc_id"]).groupby("fp").size()
+            ok = dfc[(dfc >= 2) & (dfc <= _ESR_MAX_DF)].index
+            g = g[g["fp"].isin(ok)]
+        if not len(g):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        m = g[["fp", "doc_id", "pos"]].merge(
+            g[["fp", "doc_id", "pos"]], on="fp", suffixes=("_a", "_b")
+        )
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        r = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy(np.int64),
+                "doc_b": m["doc_id_b"].to_numpy(np.int64),
+                "pa": m["pos_a"].to_numpy(np.int64),
+                "pbos": m["pos_b"].to_numpy(np.int64),
+            }
+        )
+        r["pb"] = (
+            pd.util.hash_pandas_object(r[["doc_a", "doc_b"]], index=False)
+            .to_numpy()
+            .astype(np.int64, copy=False)
+            % nb
+        )
+        return r[cols]
+
+    def runs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "max_run_chars": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.assign(diag=g["pa"] - g["pbos"]).sort_values(
+            ["doc_a", "doc_b", "diag", "pa"], kind="mergesort"
+        )
+        grp = g["pa"].to_numpy() - g.groupby(
+            ["doc_a", "doc_b", "diag"], sort=False
+        ).cumcount().to_numpy()
+        runs = (
+            g.assign(grp=grp)
+            .groupby(["doc_a", "doc_b", "diag", "grp"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        runs["run_len"] = runs["n"] + (_ESR_K - 1)
+        best = runs.groupby(["doc_a", "doc_b"], as_index=False)["run_len"].max()
+        best = best[best["run_len"] >= _ESR_MIN_RUN]
+        return pd.DataFrame(
+            {
+                "doc_a": best["doc_a"].to_numpy(np.int64),
+                "doc_b": best["doc_b"].to_numpy(np.int64),
+                "max_run_chars": best["run_len"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(hashes, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(matches_in_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(runs_in_bucket, batch_format="pandas")
+    )
+
+
+SQL_EXACT_SUBSTRING_RUNS = f"""
+WITH c AS (
+  SELECT doc_id,
+         [CAST(unicode(text[j]) AS BIGINT) FOR j IN range(1, len(text)+1)] AS cp,
+         len(text) AS n
+  FROM documents WHERE len(text) >= {_ESR_K}
+), d AS (
+  SELECT doc_id, i AS pos,
+         list_reduce(list_slice(cp, i, i+{_ESR_K - 1}),
+                     (a, x) -> (a * {_WINNOW_B} + x) % {_WINNOW_M}) AS fp
+  FROM c, unnest(range(1, n-{_ESR_K - 2})) AS t(i)
+), rare AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM d)
+  GROUP BY fp HAVING count(*) BETWEEN 2 AND {_ESR_MAX_DF}
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM d a JOIN rare USING (fp) JOIN d b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+), g AS (
+  SELECT doc_a, doc_b, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM p
+), runs AS (
+  SELECT doc_a, doc_b, count(*) + {_ESR_K - 1} AS run_len
+  FROM g GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS max_run_chars
+FROM runs GROUP BY 1, 2 HAVING max(run_len) >= {_ESR_MIN_RUN}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13797,6 +13964,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "minhash_threshold_sweep": (q_minhash_threshold_sweep, SQL_MINHASH_THRESHOLD_SWEEP),
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "exact_substring_runs": (q_exact_substring_runs, SQL_EXACT_SUBSTRING_RUNS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
