@@ -197,3 +197,24 @@ def test_threshold_sweep_discriminates_on_edge_table(ray_session, docs_dir):
     # the planted one-word edit sits at J = 16/22 ≈ 0.727: counted at 70,
     # excluded at 80 — the sweep must actually discriminate thresholds
     assert by_t.loc[70] > by_t.loc[80]
+
+
+def test_exact_substring_runs_planted_run_length(ray_session, tmp_path):
+    from ptt_spider_go_ray.queries import q_exact_substring_runs
+
+    # two docs share EXACTLY one 45-char run, embedded in otherwise
+    # disjoint text (different alphabets around it, no 20-gram overlap)
+    shared = "the quick brown fox jumps over the lazy dogs!"  # 45 chars
+    assert len(shared) == 45
+    a = "AAAA1111BBBB2222CCCC " + shared + " DDDD3333EEEE4444"
+    b = "zzzz9999yyyy8888xxxx " + shared + " wwww7777vvvv6666"
+    pa_tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array([a, b])}
+    )
+    pq.write_table(pa_tbl, tmp_path / "documents.parquet")
+    got = q_exact_substring_runs(str(tmp_path)).to_pandas()
+    # the run includes the flanking spaces (both docs have ' ' on each
+    # side of the shared sentence): 45 + 2 = 47
+    assert got.to_dict("records") == [
+        {"doc_a": 1, "doc_b": 2, "max_run_chars": 47}
+    ]
