@@ -13856,6 +13856,55 @@ FROM runs GROUP BY 1, 2 HAVING max(run_len) >= {_ESR_MIN_RUN}
 """
 
 # ---------------------------------------------------------------------------
+# Q: text normalization digests — the standard corpus-normalization step
+# (Unicode NFC + ASCII-whitespace collapse + edge trim) that must run
+# before hashing/dedup so byte-different-but-canonically-equal docs
+# collide. Streaming map_batches, no shuffle; the output ships (doc_id,
+# md5, length) — never the text. Case folding is deliberately NOT part of
+# the op: Python str.lower and DuckDB/ICU lower diverge on locale-special
+# codepoints (e.g. İ), so a case-folding variant could not be oracled
+# bit-exactly. Whitespace is the explicit ASCII class on both engines
+# (Python \s would also split NBSP; RE2 \s would not).
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_text(sf_dir: str):
+    import hashlib
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        out_len, out_md5 = [], []
+        for t in df["text"]:
+            n = ws.sub(" ", unicodedata.normalize("NFC", t or "")).strip(" ")
+            out_len.append(len(n))
+            out_md5.append(hashlib.md5(n.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_chars_norm": np.array(out_len, np.int64),
+                "text_md5": out_md5,
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas", batch_size=_TEXT_BATCH)
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                             '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_norm, md5(t) AS text_md5
+FROM n
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13965,6 +14014,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "minhash_threshold_sweep": (q_minhash_threshold_sweep, SQL_MINHASH_THRESHOLD_SWEEP),
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "exact_substring_runs": (q_exact_substring_runs, SQL_EXACT_SUBSTRING_RUNS),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "chunk_plan": (q_chunk_plan, SQL_CHUNK_PLAN),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
