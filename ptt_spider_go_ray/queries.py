@@ -13905,6 +13905,665 @@ FROM n
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q7 volume shipping (adapted: region pair instead of nation pair —
+# the sf dimension tables are small enough that a fixed nation pair never
+# co-occurs on a lineitem at sf0.001) — revenue moved between two fixed
+# regions (supplier side ↔ customer side) per shipment year. Zero-shuffle
+# shape: the two-region supplier and customer maps broadcast once (2/5 of
+# each dimension); the order→customer-region map is built by one streaming
+# pass over orders (hits only; at 100-TB order volumes swap this driver-held
+# map for the bucketed orderkey join of q_tpch_q10) and broadcast; every
+# lineitem block then resolves both regions locally and folds into a
+# ≤ 2×years partial. All-to-alls: zero.
+# ---------------------------------------------------------------------------
+
+_Q7_REGIONS = ("AMERICA", "ASIA")
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+
+def _sorted_key_map(keys: np.ndarray, vals: np.ndarray, mask: np.ndarray):
+    """(keys[mask], vals[mask]) sorted by key — the searchsorted-lookup
+    broadcast payload used by the TPC-H family."""
+    o = np.argsort(keys[mask])
+    return (
+        np.ascontiguousarray(keys[mask][o]),
+        np.ascontiguousarray(vals[mask][o]),
+    )
+
+
+def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized hash-join probe against a sorted key map: returns
+    (hit_mask, values_for_hits_aligned_to_probe) with vals[0]-typed junk
+    at misses (callers mask)."""
+    if not len(keys) or not len(probe):
+        return np.zeros(len(probe), bool), np.zeros(len(probe), vals.dtype)
+    pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[pos] == probe
+    return hit, vals[pos]
+
+
+def q_tpch_q7(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    name1, name2 = _Q7_REGIONS
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rn = np.asarray(region["r_name"].to_pylist(), dtype=object)
+    k1 = int(rk[rn == name1][0])
+    k2 = int(rk[rn == name2][0])
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nreg = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    no = np.argsort(nk)
+    nat_keys, nat_regs = np.ascontiguousarray(nk[no]), np.ascontiguousarray(nreg[no])
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, sreg = _lookup(
+        nat_keys, nat_regs,
+        supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    supp_ref = ray.put(_sorted_key_map(sk, sreg, (sreg == k1) | (sreg == k2)))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _, creg = _lookup(
+        nat_keys, nat_regs,
+        cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    cust_ref = ray.put(_sorted_key_map(ck, creg, (creg == k1) | (creg == k2)))
+
+    def ord_nat(t: pa.Table) -> pa.Table:
+        keys, regs = ray.get(cust_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, v = _lookup(keys, regs, oc)
+        return pa.table(
+            {
+                "okey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "cnat": pa.array(v[hit].astype(np.int64)),
+            }
+        )
+
+    odf = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(ord_nat, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if odf.empty:
+        odf = pd.DataFrame({"okey": pd.Series([], dtype="int64"),
+                            "cnat": pd.Series([], dtype="int64")})
+    oo = np.argsort(odf["okey"].to_numpy())
+    ord_ref = ray.put(
+        (
+            np.ascontiguousarray(odf["okey"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(odf["cnat"].to_numpy(np.int64)[oo]),
+        )
+    )
+
+    lo = np.datetime64(_Q7_LO)
+    hi = np.datetime64(_Q7_HI)
+
+    def vol_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"code": pa.array([], pa.int64()), "rev_e4": pa.array([], pa.int64())}
+        )
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d < hi)
+        if not m.any():
+            return empty
+        skeys, snats = ray.get(supp_ref)
+        okeys, onats = ray.get(ord_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        shit, snat = _lookup(skeys, snats, ls)
+        ohit, cnat = _lookup(okeys, onats, lok)
+        keep = shit & ohit & (snat != cnat)
+        if not keep.any():
+            return empty
+        year = d[m][keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m][keep] * 100
+        ).astype(np.int64)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m][keep] * 100
+        ).astype(np.int64)
+        rev = price_e2 * (100 - disc_e2)
+        code = (snat[keep] == k2).astype(np.int64) * 10000 + year
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"code": pa.array(uniq), "rev_e4": pa.array(sums)})
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    parts = li.map_batches(vol_part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                              "rev_e4": pd.Series([], dtype="int64")})
+    agg = parts.groupby("code", as_index=False)["rev_e4"].sum()
+    code = agg["code"].to_numpy(np.int64)
+    supp_is_2 = code // 10000 == 1
+    out = pd.DataFrame(
+        {
+            "supp_region": np.where(supp_is_2, name2, name1).astype(object),
+            "cust_region": np.where(supp_is_2, name1, name2).astype(object),
+            "l_year": code % 10000,
+            "revenue_e4": agg["rev_e4"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(
+        ["supp_region", "cust_region", "l_year"]
+    ).reset_index(drop=True)
+
+
+SQL_TPCH_Q7 = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q7_LO}'
+    AND l_shipdate <  TIMESTAMP '{_Q7_HI}'
+),
+sr AS (
+  SELECT s_suppkey, r_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+cr AS (
+  SELECT c_custkey, r_name FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT sr.r_name AS supp_region, cr.r_name AS cust_region, li.l_year,
+       CAST(sum(li.rev) AS BIGINT) AS revenue_e4
+FROM li
+JOIN sr ON li.l_suppkey = sr.s_suppkey
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN cr ON o.o_custkey = cr.c_custkey
+WHERE (sr.r_name = '{_Q7_REGIONS[0]}' AND cr.r_name = '{_Q7_REGIONS[1]}')
+   OR (sr.r_name = '{_Q7_REGIONS[1]}' AND cr.r_name = '{_Q7_REGIONS[0]}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# ---------------------------------------------------------------------------
+# Q: TPC-H Q8 national market share — within one region's customers and one
+# part type, the fraction of yearly revenue supplied by one nation. Same
+# zero-shuffle broadcast shape as Q7; the share is a single BIGINT/BIGINT
+# IEEE division per year so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "PROMO"
+_Q8_LO, _Q8_HI = "1995-01-01", "1997-01-01"
+
+
+def q_tpch_q8(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    nreg = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    target_nat = int(nk[nn == _Q8_NATION][0])
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", filters=[("r_name", "==", _Q8_REGION)]
+    )
+    rkeys = region["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    region_nats = nk[np.isin(nreg, rkeys)]
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pkeys = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            np.asarray(part["p_type"]) == _Q8_TYPE
+        ]
+    )
+    part_ref = ray.put(pkeys)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n3keys_ref = ray.put(np.sort(sk[sn == target_nat]))
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ckeys = np.sort(
+        cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[
+            np.isin(
+                cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                region_nats,
+            )
+        ]
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    lo = pa.scalar(pd.Timestamp(_Q8_LO).to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q8_HI).to_pydatetime(), pa.timestamp("us"))
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi),
+            )
+        )
+        cks = ray.get(ckeys_ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _lookup(cks, cks, oc)
+        year = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)[hit]
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table(
+            {
+                "okey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                    pa.int64(),
+                ),
+                "oyear": pa.array(year),
+            }
+        )
+
+    # date+region-filtered order→year map (a few % of orders) broadcast once;
+    # at 100-TB order volumes swap for the bucketed orderkey join (q_tpch_q10)
+    odf = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_year, batch_format="pyarrow")
+        .to_pandas()
+    )
+    oo = np.argsort(odf["okey"].to_numpy())
+    ord_ref = ray.put(
+        (
+            np.ascontiguousarray(odf["okey"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(odf["oyear"].to_numpy(np.int64)[oo]),
+        )
+    )
+
+    def vol_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "oyear": pa.array([], pa.int64()),
+                "num_e4": pa.array([], pa.int64()),
+                "den_e4": pa.array([], pa.int64()),
+            }
+        )
+        pks = ray.get(part_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phit, _ = _lookup(pks, pks, lp)
+        if not phit.any():
+            return empty
+        okeys, oyears = ray.get(ord_ref)
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[phit]
+        ohit, oyear = _lookup(okeys, oyears, lok)
+        if not ohit.any():
+            return empty
+        n3 = ray.get(n3keys_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[phit][ohit]
+        shit, _ = _lookup(n3, n3, ls)
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[phit][ohit] * 100
+        ).astype(np.int64)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[phit][ohit] * 100
+        ).astype(np.int64)
+        rev = price_e2 * (100 - disc_e2)
+        yr = oyear[ohit]
+        uniq, inv = np.unique(yr, return_inverse=True)
+        num = np.zeros(len(uniq), np.int64)
+        den = np.zeros(len(uniq), np.int64)
+        np.add.at(den, inv, rev)
+        np.add.at(num, inv, np.where(shit, rev, 0))
+        return pa.table(
+            {
+                "oyear": pa.array(uniq),
+                "num_e4": pa.array(num),
+                "den_e4": pa.array(den),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    parts = li.map_batches(vol_part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("oyear", as_index=False)[["num_e4", "den_e4"]].sum()
+    # single int/int IEEE division per year — matches DuckDB BIGINT/BIGINT
+    share = np.array(
+        [
+            int(n) / int(d) if d else np.nan
+            for n, d in zip(agg["num_e4"], agg["den_e4"])
+        ],
+        dtype=np.float64,
+    )
+    return pd.DataFrame(
+        {
+            "o_year": agg["oyear"].to_numpy(np.int64),
+            "mkt_share": share,
+        }
+    ).sort_values("o_year").reset_index(drop=True)
+
+
+SQL_TPCH_Q8 = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_partkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_Q8_LO}'
+    AND o_orderdate <  TIMESTAMP '{_Q8_HI}'
+),
+rn AS (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = '{_Q8_REGION}'
+),
+vol AS (
+  SELECT o.o_year, li.rev,
+         CASE WHEN n.n_name = '{_Q8_NATION}' THEN li.rev ELSE 0 END AS nrev
+  FROM li
+  JOIN part p ON li.l_partkey = p.p_partkey AND p.p_type = '{_Q8_TYPE}'
+  JOIN o ON li.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN rn ON c.c_nationkey = rn.n_nationkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT o_year,
+       CAST(sum(nrev) AS BIGINT) / CAST(sum(rev) AS BIGINT) AS mkt_share
+FROM vol GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: TPC-H Q9 product-type profit (adapted: the sf tables carry no partsupp,
+# so profit is gross revenue price×(1−disc) — the join/group shape is Q9's)
+# per (supplier nation, order year) over parts named like a color word.
+# Broadcast shape as Q7/Q8; the full order→year map broadcasts (orders are
+# the 1:4 parent of lineitem — at 100-TB swap for the bucketed orderkey
+# join of q_tpch_q10, noted here because Q9 has no order-side filter).
+# ---------------------------------------------------------------------------
+
+_Q9_COLOR = "blue"
+
+
+def q_tpch_q9(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    pmask = np.array(
+        [(_Q9_COLOR in (s or "")) for s in part["p_name"].to_pylist()], bool
+    )
+    pkeys_ref = ray.put(
+        np.sort(
+            part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)[pmask]
+        )
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_ref = ray.put(_sorted_key_map(sk, sn, np.ones(len(sk), bool)))
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        year = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "oyear": pa.array(year),
+            }
+        )
+
+    odf = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+        .map_batches(ord_year, batch_format="pyarrow")
+        .to_pandas()
+    )
+    oo = np.argsort(odf["okey"].to_numpy())
+    ord_ref = ray.put(
+        (
+            np.ascontiguousarray(odf["okey"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(odf["oyear"].to_numpy(np.int64)[oo]),
+        )
+    )
+
+    def profit_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"code": pa.array([], pa.int64()), "profit_e4": pa.array([], pa.int64())}
+        )
+        pks = ray.get(pkeys_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        phit, _ = _lookup(pks, pks, lp)
+        if not phit.any():
+            return empty
+        skeys, snats = ray.get(supp_ref)
+        okeys, oyears = ray.get(ord_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[phit]
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[phit]
+        shit, snat = _lookup(skeys, snats, ls)
+        ohit, oyear = _lookup(okeys, oyears, lok)
+        keep = shit & ohit
+        if not keep.any():
+            return empty
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[phit][keep] * 100
+        ).astype(np.int64)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[phit][keep] * 100
+        ).astype(np.int64)
+        rev = price_e2 * (100 - disc_e2)
+        code = snat[keep] * 10000 + oyear[keep]
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"code": pa.array(uniq), "profit_e4": pa.array(sums)})
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    parts = li.map_batches(profit_part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("code", as_index=False)["profit_e4"].sum()
+    code = agg["code"].to_numpy(np.int64)
+    nat_by_key = dict(zip(nk.tolist(), nname.tolist()))
+    return pd.DataFrame(
+        {
+            "n_name": np.array(
+                [nat_by_key[int(c)] for c in code // 10000], dtype=object
+            ),
+            "o_year": code % 10000,
+            "profit_e4": agg["profit_e4"].to_numpy(np.int64),
+        }
+    ).sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+SQL_TPCH_Q9 = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_partkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem
+)
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(li.rev) AS BIGINT) AS profit_e4
+FROM li
+JOIN part p ON li.l_partkey = p.p_partkey
+           AND p.p_name LIKE '%{_Q9_COLOR}%'
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: TPC-H Q22 idle-customer balance (adapted: no phone column, so the
+# country-code group is the market segment, and "no recent orders" is "no
+# orders on/after {_Q22_SINCE}" — every synthetic customer has SOME order,
+# so Q22's literal all-time anti-join would always be empty). The
+# above-average-balance threshold is compared by integer cross-
+# multiplication (bal_e2 × n_pos > sum_pos_e2) so the float average never
+# materializes on either engine; the anti-join side is the distinct
+# recent-custkey set folded from per-block partials (orders:customers is
+# ~10:1 — at 100-TB customer counts route through the bucketed anti-join of
+# _semi_anti_join's non-broadcast branch instead).
+# ---------------------------------------------------------------------------
+
+_Q22_SINCE = "2000-08-01"
+
+
+def q_tpch_q22(sf_dir: str):
+    import ray
+
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+
+    def pos_part(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        e2 = np.rint(bal[pos] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(pos.sum())], pa.int64()),
+                "s": pa.array([int(e2.sum())], pa.int64()),
+            }
+        )
+
+    pos = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(pos_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_pos = int(pos["n"].sum())
+    sum_pos = int(pos["s"].sum())
+
+    since = pa.scalar(pd.Timestamp(_Q22_SINCE).to_pydatetime(), pa.timestamp("us"))
+
+    def okeys_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], since))
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.unique(
+                        t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    )
+                )
+            }
+        )
+
+    okeys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(okeys_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    have_orders_ref = ray.put(np.unique(okeys["k"].to_numpy(np.int64)))
+
+    def seg_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "c_mktsegment": pa.array([], pa.string()),
+                "numcust": pa.array([], pa.int64()),
+                "tot_e2": pa.array([], pa.int64()),
+            }
+        )
+        ok = ray.get(have_orders_ref)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        e2 = np.rint(bal * 100).astype(np.int64)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _lookup(ok, ok, ck)
+        # bal_e2 × n_pos stays in int64 up to ~9e12 positive customers
+        keep = (e2 * n_pos > sum_pos) & ~hit
+        if not keep.any():
+            return empty
+        seg = np.asarray(t["c_mktsegment"].to_pylist(), dtype=object)[keep]
+        uniq, inv = np.unique(seg, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, e2[keep])
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq.tolist(), pa.string()),
+                "numcust": pa.array(cnt),
+                "tot_e2": pa.array(tot),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", columns=cust_cols)
+        .map_batches(seg_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("c_mktsegment", as_index=False)[["numcust", "tot_e2"]].sum()
+    return pd.DataFrame(
+        {
+            "c_mktsegment": agg["c_mktsegment"].astype(object),
+            "numcust": agg["numcust"].to_numpy(np.int64),
+            "totacctbal_e2": agg["tot_e2"].to_numpy(np.int64),
+        }
+    ).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SQL_TPCH_Q22 = f"""
+WITH pos AS (
+  SELECT CAST(round(c_acctbal*100) AS BIGINT) AS e2
+  FROM customer WHERE c_acctbal > 0
+),
+thr AS (SELECT count(*) AS n, CAST(sum(e2) AS BIGINT) AS s FROM pos),
+sel AS (
+  SELECT c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS e2
+  FROM customer c
+  WHERE CAST(round(c_acctbal*100) AS BIGINT) * (SELECT n FROM thr)
+          > (SELECT s FROM thr)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{_Q22_SINCE}')
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(e2) AS BIGINT) AS totacctbal_e2
+FROM sel GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -14093,4 +14752,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "ols_outliers": (q_ols_outliers, SQL_OLS_OUTLIERS),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "bpe_top_pairs": (q_bpe_top_pairs, SQL_BPE_TOP_PAIRS),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }
