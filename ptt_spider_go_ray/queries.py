@@ -13905,6 +13905,292 @@ FROM n
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-document shingle novelty — the fraction of a doc's DISTINCT 3-token
+# shingles not seen in any earlier doc (doc_id order): the streaming-corpus
+# diversity/contamination-over-time signal (a doc of all-novel shingles is
+# fresh content; near-0 novelty means the corpus already said it). Engine
+# shape: distinct (doc, shingle-fp) rows — never documents — shuffle once by
+# fp bucket (each fp's global first-doc resolves inside its bucket since a
+# batch holds whole docs), per-(bucket, doc) partials reduce by doc bucket.
+# novelty = n_novel / n_grams is a single int64/int64 IEEE division, so the
+# DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("bucket", "doc", "sfp")}
+        )
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        dd = pd.DataFrame(
+            {"doc": doc_ids[sdoc].astype(np.int64), "sfp": sfp.astype(np.int64)}
+        ).drop_duplicates()
+        dd.insert(0, "bucket", (dd["sfp"].to_numpy(np.int64) % nb))
+        return dd
+
+    def first_marks(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("sfp")["doc"].transform("min")
+        novel = (g["doc"].to_numpy() == first.to_numpy()).astype(np.int64)
+        p = (
+            g.assign(novel=novel)
+            .groupby("doc", as_index=False)
+            .agg(n_grams=("sfp", "count"), n_novel=("novel", "sum"))
+        )
+        p.insert(0, "dbucket", p["doc"].to_numpy(np.int64) % nb)
+        return p
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("doc", as_index=False)[["n_grams", "n_novel"]].sum()
+        ng = r["n_grams"].to_numpy(np.int64)
+        nv = r["n_novel"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": r["doc"].to_numpy(np.int64),
+                "n_grams": ng,
+                "n_novel": nv,
+                "novelty": nv / ng,
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(first_marks, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(reduce_doc, batch_format="pandas")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+m AS (SELECT sfp, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN m.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN m.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) / count(*) AS novelty
+FROM sh JOIN m USING (sfp)
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: LSH recall/precision eval — how good are the MinHash band candidates
+# against EXACT Jaccard≥0.8 ground truth, measured on a deterministic
+# ~{_LSH_EVAL_TARGET}-doc sample (doc_id % m == 0 with m = n_docs // target,
+# computed identically in SQL) so the all-pairs ground truth stays
+# eval-sized at any corpus scale. The candidate side reuses the memoized
+# band-pair chain; the exact side shuffles distinct (doc, shingle-fp) rows
+# by fp bucket and self-merges inside each bucket (pair blowup bounded by
+# sample² per shingle). tp/fp/fn are exact integers; the two ratios are
+# single int/int IEEE divisions.
+# ---------------------------------------------------------------------------
+
+_LSH_EVAL_TARGET = 512
+
+
+def q_lsh_recall_eval(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    mod = max(1, n_docs // _LSH_EVAL_TARGET)
+    nb = _coarse_buckets(max(n_docs // max(mod, 1), 1))
+
+    def doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("doc", "n")})
+        df = df[df["doc_id"] % mod == 0]
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        dd = pd.DataFrame(
+            {"doc": doc_ids[sdoc].astype(np.int64), "sfp": sfp.astype(np.int64)}
+        ).drop_duplicates()
+        g = dd.groupby("doc", as_index=False).size()
+        return pd.DataFrame(
+            {"doc": g["doc"].to_numpy(np.int64), "n": g["size"].to_numpy(np.int64)}
+        )
+
+    cnt = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(doc_counts, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .to_pandas()
+    )
+    if cnt.empty:
+        cnt = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("doc", "n")})
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("bucket", "doc", "sfp")}
+        )
+        df = df[df["doc_id"] % mod == 0]
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        dd = pd.DataFrame(
+            {"doc": doc_ids[sdoc].astype(np.int64), "sfp": sfp.astype(np.int64)}
+        ).drop_duplicates()
+        dd.insert(0, "bucket", dd["sfp"].to_numpy(np.int64) % nb)
+        return dd
+
+    def isect(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sfp")
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "i")}
+            )
+        p = m.groupby(["doc_x", "doc_y"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "a": p["doc_x"].to_numpy(np.int64),
+                "b": p["doc_y"].to_numpy(np.int64),
+                "i": p["size"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(isect, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        pairs = pd.DataFrame({c: pd.Series([], dtype="int64") for c in ("a", "b", "i")})
+    inter = pairs.groupby(["a", "b"], as_index=False)["i"].sum()
+    nmap = dict(zip(cnt["doc"].tolist(), cnt["n"].tolist()))
+    ia = inter["a"].map(nmap).to_numpy(np.int64) if len(inter) else np.array([], np.int64)
+    ib = inter["b"].map(nmap).to_numpy(np.int64) if len(inter) else np.array([], np.int64)
+    iv = inter["i"].to_numpy(np.int64)
+    true_mask = 5 * iv >= 4 * (ia + ib - iv)
+    tru = set(
+        zip(inter["a"].to_numpy(np.int64)[true_mask].tolist(),
+            inter["b"].to_numpy(np.int64)[true_mask].tolist())
+    )
+
+    cand = q_minhash_band_pairs(sf_dir).to_pandas()
+    cs = cand[(cand["doc_a"] % mod == 0) & (cand["doc_b"] % mod == 0)]
+    n_cand = len(cs)
+    tp = sum(
+        (a, b) in tru
+        for a, b in zip(cs["doc_a"].tolist(), cs["doc_b"].tolist())
+    )
+    n_true = len(tru)
+    return pd.DataFrame(
+        {
+            "n_sample_docs": np.array([len(cnt)], np.int64),
+            "n_true": np.array([n_true], np.int64),
+            "n_cand": np.array([n_cand], np.int64),
+            "tp": np.array([tp], np.int64),
+            "fp": np.array([n_cand - tp], np.int64),
+            "fn": np.array([n_true - tp], np.int64),
+            "lsh_precision": np.array(
+                [tp / n_cand if n_cand else np.nan], np.float64
+            ),
+            "lsh_recall": np.array(
+                [tp / n_true if n_true else np.nan], np.float64
+            ),
+        }
+    )
+
+
+SQL_LSH_RECALL_EVAL = f"""
+WITH md AS (
+  SELECT greatest(1, count(*) // {_LSH_EVAL_TARGET}) AS m FROM documents
+),
+t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id % (SELECT m FROM md) = 0
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.sfp = y.sfp AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT a, b FROM inter
+  JOIN cnt ca ON ca.doc_id = a
+  JOIN cnt cb ON cb.doc_id = b
+  WHERE 5 * i >= 4 * (ca.n + cb.n - i)
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_BAND_PAIRS})
+  WHERE doc_a % (SELECT m FROM md) = 0 AND doc_b % (SELECT m FROM md) = 0
+),
+stats AS (
+  SELECT (SELECT count(*) FROM cnt) AS n_sample_docs,
+         (SELECT count(*) FROM tru) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM cand JOIN tru ON doc_a = a AND doc_b = b) AS tp
+)
+SELECT n_sample_docs, n_true, n_cand, tp,
+       n_cand - tp AS fp, n_true - tp AS fn,
+       CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE)/n_cand END AS lsh_precision,
+       CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true END AS lsh_recall
+FROM stats
+"""
+
+# ---------------------------------------------------------------------------
 # Q: TPC-H Q7 volume shipping (adapted: region pair instead of nation pair —
 # the sf dimension tables are small enough that a fixed nation pair never
 # co-occurs on a lineitem at sf0.001) — revenue moved between two fixed
@@ -14756,4 +15042,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "lsh_recall_eval": (q_lsh_recall_eval, SQL_LSH_RECALL_EVAL),
 }
