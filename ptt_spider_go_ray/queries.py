@@ -14850,6 +14850,176 @@ FROM sel GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q4 order-priority checking (adapted: the sf lineitem has no
+# commit/receipt dates, so "late" is l_shipdate > o_orderdate + 30 days) —
+# orders in one quarter counted per priority when at least one lineitem
+# shipped late. Engine: the quarter's (okey, priority, orderdate) rows come
+# to the driver once (one quarter of orders — the same windowed small-side
+# bound as q_semi_join's broadcast branch; beyond it use _semi_anti_join's
+# bucketed path), the okey→orderdate map broadcasts, and one lineitem pass
+# folds distinct late-okey partials per block.
+# ---------------------------------------------------------------------------
+
+_Q4_LO, _Q4_HI = "1996-07-01", "1996-10-01"
+_Q4_LATE_DAYS = 30
+
+
+def q_tpch_q4(sf_dir: str):
+    import ray
+
+    lo = pa.scalar(pd.Timestamp(_Q4_LO).to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q4_HI).to_pydatetime(), pa.timestamp("us"))
+
+    def win(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi),
+            )
+        )
+        return t.select(["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    odf = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+        .map_batches(win, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if odf.empty:
+        odf = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    ok = odf["o_orderkey"].to_numpy(np.int64)
+    oo = np.argsort(ok)
+    odate = odf["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+    ord_ref = ray.put(
+        (np.ascontiguousarray(ok[oo]), np.ascontiguousarray(odate[oo]))
+    )
+    late_us = np.int64(_Q4_LATE_DAYS) * 86_400_000_000
+
+    def late_part(t: pa.Table) -> pa.Table:
+        keys, dates = ray.get(ord_ref)
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, od = _lookup(keys, dates, lok)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        late = hit & (ship > od + late_us)
+        return pa.table({"k": pa.array(np.unique(lok[late]))})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(late_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    late_keys = (
+        np.unique(parts["k"].to_numpy(np.int64))
+        if not parts.empty else np.array([], np.int64)
+    )
+    hit, _ = _lookup(late_keys, late_keys, ok)
+    sel = odf[hit]
+    agg = sel.groupby("o_orderpriority", as_index=False).size()
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"].astype(object),
+            "order_count": agg["size"].to_numpy(np.int64),
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+  AND o_orderdate <  TIMESTAMP '{_Q4_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: cross-source near-dup matrix — for every unordered source pair, how
+# many verified (exact-Jaccard ≥ 0.8) near-dup pairs straddle it: the
+# corpus-intake diagnostic that says which feeds mirror each other (and how
+# much of a source is internal duplication, the diagonal). Engine: reuses
+# the memoized candidate-overlap chain (_mh_pair_overlap, O(near-dups)
+# driver rows); the doc→source lookup for pair members is one streaming
+# filtered pass over documents — never a documents shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_source_matrix(sf_dir: str):
+    import ray
+
+    o = _mh_pair_overlap(sf_dir)
+    v = o[5 * o["i"] >= 4 * (o["na"] + o["nb"] - o["i"])]
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype="int64"),
+        }
+    )
+    if v.empty:
+        return empty
+    ids = np.unique(
+        np.concatenate(
+            [v["doc_a"].to_numpy(np.int64), v["doc_b"].to_numpy(np.int64)]
+        )
+    )
+    ids_ref = ray.put(ids)
+
+    def src(t: pa.Table) -> pa.Table:
+        s = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit, _ = _lookup(s, s, d)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[hit]),
+                "source": t["source"].filter(pa.array(hit)),
+            }
+        )
+
+    m = (
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+        .map_batches(src, batch_format="pyarrow")
+        .to_pandas()
+    )
+    smap = dict(zip(m["doc_id"].tolist(), m["source"].tolist()))
+    sa = v["doc_a"].map(smap).to_numpy(object)
+    sb = v["doc_b"].map(smap).to_numpy(object)
+    swap = sa > sb
+    lo = np.where(swap, sb, sa)
+    hi = np.where(swap, sa, sb)
+    agg = (
+        pd.DataFrame({"source_a": lo, "source_b": hi})
+        .groupby(["source_a", "source_b"], as_index=False)
+        .size()
+    )
+    return pd.DataFrame(
+        {
+            "source_a": agg["source_a"].astype(object),
+            "source_b": agg["source_b"].astype(object),
+            "n_pairs": agg["size"].to_numpy(np.int64),
+        }
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_DUP_SOURCE_MATRIX = _MH_OVERLAP_SQL + """
+, v AS (SELECT doc_a, doc_b FROM overlap WHERE 5 * i >= 4 * (na + nb - i))
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM v
+JOIN documents da ON da.doc_id = v.doc_a
+JOIN documents db ON db.doc_id = v.doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15044,4 +15214,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "lsh_recall_eval": (q_lsh_recall_eval, SQL_LSH_RECALL_EVAL),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
 }
