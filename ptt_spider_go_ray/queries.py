@@ -15020,6 +15020,231 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q19 discounted revenue — three disjunctive (brand, size-range,
+# quantity-range) cases, the classic pushdown-hostile OR predicate. Engine:
+# the 3-brand part map (partkey → case index + size) broadcasts once; one
+# lineitem pass evaluates the disjunction vectorized against per-case bound
+# arrays and folds an exact-integer revenue partial. All-to-alls: zero.
+# ---------------------------------------------------------------------------
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi)
+_Q19_CASES = (
+    ("Brand#13", 1, 5, 1, 11),
+    ("Brand#20", 1, 10, 10, 20),
+    ("Brand#23", 1, 15, 20, 30),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pb = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    ps = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brands = np.array([c[0] for c in _Q19_CASES], dtype=object)
+    case_of = np.full(len(pk), -1, np.int64)
+    for ci, b in enumerate(brands):
+        case_of[pb == b] = ci
+    keep = case_of >= 0
+    o = np.argsort(pk[keep])
+    pmap_ref = ray.put(
+        (
+            np.ascontiguousarray(pk[keep][o]),
+            np.ascontiguousarray(case_of[keep][o]),
+            np.ascontiguousarray(ps[keep][o]),
+        )
+    )
+    slo = np.array([c[1] for c in _Q19_CASES], np.int64)
+    shi = np.array([c[2] for c in _Q19_CASES], np.int64)
+    qlo = np.array([float(c[3]) for c in _Q19_CASES])
+    qhi = np.array([float(c[4]) for c in _Q19_CASES])
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        keys, cases, sizes = ray.get(pmap_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            hit = keys[pos] == lp
+            ci = cases[pos]
+            sz = sizes[pos]
+        else:
+            hit = np.zeros(len(lp), bool)
+            ci = np.zeros(len(lp), np.int64)
+            sz = np.zeros(len(lp), np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            hit
+            & (sz >= slo[ci]) & (sz <= shi[ci])
+            & (qty >= qlo[ci]) & (qty <= qhi[ci])
+        )
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        rev = price_e2 * (100 - disc_e2)
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+                "n_items": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue_e4": np.array([int(parts["revenue_e4"].sum())], np.int64),
+            "n_items": np.array([int(parts["n_items"].sum())], np.int64),
+        }
+    )
+
+
+def _q19_case_sql(c) -> str:
+    return (
+        f"(p_brand = '{c[0]}' AND p_size BETWEEN {c[1]} AND {c[2]}"
+        f" AND l_quantity BETWEEN {c[3]} AND {c[4]})"
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(COALESCE(sum(rev), 0) AS BIGINT) AS revenue_e4,
+       count(*) AS n_items
+FROM (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE {_q19_case_sql(_Q19_CASES[0])}
+     OR {_q19_case_sql(_Q19_CASES[1])}
+     OR {_q19_case_sql(_Q19_CASES[2])}
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: kNN-graph in-degree histogram — build the k-nearest-neighbor graph from
+# a deterministic vec_id % m == 0 query sample (m sized for ~{_KNN_TARGET}
+# queries, computed identically in SQL) and histogram how often each corpus
+# vector is chosen as a neighbor, INCLUDING the never-chosen degree-0 mass:
+# the hubness diagnostic that tells you whether an embedding space is
+# collapsing (few hub vectors absorb all edges → dedup/ANN quality rots).
+# Engine: same broadcast-queries + per-batch matmul + partial-top-k shape as
+# q_ann_topk; the graph itself is O(sample × k) driver rows.
+# ---------------------------------------------------------------------------
+
+_KNN_TARGET = 64
+_KNN_K = 5
+
+
+def q_knn_graph_degree(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    mod = max(1, n_vecs // _KNN_TARGET)
+
+    def qpick(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(v % mod == 0))
+
+    qdf = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(qpick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q_ids = qdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_norm))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, qn = ray.get(q_ref)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms) @ qn.T
+        n_b, n_q = cos.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids, n_b), pa.int64()),
+                "neighbor_id": pa.array(np.tile(vids, n_q), pa.int64()),
+                "cos_e4": pa.array(
+                    np.rint(cos.T.reshape(-1) * 10000).astype(np.int64)
+                ),
+            }
+        )
+
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
+        return _arrow_out(
+            df.sort_values(["cos_e4", "neighbor_id"], ascending=[False, True])
+            .groupby("query_id", sort=False)
+            .head(_KNN_K)
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cos_e4", "neighbor_id"], ascending=[False, True]
+        ).head(_KNN_K)
+
+    knn = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .filter(expr="query_id != neighbor_id")
+        .map_batches(partial_topk, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    deg = knn.groupby("neighbor_id").size() if len(knn) else pd.Series([], dtype="int64")
+    hist = deg.value_counts().sort_index()
+    degrees = hist.index.to_numpy(np.int64)
+    counts = hist.to_numpy(np.int64)
+    n_zero = int(n_vecs) - int(len(deg))
+    if n_zero > 0:
+        degrees = np.concatenate([[0], degrees])
+        counts = np.concatenate([[n_zero], counts])
+    return pd.DataFrame({"in_degree": degrees, "n_vecs": counts})
+
+
+SQL_KNN_GRAPH_DEGREE = f"""
+WITH md AS (
+  SELECT greatest(1, count(*) // {_KNN_TARGET}) AS m FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))
+                    * 10000) AS BIGINT) AS cos_e4
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id % (SELECT m FROM md) = 0 AND e.vec_id != q.vec_id
+),
+knn AS (
+  SELECT query_id, neighbor_id
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_e4 DESC, neighbor_id ASC) <= {_KNN_K}
+),
+deg AS (SELECT neighbor_id, count(*) AS d FROM knn GROUP BY 1),
+dd AS (
+  SELECT e.vec_id, COALESCE(deg.d, 0) AS d
+  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.neighbor_id
+)
+SELECT d AS in_degree, count(*) AS n_vecs FROM dd GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15216,4 +15441,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "lsh_recall_eval": (q_lsh_recall_eval, SQL_LSH_RECALL_EVAL),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "knn_graph_degree": (q_knn_graph_degree, SQL_KNN_GRAPH_DEGREE),
 }
