@@ -15245,6 +15245,165 @@ SELECT d AS in_degree, count(*) AS n_vecs FROM dd GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: embedding distribution drift — per-dimension mean shift between the two
+# deterministic corpus halves (vec_id parity): the cheap embedding-space
+# drift monitor you run between ingestion snapshots before trusting ANN /
+# dedup built on them. Exactness: components quantize as floor(x · 2^10)
+# (power-of-two scale — exact in IEEE, identical in DuckDB), sums are
+# BIGINT, each mean is a single int/int division, and the drift is one
+# float subtraction of those two exact quotients. Engine: one streaming
+# pass folding per-(half, dim) int partials — 2 × dims rows per block, a
+# driver merge bounded by the embedding width.
+# ---------------------------------------------------------------------------
+
+_DRIFT_QSCALE = 1024  # 2^10
+
+
+def q_embedding_drift(sf_dir: str):
+    def drift_part(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        q = np.floor(mat * _DRIFT_QSCALE).astype(np.int64)
+        a = vid % 2 == 0
+        dims = np.arange(mat.shape[1], dtype=np.int64)
+        sa = q[a].sum(axis=0).astype(np.int64) if a.any() else np.zeros(len(dims), np.int64)
+        sb = q[~a].sum(axis=0).astype(np.int64) if (~a).any() else np.zeros(len(dims), np.int64)
+        # dim −1 carries the per-half vector counts (sa=n_a, sb=n_b)
+        return pa.table(
+            {
+                "dim": pa.array(np.concatenate([[-1], dims])),
+                "sa": pa.array(np.concatenate([[int(a.sum())], sa])),
+                "sb": pa.array(np.concatenate([[int((~a).sum())], sb])),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(drift_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("dim", as_index=False)[["sa", "sb"]].sum()
+    cnt = agg[agg["dim"] == -1]
+    na = int(cnt["sa"].iloc[0]) if len(cnt) else 0
+    nb = int(cnt["sb"].iloc[0]) if len(cnt) else 0
+    d = agg[agg["dim"] >= 0].sort_values("dim")
+    sa = d["sa"].to_numpy(np.int64)
+    sb = d["sb"].to_numpy(np.int64)
+    drift = np.abs(
+        np.array([int(x) / na if na else np.nan for x in sa])
+        - np.array([int(x) / nb if nb else np.nan for x in sb])
+    )
+    return pd.DataFrame(
+        {
+            "dim": d["dim"].to_numpy(np.int64),
+            "sum_a_q": sa,
+            "sum_b_q": sb,
+            "drift": drift,
+        }
+    )
+
+
+SQL_EMBEDDING_DRIFT = f"""
+WITH v AS (
+  SELECT vec_id % 2 AS half,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_DRIFT_QSCALE})
+              AS BIGINT) AS q
+  FROM embeddings
+),
+cnt AS (
+  SELECT count(*) FILTER (WHERE vec_id % 2 = 0) AS na,
+         count(*) FILTER (WHERE vec_id % 2 = 1) AS nb
+  FROM embeddings
+),
+agg AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS sum_a_q,
+         CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS sum_b_q
+  FROM v GROUP BY 1
+)
+SELECT dim, sum_a_q, sum_b_q,
+       abs(CAST(sum_a_q AS DOUBLE) / (SELECT na FROM cnt)
+           - CAST(sum_b_q AS DOUBLE) / (SELECT nb FROM cnt)) AS drift
+FROM agg ORDER BY dim
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Zipf coverage curve — the cumulative fraction of all token occurrences
+# covered by the top-K vocabulary entries (K ∈ 10/100/1000): the corpus
+# skew stat that sizes vocabularies and predicts dedup/compression gains.
+# Engine: per-batch token-count partials merged on the driver (the
+# Heaps-law vocab bound documented at q_bpe_top_pairs — the unique-word
+# table grows ~√corpus, not linearly); coverage is a single int/int IEEE
+# division. Ties at the same count break lexicographically on both engines.
+# ---------------------------------------------------------------------------
+
+_ZIPF_KS = (10, 100, 1000)
+
+
+def q_zipf_coverage(sf_dir: str):
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        flat = [t for lst in toks for t in lst]
+        if not flat:
+            return pd.DataFrame(
+                {"tk": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pd.DataFrame(
+            {"tk": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    parts = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(tok_counts, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .to_pandas()
+    )
+    if parts.empty:
+        parts = pd.DataFrame(
+            {"tk": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+        )
+    c = parts.groupby("tk", as_index=False)["n"].sum()
+    c = c.sort_values(["n", "tk"], ascending=[False, True]).reset_index(drop=True)
+    counts = c["n"].to_numpy(np.int64)
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    ks = np.array(_ZIPF_KS, np.int64)
+    cum_at = np.array(
+        [int(cum[min(k, len(cum)) - 1]) if len(cum) else 0 for k in ks], np.int64
+    )
+    return pd.DataFrame(
+        {
+            "k": ks,
+            "cum_tokens": cum_at,
+            "total_tokens": np.full(len(ks), total, np.int64),
+            "coverage": np.array(
+                [int(x) / total if total else np.nan for x in cum_at], np.float64
+            ),
+        }
+    )
+
+
+SQL_ZIPF_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS tk
+  FROM documents
+),
+c AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tk ASC) AS rk FROM c),
+tot AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS t FROM c),
+ks AS (SELECT CAST(unnest([{", ".join(str(k) for k in _ZIPF_KS)}]) AS BIGINT) AS k)
+SELECT k,
+       CAST(COALESCE((SELECT sum(n) FROM r WHERE rk <= ks.k), 0) AS BIGINT)
+         AS cum_tokens,
+       (SELECT t FROM tot) AS total_tokens,
+       CAST(COALESCE((SELECT sum(n) FROM r WHERE rk <= ks.k), 0) AS DOUBLE)
+         / (SELECT t FROM tot) AS coverage
+FROM ks ORDER BY k
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15443,4 +15602,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "dup_source_matrix": (q_dup_source_matrix, SQL_DUP_SOURCE_MATRIX),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "knn_graph_degree": (q_knn_graph_degree, SQL_KNN_GRAPH_DEGREE),
+    "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
+    "zipf_coverage": (q_zipf_coverage, SQL_ZIPF_COVERAGE),
 }
