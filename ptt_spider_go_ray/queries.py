@@ -15404,6 +15404,163 @@ FROM ks ORDER BY k
 """
 
 # ---------------------------------------------------------------------------
+# Q: CCNet-style perplexity buckets — per language, split documents into
+# head/middle/tail terciles of the char-bigram LM score (q_charlm_score's
+# exact-int nll_e3) and report each bucket's size and score range: the
+# classic LM-quality partitioning step before mixing training data. Exact
+# ntile(3) semantics, distributed: docs scored in one pass; per-(lang,
+# score-band) counts give the driver exclusive prefix offsets (O(langs ×
+# bands) state); each band group then knows every row's GLOBAL per-lang
+# rank and applies DuckDB's ntile fill rule in integers. Hot-band bound: a
+# band is one group task — pathological score concentration (every doc the
+# same nll_e3) makes one band a whole language; shrink _PPLB_BAND or add a
+# second refinement pass if a real corpus ever does that.
+# ---------------------------------------------------------------------------
+
+_PPLB_BUCKETS = 3
+_PPLB_BAND = 256
+
+
+def q_perplexity_buckets(sf_dir: str):
+    import math
+
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        keys, _rows = _batch_bigram_keys(df)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"bg": pa.array(uk.astype(np.int64)), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    part = ds.map_batches(
+        count_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    counts = part.groupby("bg")["n"].sum()
+    total = int(counts.sum())
+    vocab = len(counts)
+    lp_keys = counts.index.to_numpy(dtype=np.uint64)
+    lp_vals = np.array(
+        [-math.log2((int(n) + 1) / (total + vocab)) for n in counts.to_numpy()],
+        np.float64,
+    )
+    lp_ref = ray.put((lp_keys, lp_vals))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lpk, lpv = ray.get(lp_ref)
+        keys, rows = _batch_bigram_keys(df)
+        nll = lpv[np.searchsorted(lpk, keys)]
+        nb = np.bincount(rows, minlength=len(df))
+        has = nb > 0
+        starts = np.zeros(len(df), np.int64)
+        starts[1:] = np.cumsum(nb)[:-1]
+        sums = np.add.reduceat(nll, starts[has]) if has.any() else np.empty(0)
+        nll_e3 = np.rint(sums / nb[has] * 1e3).astype(np.int64)
+        lang = df["lang"].to_numpy(object)[has]
+        band = nll_e3 // _PPLB_BAND
+        gkey = np.char.add(
+            np.char.add(lang.astype(str), "|"), band.astype(str)
+        ).astype(object)
+        return pd.DataFrame(
+            {
+                "gkey": gkey,
+                "lang": lang,
+                "band": band,
+                "doc_id": df["doc_id"].to_numpy()[has].astype(np.int64),
+                "nll_e3": nll_e3,
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas", batch_size=_TEXT_BATCH)
+
+    def band_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "band"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].to_numpy(object),
+                "band": g["band"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    cnt = (
+        scored.map_batches(band_counts, batch_format="pandas",
+                           batch_size=_COMBINE_BATCH)
+        .to_pandas()
+        .groupby(["lang", "band"], as_index=False)["n"].sum()
+        .sort_values(["lang", "band"])
+    )
+    offs: dict[tuple, int] = {}
+    totals: dict = {}
+    for lang, sub in cnt.groupby("lang", sort=False):
+        acc = 0
+        for band, n in zip(sub["band"], sub["n"]):
+            offs[(lang, int(band))] = acc
+            acc += int(n)
+        totals[lang] = acc
+    offs_ref = ray.put((offs, totals))
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        o, tot = ray.get(offs_ref)
+        lang = g["lang"].iloc[0]
+        band = int(g["band"].iloc[0])
+        g = g.sort_values(["nll_e3", "doc_id"])
+        r = o[(lang, band)] + np.arange(len(g), dtype=np.int64)
+        n = tot[lang]
+        q, rem = divmod(n, _PPLB_BUCKETS)
+        head = (q + 1) * rem
+        b = np.where(
+            r < head, r // max(q + 1, 1), rem + (r - head) // max(q, 1)
+        ).astype(np.int64) + 1  # ntile is 1-based
+        p = (
+            pd.DataFrame({"bucket": b, "nll_e3": g["nll_e3"].to_numpy(np.int64)})
+            .groupby("bucket", as_index=False)
+            .agg(n_docs=("nll_e3", "size"), mn=("nll_e3", "min"),
+                 mx=("nll_e3", "max"))
+        )
+        p.insert(0, "lang", lang)
+        return p
+
+    parts = (
+        scored.groupby("gkey")
+        .map_groups(bucketize, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["lang", "bucket"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), mn=("mn", "min"), mx=("mx", "max")
+    )
+    return pd.DataFrame(
+        {
+            "lang": agg["lang"].astype(object),
+            "bucket": agg["bucket"].to_numpy(np.int64),
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "min_nll_e3": agg["mn"].to_numpy(np.int64),
+            "max_nll_e3": agg["mx"].to_numpy(np.int64),
+        }
+    ).sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH chl AS ({SQL_CHARLM_SCORE}),
+j AS (
+  SELECT d.lang, chl.doc_id, chl.nll_e3
+  FROM chl JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT lang, nll_e3,
+         ntile({_PPLB_BUCKETS}) OVER (PARTITION BY lang
+                                      ORDER BY nll_e3, doc_id) AS bucket
+  FROM j
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       CAST(min(nll_e3) AS BIGINT) AS min_nll_e3,
+       CAST(max(nll_e3) AS BIGINT) AS max_nll_e3
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15604,4 +15761,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "knn_graph_degree": (q_knn_graph_degree, SQL_KNN_GRAPH_DEGREE),
     "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "zipf_coverage": (q_zipf_coverage, SQL_ZIPF_COVERAGE),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
 }
