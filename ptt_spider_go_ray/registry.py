@@ -783,9 +783,41 @@ def _ingest_csv_roundtrip(sf_dir: str):
     return ingest_csv(scratch, schema)
 
 
+def _partitioned_write_roundtrip(sf_dir: str):
+    """documents → hive-partitioned parquet by source with partition-level
+    _SUCCESS resume (sources/ingest.py::export_partitioned; the export runs
+    TWICE and the second call must skip every partition) → read back +
+    harmonize. Oracle: the original table — the resumable sink must be
+    value- and dtype-invisible."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from .sources.ingest import (
+        canonical_schema,
+        export_partitioned,
+        ingest_partitioned,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ptt_part/documents_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    schema = canonical_schema(sf_dir, "documents")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    first = export_partitioned(ds, out, "source")
+    second = export_partitioned(ds, out, "source", resume=True)
+    if second or not first:
+        raise AssertionError(
+            f"partition resume contract broken: first={first} second={second}"
+        )
+    return ingest_partitioned(out, schema)
+
+
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ingest_jsonl_roundtrip": _ingest_jsonl_roundtrip,
     "ingest_csv_roundtrip": _ingest_csv_roundtrip,
+    "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "flagship_spans": _flagship_spans,
     "explode_media": _explode_media,
     "crawl_board": _crawl_board,
@@ -1202,6 +1234,7 @@ EXTRA_ORACLES: dict[str, str] = {
     # VALUES-literal oracles run a plain-Python computation to build their
     # SQL — done on demand, not at import)
     "ingest_jsonl_roundtrip": "SELECT * FROM documents",
+    "partitioned_write_roundtrip": "SELECT * FROM documents",
     "ingest_csv_roundtrip": "SELECT * FROM events",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,

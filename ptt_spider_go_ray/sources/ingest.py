@@ -84,3 +84,76 @@ def write_canonical(ds, out_dir: str) -> None:
     """Partitioned parquet sink (one file per block — resumable layout)."""
     shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(out_dir)
+
+
+def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True):
+    """Hive-partitioned parquet sink with PARTITION-LEVEL resume: one
+    ``key=<value>/`` directory per distinct key value, a ``_SUCCESS``
+    marker dropped in each directory once the whole write lands, and (with
+    ``resume=True``) already-marked partitions filtered out before the
+    write — a failed 100-TB export restarts at the first unfinished
+    partition instead of byte zero. Unmarked (partial) partition dirs from
+    a crashed run are removed before rewriting so files never mix.
+
+    Scale shape: ONE streaming pass regardless of how many partitions are
+    pending (the done-set is a broadcast filter inside ``map_batches``,
+    the write is ``Dataset.write_parquet(partition_cols=[key])`` — one
+    file per block per partition). The driver holds only the done-set,
+    bounded by the partition DOMAIN: partition on sources / date buckets,
+    never on a high-cardinality key. Returns the sorted list of partition
+    values completed THIS run (empty when everything was already marked).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    prefix = f"{key}="
+
+    def _marked() -> set[str]:
+        if not os.path.isdir(out_dir):
+            return set()
+        return {
+            d[len(prefix):]
+            for d in os.listdir(out_dir)
+            if d.startswith(prefix)
+            and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+        }
+
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    done = _marked()
+    # partial partitions (no marker) restart clean
+    if os.path.isdir(out_dir):
+        for d in os.listdir(out_dir):
+            if d.startswith(prefix) and d[len(prefix):] not in done:
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if done:
+        done_arr = np.array(sorted(done), dtype=object)
+
+        def pending_only(t: pa.Table) -> pa.Table:
+            vals = np.array([str(v) for v in t[key].to_pylist()], dtype=object)
+            return t.filter(pa.array(~np.isin(vals, done_arr)))
+
+        ds = ds.map_batches(pending_only, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=[key])
+
+    written = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith(prefix) and d[len(prefix):] not in done:
+            open(os.path.join(out_dir, d, "_SUCCESS"), "w").close()
+            written.append(d[len(prefix):])
+    return written
+
+
+def ingest_partitioned(path: str, schema: pa.Schema):
+    """Read a hive-partitioned export back onto the canonical schema (the
+    partition column returns as a dictionary/string — harmonize casts it,
+    restores column order, and drops the marker artifacts)."""
+    import ray.data
+
+    return harmonize(
+        ray.data.read_parquet(path, file_extensions=["parquet"]), schema
+    )

@@ -79,3 +79,55 @@ def test_jsonl_timestamp_precision_caveat(ray_session, tmp_path):
     # every non-timestamp column survives exactly
     for col in ("event_id", "user_id", "event_type", "value", "props"):
         pd.testing.assert_series_equal(back[col], orig[col], check_names=False)
+
+
+def test_export_partitioned_resume_skips_completed(ray_session, tmp_path):
+    """Partition-level resume: a second export is a no-op (no file churn),
+    a partition whose _SUCCESS marker is missing — a crashed write — is
+    rebuilt alone, and the read-back equals the source either way."""
+    import os
+
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import (
+        canonical_schema,
+        export_partitioned,
+        ingest_partitioned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "docs_part")
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet")
+
+    first = export_partitioned(ds, out, "source")
+    assert first  # every partition written on the initial run
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert [d.split("=", 1)[1] for d in dirs] == first
+
+    def snapshot():
+        return {
+            os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+            for r, _, fs in os.walk(out)
+            for f in fs
+        }
+
+    before = snapshot()
+    assert export_partitioned(ds, out, "source") == []  # full skip
+    assert snapshot() == before  # zero churn: resume never rewrites
+
+    # simulate a crash in one partition: marker gone → that one rebuilds
+    victim = dirs[0]
+    os.remove(os.path.join(out, victim, "_SUCCESS"))
+    redone = export_partitioned(ds, out, "source")
+    assert redone == [victim.split("=", 1)[1]]
+    after = snapshot()
+    untouched = {k: v for k, v in before.items() if not k.startswith(os.path.join(out, victim))}
+    assert {k: after[k] for k in untouched} == untouched
+
+    back = ingest_partitioned(out, canonical_schema(sf, "documents")).to_pandas()
+    orig = ray.data.read_parquet(f"{sf}/documents.parquet").to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    orig = orig.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
