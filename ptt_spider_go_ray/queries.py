@@ -15561,6 +15561,117 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: 2-D histogram — the (quantity, discount) grid over lineitem: the
+# bivariate profiling primitive (value_histogram is 1-D). Engine: per-batch
+# composite-code bincount partials (≤ 50×11 cells), driver merge — the
+# canonical zero-shuffle grid fold.
+# ---------------------------------------------------------------------------
+
+
+def q_hist2d_qty_discount(sf_dir: str):
+    def grid_part(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        de2 = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        code = qty * 1000 + de2
+        uniq, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"code": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+        .map_batches(grid_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("code", as_index=False)["n"].sum()
+    code = agg["code"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "l_qty": code // 1000,
+            "disc_e2": code % 1000,
+            "n": agg["n"].to_numpy(np.int64),
+        }
+    ).sort_values(["l_qty", "disc_e2"]).reset_index(drop=True)
+
+
+SQL_HIST2D_QTY_DISCOUNT = """
+SELECT CAST(round(l_quantity) AS BIGINT) AS l_qty,
+       CAST(round(l_discount*100) AS BIGINT) AS disc_e2,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: MinHash calibration — cross-tab of the 8-seed signature-equality
+# estimate (0..8 matching components) against the EXACT Jaccard decile for
+# every LSH candidate pair: the sketch-quality table that tells you whether
+# your signature width is lying to you before you trust est_jaccard for
+# dedup thresholds. Pure integers on both sides (decile = 10·i // union);
+# reuses the memoized band-pair + overlap chains, so the only extra work is
+# a row-group-pruned signature read for pair members (O(near-dups)).
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_calibration(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    o = _mh_pair_overlap(sf_dir)
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("eq_sigs", "exact_decile", "n_pairs")}
+    )
+    if o.empty:
+        return empty
+    need = sorted(set(o["doc_a"].tolist()) | set(o["doc_b"].tolist()))
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", need)],
+    )
+    doc_ids, mins = _mh_sig_batch(t.to_pandas())
+    smap = {int(d): mins[ix] for ix, d in enumerate(doc_ids)}
+    eq = np.array(
+        [
+            int((smap[int(a)] == smap[int(b)]).sum())
+            for a, b in zip(o["doc_a"], o["doc_b"])
+        ],
+        np.int64,
+    )
+    i = o["i"].to_numpy(np.int64)
+    u = (o["na"] + o["nb"] - o["i"]).to_numpy(np.int64)
+    dec = 10 * i // u
+    agg = (
+        pd.DataFrame({"eq_sigs": eq, "exact_decile": dec})
+        .groupby(["eq_sigs", "exact_decile"], as_index=False)
+        .size()
+    )
+    return pd.DataFrame(
+        {
+            "eq_sigs": agg["eq_sigs"].to_numpy(np.int64),
+            "exact_decile": agg["exact_decile"].to_numpy(np.int64),
+            "n_pairs": agg["size"].to_numpy(np.int64),
+        }
+    ).sort_values(["eq_sigs", "exact_decile"]).reset_index(drop=True)
+
+
+SQL_MINHASH_CALIBRATION = _MH_OVERLAP_SQL + f"""
+, sig AS ({SQL_MINHASH_SIGNATURE}),
+eqc AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) AS BIGINT) AS eq
+  FROM pairs p
+  JOIN sig x ON x.doc_id = p.doc_a
+  JOIN sig y ON y.doc_id = p.doc_b AND y.seed = x.seed
+  GROUP BY 1, 2
+)
+SELECT eqc.eq AS eq_sigs,
+       CAST((10 * o.i) // (o.na + o.nb - o.i) AS BIGINT) AS exact_decile,
+       count(*) AS n_pairs
+FROM overlap o JOIN eqc ON o.doc_a = eqc.doc_a AND o.doc_b = eqc.doc_b
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15762,4 +15873,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "zipf_coverage": (q_zipf_coverage, SQL_ZIPF_COVERAGE),
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "hist2d_qty_discount": (q_hist2d_qty_discount, SQL_HIST2D_QTY_DISCOUNT),
+    "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
 }
