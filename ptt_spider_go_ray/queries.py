@@ -15672,6 +15672,171 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q15 top supplier — per-supplier revenue inside one quarter, then
+# the supplier(s) hitting the maximum (ties all returned, as in the spec's
+# view formulation). Engine: one windowed lineitem pass folding per-block
+# (suppkey, rev) partials, driver merge + max, then a row-group-pruned point
+# read of the winners' names — the supplier table itself never scans.
+# Driver-partial bound: rows ≈ blocks × per-block distinct suppliers; at
+# extreme supplier cardinality swap the merge for a Sum groupby (same
+# partials), noted like q_percentiles step 1.
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(_Q15_LO)
+    hi = np.datetime64(_Q15_HI)
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d < hi)
+        if not m.any():
+            return pa.table(
+                {"sk": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        price_e2 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        disc_e2 = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        rev = price_e2 * (100 - disc_e2)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"sk": pa.array(uniq), "rev": pa.array(sums)})
+
+    parts = (
+        _read(
+            sf_dir, "lineitem",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(rev_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "total_rev_e4": pd.Series([], dtype="int64"),
+        }
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby("sk", as_index=False)["rev"].sum()
+    best = int(agg["rev"].max())
+    winners = agg[agg["rev"] == best].sort_values("sk")
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", winners["sk"].tolist())],
+    ).to_pandas()
+    nm = dict(zip(names["s_suppkey"].tolist(), names["s_name"].tolist()))
+    return pd.DataFrame(
+        {
+            "s_suppkey": winners["sk"].to_numpy(np.int64),
+            "s_name": np.array(
+                [nm[int(k)] for k in winners["sk"]], dtype=object
+            ),
+            "total_rev_e4": winners["rev"].to_numpy(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)))
+              AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev_e4
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q: SimHash bit balance — per-bit ones-rate across the corpus fingerprints:
+# a healthy SimHash has every bit near 0.5 (the hyperplanes split the corpus
+# evenly); a skewed bit means the token-hash family is biased and Hamming
+# distances stop meaning similarity. Engine: per-batch 64-lane bit-count
+# partials (one shifted-AND sum per block), driver merge; the rate is a
+# single int/int IEEE division.
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_bit_balance(sf_dir: str):
+    def bit_part(df: pd.DataFrame) -> pa.Table:
+        r = _simhash_batch(df)
+        if r is None:
+            return pa.table(
+                {
+                    "bit": pa.array([], pa.int64()),
+                    "n_set": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        _doc_ids, lo, hi = r
+        shifts = np.arange(32, dtype=np.int64)
+        lo_set = ((lo.astype(np.int64)[:, None] >> shifts) & 1).sum(0)
+        hi_set = ((hi.astype(np.int64)[:, None] >> shifts) & 1).sum(0)
+        n = len(lo)
+        return pa.table(
+            {
+                "bit": pa.array(np.arange(64, dtype=np.int64)),
+                "n_set": pa.array(
+                    np.concatenate([lo_set, hi_set]).astype(np.int64)
+                ),
+                "n_docs": pa.array(np.full(64, n, np.int64)),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(bit_part, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .to_pandas()
+    )
+    agg = parts.groupby("bit", as_index=False)[["n_set", "n_docs"]].sum()
+    ns = agg["n_set"].to_numpy(np.int64)
+    nd = agg["n_docs"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "bit": agg["bit"].to_numpy(np.int64),
+            "n_set": ns,
+            "n_docs": nd,
+            "ones_rate": np.array(
+                [int(a) / int(b) if b else np.nan for a, b in zip(ns, nd)],
+                np.float64,
+            ),
+        }
+    ).sort_values("bit").reset_index(drop=True)
+
+
+SQL_SIMHASH_BIT_BALANCE = f"""
+WITH {_simhash_sql_body()},
+bits AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS b),
+flat AS (
+  SELECT b.b AS bit, CASE WHEN (sim_lo >> b.b) & 1 = 1 THEN 1 ELSE 0 END AS s
+  FROM sim, bits b
+  UNION ALL
+  SELECT b.b + 32, CASE WHEN (sim_hi >> b.b) & 1 = 1 THEN 1 ELSE 0 END
+  FROM sim, bits b
+)
+SELECT bit, CAST(sum(s) AS BIGINT) AS n_set, count(*) AS n_docs,
+       CAST(sum(s) AS BIGINT) / count(*) AS ones_rate
+FROM flat GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -15875,4 +16040,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
     "hist2d_qty_discount": (q_hist2d_qty_discount, SQL_HIST2D_QTY_DISCOUNT),
     "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
 }
