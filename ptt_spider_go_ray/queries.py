@@ -14107,6 +14107,10 @@ def q_lsh_recall_eval(sf_dir: str):
     )
 
     cand = q_minhash_band_pairs(sf_dir).to_pandas()
+    if cand.empty:
+        cand = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b")}
+        )
     cs = cand[(cand["doc_a"] % mod == 0) & (cand["doc_b"] % mod == 0)]
     n_cand = len(cs)
     tp = sum(

@@ -1875,3 +1875,78 @@ def test_semi_anti_join_fallback_matches_broadcast(ray_session):
         native = canon(to_pandas(fn(SF, broadcast_max=0)))
         pd.testing.assert_frame_equal(bcast, native)
         pd.testing.assert_frame_equal(bcast, canon(duck_result(sql)))
+
+
+def test_perplexity_buckets_tiny_language_groups(ray_session, tmp_path):
+    """ntile fill rule at the degenerate edge: a language with fewer docs
+    than buckets (each doc its own bucket, later buckets empty) and one
+    with n % 3 != 0 (the first n%3 buckets take the extra row) must both
+    match DuckDB's ntile exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import (
+        SQL_PERPLEXITY_BUCKETS,
+        q_perplexity_buckets,
+    )
+
+    texts = ["aa bb cc dd", "bb cc dd ee", "cc dd ee ff aa", "dd ee", "ee ff aa bb",
+             "ff aa", "aa cc"]
+    langs = ["xx", "xx", "yy", "yy", "yy", "yy", "yy"]  # xx: n=2 < 3 buckets
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = canon(to_pandas(q_perplexity_buckets(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_PERPLEXITY_BUCKETS).df())
+    pd.testing.assert_frame_equal(got, want)
+    # the tiny language really hit the q=0 path: 2 buckets of one doc each
+    xx = got[got["lang"] == "xx"]
+    assert xx["bucket"].tolist() == [1, 2] and xx["n_docs"].tolist() == [1, 1]
+
+
+def test_lsh_recall_eval_no_candidates_null_parity(ray_session, tmp_path):
+    """With no LSH candidates and no true pairs, precision/recall are NULL
+    in SQL and NaN in the engine — both must surface as float64 NaN so the
+    driver's value hash agrees."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_LSH_RECALL_EVAL, q_lsh_recall_eval
+
+    # wildly different docs: no shared shingles, no band collisions
+    texts = [
+        " ".join(f"tok{i}w{j}" for j in range(12)) for i in range(8)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = canon(to_pandas(q_lsh_recall_eval(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_LSH_RECALL_EVAL).df())
+    assert got["n_cand"].iloc[0] == 0 and got["n_true"].iloc[0] == 0
+    assert np.isnan(got["lsh_precision"].iloc[0])
+    pd.testing.assert_frame_equal(got, want)
