@@ -15841,6 +15841,104 @@ FROM flat GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: label-centroid separation — squared L2 distance between every pair of
+# embedding-class centroids: the classifier-data diagnostic that says which
+# label pairs an embedding-space classifier will confuse. Exact across
+# engines: components quantize as floor(x·2^10), per-(label, dim) sums are
+# integers, and the centroid difference is cross-multiplied into the single
+# integer (sq_a·n_b − sq_b·n_a) per dim, so dist² is ONE division of two
+# exact integers (numerator grows ~n⁴: Python ints driver-side, HUGEINT in
+# SQL — overflow-free to ~1e8 vectors/label). Engine: one streaming pass of
+# per-(label, dim) partials, O(labels × dims) driver state.
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroid_dist(sf_dir: str):
+    def cent_part(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        q = np.floor(mat * _DRIFT_QSCALE).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        n_dims = mat.shape[1]
+        sums = np.zeros((len(uniq), n_dims), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        labs = np.repeat(uniq, n_dims + 1)
+        dims = np.tile(np.arange(-1, n_dims, dtype=np.int64), len(uniq))
+        vals = np.concatenate(
+            [np.concatenate([[c], s]) for c, s in zip(cnt, sums)]
+        ).astype(np.int64)
+        return pa.table(
+            {"label": pa.array(labs), "dim": pa.array(dims), "v": pa.array(vals)}
+        )
+
+    parts = (
+        _read(sf_dir, "embeddings", columns=["label", "embedding"])
+        .map_batches(cent_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby(["label", "dim"], as_index=False)["v"].sum()
+    labels = sorted(agg["label"].unique().tolist())
+    n = {
+        int(l): int(agg[(agg["label"] == l) & (agg["dim"] == -1)]["v"].iloc[0])
+        for l in labels
+    }
+    s = {
+        int(l): [
+            int(x)
+            for x in agg[(agg["label"] == l) & (agg["dim"] >= 0)]
+            .sort_values("dim")["v"]
+        ]
+        for l in labels
+    }
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            num = sum(
+                (sa * n[b] - sb * n[a]) ** 2 for sa, sb in zip(s[a], s[b])
+            )  # Python ints: exact at any scale
+            den = (n[a] * n[b]) ** 2
+            rows.append(
+                (int(a), int(b), float(num) / float(den) if den else np.nan)
+            )
+    return pd.DataFrame(
+        {
+            "label_a": np.array([r[0] for r in rows], np.int64),
+            "label_b": np.array([r[1] for r in rows], np.int64),
+            "dist2_q": np.array([r[2] for r in rows], np.float64),
+        }
+    )
+
+
+SQL_LABEL_CENTROID_DIST = f"""
+WITH v AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_DRIFT_QSCALE})
+              AS BIGINT) AS q
+  FROM embeddings
+),
+s AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq FROM v GROUP BY 1, 2),
+n AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         (CAST(a.sq AS HUGEINT) * nb.c - CAST(b.sq AS HUGEINT) * na.c) AS diff,
+         na.c AS ca, nb.c AS cb
+  FROM s a
+  JOIN s b ON a.dim = b.dim AND a.label < b.label
+  JOIN n na ON na.label = a.label
+  JOIN n nb ON nb.label = b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       CAST(sum(diff * diff) AS DOUBLE)
+         / CAST((CAST(any_value(ca) AS HUGEINT) * any_value(cb))
+                * (CAST(any_value(ca) AS HUGEINT) * any_value(cb)) AS DOUBLE)
+         AS dist2_q
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16046,4 +16144,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "minhash_calibration": (q_minhash_calibration, SQL_MINHASH_CALIBRATION),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
+    "label_centroid_dist": (q_label_centroid_dist, SQL_LABEL_CENTROID_DIST),
 }
