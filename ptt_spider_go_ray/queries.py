@@ -15939,6 +15939,116 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: no commit/receipt
+# dates, so the "waiting" supplier is one who shipped on a multi-supplier
+# order's LAST ship date — the order closed on them). Counts DISTINCT
+# orders per supplier, top 5 by (numwait desc, suppkey asc). Engine: ONE
+# hash(orderkey) shuffle of the (okey, suppkey, shipdate) projection —
+# per-order max/distinct resolve inside each bucket (every row of an order
+# lands in one bucket), per-supplier order counts fold to the driver, and
+# only the five winners' names come from a row-group-pruned point read.
+# ---------------------------------------------------------------------------
+
+_Q21_TOPK = 5
+
+
+def q_tpch_q21(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_rows // 16, 1))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(ok % nb),
+                "okey": pa.array(ok),
+                "suppkey": pa.array(
+                    t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "ship": pa.array(ship),
+            }
+        )
+
+    def waiters(g: pd.DataFrame) -> pd.DataFrame:
+        ms = g.groupby("okey")["ship"].transform("max")
+        ns = g.groupby("okey")["suppkey"].transform("nunique")
+        sel = g.loc[
+            (g["ship"].to_numpy() == ms.to_numpy())
+            & (ns.to_numpy() >= 2),
+            ["okey", "suppkey"],
+        ].drop_duplicates()
+        if sel.empty:
+            return pd.DataFrame(
+                {"suppkey": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        p = sel.groupby("suppkey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "suppkey": p["suppkey"].to_numpy(np.int64),
+                "n": p["size"].to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(waiters, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "numwait": pd.Series([], dtype="int64"),
+        }
+    )
+    if parts.empty:
+        return empty
+    agg = parts.groupby("suppkey", as_index=False)["n"].sum()
+    agg = agg.sort_values(["n", "suppkey"], ascending=[False, True]).head(_Q21_TOPK)
+    names = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", agg["suppkey"].tolist())],
+    ).to_pandas()
+    nm = dict(zip(names["s_suppkey"].tolist(), names["s_name"].tolist()))
+    return pd.DataFrame(
+        {
+            "s_suppkey": agg["suppkey"].to_numpy(np.int64),
+            "s_name": np.array([nm[int(k)] for k in agg["suppkey"]], dtype=object),
+            "numwait": agg["n"].to_numpy(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_TPCH_Q21 = f"""
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+mx AS (
+  SELECT l_orderkey, max(l_shipdate) AS ms,
+         count(DISTINCT l_suppkey) AS ns
+  FROM l GROUP BY 1
+),
+sel AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM l JOIN mx ON l.l_orderkey = mx.l_orderkey
+             AND l.l_shipdate = mx.ms AND mx.ns >= 2
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM sel JOIN supplier s ON sel.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey ASC
+LIMIT {_Q21_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16145,4 +16255,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
     "label_centroid_dist": (q_label_centroid_dist, SQL_LABEL_CENTROID_DIST),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
 }
