@@ -16049,6 +16049,135 @@ LIMIT {_Q21_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# Q: TPC-H Q12 shipping-priority split (adapted: no l_shipmode column, so
+# the group is o_orderstatus; no commit/receipt dates, so "late" is
+# l_shipdate > o_orderdate + 60 days) — among late lineitems in one year,
+# how many belong to high-priority (1-URGENT/2-HIGH) vs lower-priority
+# orders. Engine: the order map (okey → date, priority-class, status)
+# broadcasts once (same documented full-orders bound + bucketed-join
+# fallback note as q_tpch_q9); one lineitem pass folds a ≤ statuses×2
+# partial. All-to-alls: zero.
+# ---------------------------------------------------------------------------
+
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+_Q12_LATE_DAYS = 60
+
+
+def q_tpch_q12(sf_dir: str):
+    import ray
+
+    def omap(t: pa.Table) -> pa.Table:
+        prio = np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)
+        high = np.isin(prio, np.array(["1-URGENT", "2-HIGH"], dtype=object))
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "odate": pa.array(
+                    t["o_orderdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "high": pa.array(high.astype(np.int64)),
+                "status": t["o_orderstatus"],
+            }
+        )
+
+    odf = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderdate", "o_orderpriority",
+                       "o_orderstatus"])
+        .map_batches(omap, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if odf.empty:
+        odf = pd.DataFrame(
+            {
+                "okey": pd.Series([], dtype="int64"),
+                "odate": pd.Series([], dtype="int64"),
+                "high": pd.Series([], dtype="int64"),
+                "status": pd.Series([], dtype=object),
+            }
+        )
+    statuses = np.array(sorted(odf["status"].unique().tolist()), dtype=object)
+    scode = {s: i for i, s in enumerate(statuses)}
+    oo = np.argsort(odf["okey"].to_numpy())
+    ord_ref = ray.put(
+        (
+            np.ascontiguousarray(odf["okey"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(odf["odate"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(odf["high"].to_numpy(np.int64)[oo]),
+            np.ascontiguousarray(
+                odf["status"].map(scode).to_numpy(np.int64)[oo]
+            ),
+        )
+    )
+    lo = np.datetime64(_Q12_LO).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(_Q12_HI).astype("datetime64[us]").astype(np.int64)
+    late_us = np.int64(_Q12_LATE_DAYS) * 86_400_000_000
+
+    def late_part(t: pa.Table) -> pa.Table:
+        keys, dates, high, stat = ray.get(ord_ref)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (ship >= lo) & (ship < hi)
+        empty = pa.table(
+            {
+                "sc": pa.array([], pa.int64()),
+                "hi_n": pa.array([], pa.int64()),
+                "lo_n": pa.array([], pa.int64()),
+            }
+        )
+        if not m.any():
+            return empty
+        lok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        hit, od = _lookup(keys, dates, lok)
+        pos = np.clip(np.searchsorted(keys, lok), 0, max(len(keys) - 1, 0))
+        late = hit & (ship[m] > od + late_us)
+        if not late.any():
+            return empty
+        sc = stat[pos[late]]
+        hi_flag = high[pos[late]]
+        uniq, inv = np.unique(sc, return_inverse=True)
+        hi_n = np.zeros(len(uniq), np.int64)
+        lo_n = np.zeros(len(uniq), np.int64)
+        np.add.at(hi_n, inv, hi_flag)
+        np.add.at(lo_n, inv, 1 - hi_flag)
+        return pa.table(
+            {"sc": pa.array(uniq), "hi_n": pa.array(hi_n), "lo_n": pa.array(lo_n)}
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(late_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        parts = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("sc", "hi_n", "lo_n")}
+        )
+    agg = parts.groupby("sc", as_index=False)[["hi_n", "lo_n"]].sum()
+    return pd.DataFrame(
+        {
+            "o_orderstatus": np.array(
+                [statuses[int(c)] for c in agg["sc"]], dtype=object
+            ),
+            "high_line_count": agg["hi_n"].to_numpy(np.int64),
+            "low_line_count": agg["lo_n"].to_numpy(np.int64),
+        }
+    ).sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SQL_TPCH_Q12 = f"""
+SELECT o.o_orderstatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+  AND l.l_shipdate <  TIMESTAMP '{_Q12_HI}'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q12_LATE_DAYS} DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16256,4 +16385,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "simhash_bit_balance": (q_simhash_bit_balance, SQL_SIMHASH_BIT_BALANCE),
     "label_centroid_dist": (q_label_centroid_dist, SQL_LABEL_CENTROID_DIST),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
 }
