@@ -16178,6 +16178,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: Heaps-law vocabulary growth — distinct tokens seen within the first N
+# docs (doc_id order) for a fixed N ladder: the curve that predicts
+# tokenizer vocab sizing and dedup gains as the corpus grows. Prefix
+# structure via each token's FIRST document: vocab(N) = #tokens whose
+# first-doc < N. Engine: distinct (token-fp, doc) rows shuffle once by fp
+# bucket (global first-doc resolves in-bucket), each bucket folds a
+# ≤ |ladder| partial histogram — tokens never leave their bucket, the
+# driver merges O(buckets × ladder) ints.
+# ---------------------------------------------------------------------------
+
+_VOCAB_NS = (1, 2, 5, 10, 100, 1000)
+
+
+def q_vocab_growth(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1))
+    ns = np.array(_VOCAB_NS, np.int64)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        lens = toks.str.len().to_numpy()
+        flat = [t for lst in toks for t in lst]
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("bucket", "fp", "doc")}
+        )
+        if not flat:
+            return empty
+        arr = np.asarray(flat, dtype=str)
+        width = arr.dtype.itemsize // 4
+        cp = arr.view(np.uint32).reshape(len(arr), width)
+        fp = np.zeros(len(arr), dtype=np.uint32)
+        base32 = np.uint32(_MH_BASE)
+        with np.errstate(over="ignore"):
+            for j in range(width):
+                col = cp[:, j]
+                nz = col != 0
+                fp[nz] = fp[nz] * base32 + col[nz]
+        doc = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        dd = pd.DataFrame(
+            {"fp": fp.astype(np.int64), "doc": doc}
+        ).drop_duplicates()
+        dd.insert(0, "bucket", dd["fp"].to_numpy(np.int64) % nb)
+        return dd
+
+    def first_hist(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("fp")["doc"].min().to_numpy(np.int64)
+        counts = (first[None, :] < ns[:, None]).sum(axis=1).astype(np.int64)
+        return pd.DataFrame({"n_docs": ns, "vocab": counts})
+
+    parts = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(first_hist, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        parts = pd.DataFrame(
+            {"n_docs": ns, "vocab": np.zeros(len(ns), np.int64)}
+        )
+    agg = parts.groupby("n_docs", as_index=False)["vocab"].sum()
+    return pd.DataFrame(
+        {
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "vocab": agg["vocab"].to_numpy(np.int64),
+        }
+    ).sort_values("n_docs").reset_index(drop=True)
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+tf AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+m AS (SELECT fp, min(doc_id) AS first_doc FROM tf GROUP BY 1),
+ks AS (SELECT CAST(unnest([{", ".join(str(n) for n in _VOCAB_NS)}]) AS BIGINT) AS n_docs)
+SELECT n_docs,
+       CAST(COALESCE((SELECT count(*) FROM m WHERE first_doc < ks.n_docs), 0)
+            AS BIGINT) AS vocab
+FROM ks ORDER BY n_docs
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16386,4 +16482,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "label_centroid_dist": (q_label_centroid_dist, SQL_LABEL_CENTROID_DIST),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
 }
