@@ -16274,6 +16274,116 @@ FROM ks ORDER BY n_docs
 """
 
 # ---------------------------------------------------------------------------
+# Q: chunk-boundary dup candidates — pairs where doc A's LAST 3-token
+# shingle equals doc B's FIRST (A continues into B): the "one document got
+# split into two rows" detector for chunked/paginated intakes, which
+# whole-doc Jaccard misses (two halves share almost nothing). Engine: one
+# (doc, head_fp, tail_fp) row per doc (the first/last shingle of the
+# existing fold — whole docs sit in one batch), a single fp-bucket shuffle
+# where tails meet heads; pair volume is bounded by fp-collision fan-in per
+# bucket, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def q_boundary_dups(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1))
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("bucket", "fp", "doc", "side")}
+        )
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        # shingles arrive in (doc, position) order: the first/last index of
+        # each doc's run is its head/tail window fold
+        change = np.ones(len(sdoc), bool)
+        change[1:] = sdoc[1:] != sdoc[:-1]
+        first_idx = np.flatnonzero(change)
+        last_idx = np.concatenate([first_idx[1:] - 1, [len(sdoc) - 1]])
+        docs = doc_ids[sdoc[first_idx]].astype(np.int64)
+        head = sfp[first_idx].astype(np.int64)
+        tail = sfp[last_idx].astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "fp": np.concatenate([tail, head]),
+                "doc": np.concatenate([docs, docs]),
+                "side": np.concatenate(
+                    [np.zeros(len(docs), np.int64), np.ones(len(docs), np.int64)]
+                ),
+            }
+        )
+        out.insert(0, "bucket", out["fp"].to_numpy(np.int64) % nb)
+        return out
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g[g["side"] == 0]
+        heads = g[g["side"] == 1]
+        m = tails.merge(heads, on="fp", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] != m["doc_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("doc_a", "doc_b")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_a"].to_numpy(np.int64),
+                "doc_b": m["doc_b"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(ends, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(meet, batch_format="pandas")
+    )
+
+
+SQL_BOUNDARY_DUPS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+shp AS (
+  SELECT a.doc_id, a.pos,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+hp AS (
+  SELECT s.doc_id,
+         max(CASE WHEN s.pos = 0 THEN s.sfp END) AS head_fp,
+         max(CASE WHEN s.pos = mx.p THEN s.sfp END) AS tail_fp
+  FROM shp s
+  JOIN (SELECT doc_id, max(pos) AS p FROM shp GROUP BY 1) mx USING (doc_id)
+  GROUP BY 1
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM hp a JOIN hp b ON a.tail_fp = b.head_fp AND a.doc_id != b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16483,4 +16593,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "boundary_dups": (q_boundary_dups, SQL_BOUNDARY_DUPS),
 }
