@@ -16384,6 +16384,75 @@ FROM hp a JOIN hp b ON a.tail_fp = b.head_fp AND a.doc_id != b.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# Q: Pareto 80/20 concentration — what share of total order revenue the top
+# 20% of customers carry (k = ceil(n/5) in exact integers, ties broken by
+# custkey). Engine: one orders pass folding per-block (custkey, rev_e2)
+# partials; the driver merge is customer-bounded (same documented bound and
+# two-pass-histogram scale alternative as q_percentiles). The share is a
+# single int/int IEEE division.
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_8020(sf_dir: str):
+    def rev_part(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e2 = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, e2)
+        return pa.table({"ck": pa.array(uniq), "rev": pa.array(sums)})
+
+    parts = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(rev_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        parts = pd.DataFrame(
+            {"ck": pd.Series([], dtype="int64"), "rev": pd.Series([], dtype="int64")}
+        )
+    agg = parts.groupby("ck", as_index=False)["rev"].sum()
+    n = len(agg)
+    k = (n + 4) // 5  # integer ceil(n/5): exact on both engines
+    srt = agg.sort_values(["rev", "ck"], ascending=[False, True])
+    top = int(srt["rev"].head(k).sum())
+    tot = int(agg["rev"].sum())
+    return pd.DataFrame(
+        {
+            "n_cust": np.array([n], np.int64),
+            "top_k": np.array([k], np.int64),
+            "top_rev_e2": np.array([top], np.int64),
+            "total_rev_e2": np.array([tot], np.int64),
+            "top_share": np.array(
+                [top / tot if tot else np.nan], np.float64
+            ),
+        }
+    )
+
+
+SQL_PARETO_8020 = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+n AS (SELECT count(*) AS c, CAST(COALESCE(sum(rev), 0) AS BIGINT) AS tot FROM r),
+k AS (SELECT (c + 4) // 5 AS k FROM n),
+top AS (
+  SELECT rev FROM r ORDER BY rev DESC, o_custkey ASC
+  LIMIT (SELECT k FROM k)
+)
+SELECT (SELECT c FROM n) AS n_cust,
+       (SELECT k FROM k) AS top_k,
+       CAST(COALESCE((SELECT sum(rev) FROM top), 0) AS BIGINT) AS top_rev_e2,
+       (SELECT tot FROM n) AS total_rev_e2,
+       CAST(COALESCE((SELECT sum(rev) FROM top), 0) AS DOUBLE)
+         / (SELECT tot FROM n) AS top_share
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16594,4 +16663,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "boundary_dups": (q_boundary_dups, SQL_BOUNDARY_DUPS),
+    "pareto_8020": (q_pareto_8020, SQL_PARETO_8020),
 }
