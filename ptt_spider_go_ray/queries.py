@@ -16453,6 +16453,138 @@ SELECT (SELECT c FROM n) AS n_cust,
 """
 
 # ---------------------------------------------------------------------------
+# Q: adjacent-document Jaccard — exact shingle similarity of every
+# (doc_id, doc_id+1) pair: the intake-order dup-burst signal (a crawler
+# that revisits a template emits runs of near-identical consecutive docs;
+# spikes here localize them without any LSH pass). Engine: each doc's
+# distinct shingles replicate to at most two pair keys (doc and doc−1), one
+# pair-bucket shuffle co-locates both sides, per-bucket C-speed merges
+# produce (i, na, nb); jaccard is a single int/int IEEE division. Pairs
+# with zero overlap still appear (both sides present ⇒ a row).
+# ---------------------------------------------------------------------------
+
+
+def q_adjacent_jaccard(sf_dir: str):
+    import pyarrow.parquet as pq
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("bucket", "pair", "side", "sfp")}
+        )
+        r = _mh_shingle_batch(df)
+        if r is None:
+            return empty
+        doc_ids, sdoc, sfp = r
+        doc = doc_ids[sdoc].astype(np.int64)
+        dd = pd.DataFrame({"doc": doc, "sfp": sfp.astype(np.int64)}).drop_duplicates()
+        d = dd["doc"].to_numpy(np.int64)
+        s = dd["sfp"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "pair": np.concatenate([d, d - 1]),
+                "side": np.concatenate(
+                    [np.zeros(len(d), np.int64), np.ones(len(d), np.int64)]
+                ),
+                "sfp": np.concatenate([s, s]),
+            }
+        )
+        out = out[out["pair"] >= 0]
+        out.insert(0, "bucket", out["pair"].to_numpy(np.int64) % nb)
+        return out
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        na = left.groupby("pair").size()
+        nbc = right.groupby("pair").size()
+        both = na.index.intersection(nbc.index)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "i": pd.Series([], dtype="int64"),
+                "na": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(both):
+            return empty
+        inter = left.merge(right, on=["pair", "sfp"]).groupby("pair").size()
+        pairs = np.sort(both.to_numpy(np.int64))
+        iv = inter.reindex(pairs, fill_value=0).to_numpy(np.int64)
+        nav = na.reindex(pairs).to_numpy(np.int64)
+        nbv = nbc.reindex(pairs).to_numpy(np.int64)
+        u = nav + nbv - iv
+        return pd.DataFrame(
+            {
+                "doc_a": pairs,
+                "doc_b": pairs + 1,
+                "i": iv,
+                "na": nav,
+                "nb": nbv,
+                "jaccard": iv / u,
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(jac, batch_format="pandas")
+    )
+
+
+SQL_ADJACENT_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_transform(range(1, length(tk) + 1),
+                          i -> CAST(unicode(substr(tk, i, 1)) AS BIGINT)),
+           (acc, b) -> (acc * {_MH_BASE} + b) % {_MH_MOD}) AS fp
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         ((a.fp * {_MH_BASE} + b.fp) % {_MH_MOD} * {_MH_BASE} + c.fp)
+           % {_MH_MOD} AS sfp
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tf c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
+  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, count(*) AS i
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.sfp = a.sfp
+  GROUP BY 1
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS i,
+       CAST(p.na AS BIGINT) AS na, CAST(p.nb AS BIGINT) AS nb,
+       CAST(COALESCE(i.i, 0) AS BIGINT)
+         / (p.na + p.nb - CAST(COALESCE(i.i, 0) AS BIGINT)) AS jaccard
+FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16664,4 +16796,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "boundary_dups": (q_boundary_dups, SQL_BOUNDARY_DUPS),
     "pareto_8020": (q_pareto_8020, SQL_PARETO_8020),
+    "adjacent_jaccard": (q_adjacent_jaccard, SQL_ADJACENT_JACCARD),
 }
