@@ -191,3 +191,65 @@ def test_hll_merge_commutative(xs, ys):
     if ys:
         b2.add_many(ys)
     assert a1.merge(b1).estimate() == b2.merge(a2).estimate()
+
+
+@settings(deadline=None)
+@given(st.integers(min_value=1, max_value=200))
+def test_ntile_fill_formula_matches_reference(n):
+    """perplexity_buckets' integer ntile formula == the spec fill rule
+    (first n%B buckets take one extra row), for every n."""
+    import numpy as np
+
+    B = 3
+    q, rem = divmod(n, B)
+    head = (q + 1) * rem
+    r = np.arange(n, dtype=np.int64)
+    got = np.where(r < head, r // max(q + 1, 1), rem + (r - head) // max(q, 1)) + 1
+    # reference: explicit bucket sizes
+    sizes = [q + 1] * rem + [q] * (B - rem)
+    want = [b + 1 for b, s in enumerate(sizes) for _ in range(s)]
+    assert got.tolist() == want
+
+
+@settings(deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_popcount32_matches_bin_count(v):
+    import numpy as np
+
+    from ptt_spider_go_ray.queries import _popcount32
+
+    assert _popcount32(np.array([v], dtype=np.uint64))[0] == bin(v).count("1")
+
+
+@settings(deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc012", min_size=1, max_size=5),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_boundary_ends_are_first_and_last_shingle(tokens):
+    """boundary_dups' head/tail extraction == the plain-Python first/last
+    3-token window fold over the same token stream."""
+    import numpy as np
+    import pandas as pd
+
+    from ptt_spider_go_ray.queries import _MH_BASE, _MH_MOD, _mh_shingle_batch
+
+    df = pd.DataFrame({"doc_id": [7], "text": [" ".join(tokens)]})
+    r = _mh_shingle_batch(df)
+    assert r is not None
+    _ids, sdoc, sfp = r
+
+    def fold(tok: str) -> int:
+        acc = 0
+        for ch in tok:
+            acc = (acc * _MH_BASE + ord(ch)) % _MH_MOD
+        return acc
+
+    def sh(a, b, c):
+        return ((fold(a) * _MH_BASE + fold(b)) % _MH_MOD * _MH_BASE + fold(c)) % _MH_MOD
+
+    assert int(sfp[0]) == sh(*tokens[:3])
+    assert int(sfp[-1]) == sh(*tokens[-3:])
