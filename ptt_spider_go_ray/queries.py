@@ -16585,6 +16585,87 @@ FROM pairs p LEFT JOIN inter i ON p.doc_a = i.doc_a
 """
 
 # ---------------------------------------------------------------------------
+# Q: HLL register state, SQL-attested — the HyperLogLog sketch over distinct
+# users with an md5-based hash (DuckDB computes md5 bit-identically, so the
+# full 2^p register TABLE — the sketch's mergeable state — gets an exact
+# integer oracle; the float estimate and the production blake2b path stay
+# with approx_distinct_users' pytest bounds). rank uses bit_length, not
+# floor(log2(·)) — log2 of a 56-bit value can round across an integer
+# boundary in IEEE, bin()-string length cannot. Engine: per-batch distinct
+# users hash into (idx, rank) partials; the driver merge is the 2^p-slot
+# register max — the exact payload a multi-node HLL would ship.
+# ---------------------------------------------------------------------------
+
+_HLLR_P = 8  # 2^8 = 256 registers
+
+
+def q_hll_register_state(sf_dir: str):
+    import hashlib
+
+    m = 1 << _HLLR_P
+    wbits = 64 - _HLLR_P
+    wmask = (1 << wbits) - 1
+
+    def reg_part(t: pa.Table) -> pa.Table:
+        users = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        idx = np.empty(len(users), np.int64)
+        rank = np.empty(len(users), np.int64)
+        for i, u in enumerate(users):
+            hv = int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[:8], "big"
+            )
+            idx[i] = hv >> wbits
+            w = hv & wmask
+            rank[i] = (wbits - w.bit_length() + 1) if w else (wbits + 1)
+        p = pd.DataFrame({"idx": idx, "rank": rank}).groupby(
+            "idx", as_index=False
+        )["rank"].max()
+        return pa.table(
+            {
+                "idx": pa.array(p["idx"].to_numpy(np.int64)),
+                "rank": pa.array(p["rank"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(reg_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    regs = np.zeros(m, np.int64)
+    if not parts.empty:
+        agg = parts.groupby("idx")["rank"].max()
+        regs[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return pd.DataFrame(
+        {"idx": np.arange(m, dtype=np.int64), "rank": regs}
+    )
+
+
+SQL_HLL_REGISTER_STATE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM u
+),
+ir AS (
+  SELECT CAST(hv >> {64 - _HLLR_P} AS BIGINT) AS idx,
+         CASE WHEN (hv & {(1 << (64 - _HLLR_P)) - 1}) = 0
+              THEN {64 - _HLLR_P + 1}
+              ELSE {64 - _HLLR_P} + 1
+                   - length(bin(hv & {(1 << (64 - _HLLR_P)) - 1}))
+         END AS rank
+  FROM h
+),
+mx AS (SELECT idx, CAST(max(rank) AS BIGINT) AS rank FROM ir GROUP BY 1),
+slots AS (SELECT CAST(unnest(range({1 << _HLLR_P})) AS BIGINT) AS idx)
+SELECT slots.idx, CAST(COALESCE(mx.rank, 0) AS BIGINT) AS rank
+FROM slots LEFT JOIN mx USING (idx)
+ORDER BY slots.idx
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16797,4 +16878,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "boundary_dups": (q_boundary_dups, SQL_BOUNDARY_DUPS),
     "pareto_8020": (q_pareto_8020, SQL_PARETO_8020),
     "adjacent_jaccard": (q_adjacent_jaccard, SQL_ADJACENT_JACCARD),
+    "hll_register_state": (q_hll_register_state, SQL_HLL_REGISTER_STATE),
 }
