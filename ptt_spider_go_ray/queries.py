@@ -16666,6 +16666,68 @@ ORDER BY slots.idx
 """
 
 # ---------------------------------------------------------------------------
+# Q: KMV (k-minimum-values) sketch state, SQL-attested — the k smallest
+# md5 hash values over distinct users: the order-statistics distinct-count
+# sketch whose state (unlike KLL's randomized compaction) is a pure
+# deterministic function of the input, so the exact-integer oracle is just
+# ORDER BY hash LIMIT k. Engine: per-batch k-min partials (each batch ships
+# ≤ k values), driver merge-and-truncate — the same mergeable payload a
+# multi-node KMV ships.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_sketch_state(sf_dir: str):
+    import hashlib
+
+    def kmin_part(t: pa.Table) -> pa.Table:
+        users = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # top-63-bit value: keeps the unsigned order while fitting BIGINT
+        # (DuckDB's UBIGINT→BIGINT cast errors above 2^63−1)
+        hv = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+                >> 1
+                for u in users
+            ],
+            dtype=np.uint64,
+        )
+        hv = np.unique(hv)[:_KMV_K]
+        return pa.table({"hv": pa.array(hv.astype(np.int64))})
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(kmin_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hv = (
+        np.unique(parts["hv"].to_numpy(np.int64))[:_KMV_K]
+        if not parts.empty else np.array([], np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hv) + 1, dtype=np.int64),
+            "hv": hv,
+        }
+    )
+
+
+SQL_KMV_SKETCH_STATE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT DISTINCT
+         CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               >> 1) AS BIGINT) AS hv
+  FROM u
+),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K})
+SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, hv FROM k
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16879,4 +16941,5 @@ SQL_QUERIES: dict[str, tuple] = {
     "pareto_8020": (q_pareto_8020, SQL_PARETO_8020),
     "adjacent_jaccard": (q_adjacent_jaccard, SQL_ADJACENT_JACCARD),
     "hll_register_state": (q_hll_register_state, SQL_HLL_REGISTER_STATE),
+    "kmv_sketch_state": (q_kmv_sketch_state, SQL_KMV_SKETCH_STATE),
 }
