@@ -16728,6 +16728,147 @@ SELECT CAST(row_number() OVER (ORDER BY hv) AS BIGINT) AS rank, hv FROM k
 """
 
 # ---------------------------------------------------------------------------
+# Q: Count-Min sketch state, SQL-attested — the d×w counter matrix over
+# per-user event counts with double hashing (h1 + j·h2) derived from the
+# md5 bridge: like hll/kmv_register_state, the sketch's mergeable STATE is
+# a deterministic integer table, so it gets an exact oracle (the production
+# blake2b CMS keeps its pytest bounds). Engine: per-batch per-user count
+# partials hash into (row, col, c) cells; the driver merge is the d×w
+# counter grid — exactly the payload a multi-node CMS ships.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _md5_u64(val: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(str(int(val)).encode()).digest()[:8], "big")
+
+
+def q_cms_sketch_state(sf_dir: str):
+    def cell_part(t: pa.Table) -> pa.Table:
+        users, counts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        rows, cols, cs = [], [], []
+        for u, c in zip(users, counts):
+            hv = _md5_u64(int(u))
+            h1 = hv >> 32
+            h2 = (hv & 0xFFFFFFFF) | 1
+            for j in range(_CMS_D):
+                rows.append(j)
+                cols.append((h1 + j * h2) % _CMS_W)
+                cs.append(int(c))
+        p = (
+            pd.DataFrame({"row": rows, "col": cols, "c": cs})
+            .groupby(["row", "col"], as_index=False)["c"].sum()
+        )
+        return pa.table(
+            {
+                "row": pa.array(p["row"].to_numpy(np.int64)),
+                "col": pa.array(p["col"].to_numpy(np.int64)),
+                "c": pa.array(p["c"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(cell_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    grid = np.zeros((_CMS_D, _CMS_W), np.int64)
+    if not parts.empty:
+        agg = parts.groupby(["row", "col"], as_index=False)["c"].sum()
+        grid[agg["row"].to_numpy(np.int64), agg["col"].to_numpy(np.int64)] = (
+            agg["c"].to_numpy(np.int64)
+        )
+    rows = np.repeat(np.arange(_CMS_D, dtype=np.int64), _CMS_W)
+    cols = np.tile(np.arange(_CMS_W, dtype=np.int64), _CMS_D)
+    return pd.DataFrame({"row": rows, "col": cols, "total": grid.reshape(-1)})
+
+
+SQL_CMS_SKETCH_STATE = f"""
+WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+h AS (
+  SELECT c,
+         CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               >> 32) AS BIGINT) AS h1,
+         CAST(((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                & 4294967295) | 1) AS BIGINT) AS h2
+  FROM u
+),
+js AS (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT) AS j),
+cells AS (
+  SELECT js.j AS row, (h.h1 + js.j * h.h2) % {_CMS_W} AS col, h.c
+  FROM h CROSS JOIN js
+),
+mx AS (SELECT row, col, CAST(sum(c) AS BIGINT) AS total FROM cells GROUP BY 1, 2),
+slots AS (
+  SELECT r.row, c.col
+  FROM (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT) AS row) r
+  CROSS JOIN (SELECT CAST(unnest(range({_CMS_W})) AS BIGINT) AS col) c
+)
+SELECT slots.row, slots.col, CAST(COALESCE(mx.total, 0) AS BIGINT) AS total
+FROM slots LEFT JOIN mx USING (row, col)
+ORDER BY slots.row, slots.col
+"""
+
+# ---------------------------------------------------------------------------
+# Q: Bloom filter state, SQL-attested — the sorted set-bit indices of a
+# k=4 / m=2048 Bloom filter over distinct users (same md5 double-hash
+# bridge). The set-bit list IS the filter; two engines agreeing on it
+# bit-for-bit means membership answers agree everywhere.
+# ---------------------------------------------------------------------------
+
+_BLOOM_K, _BLOOM_M = 4, 2048
+
+
+def q_bloom_filter_state(sf_dir: str):
+    def bits_part(t: pa.Table) -> pa.Table:
+        users = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bits = set()
+        for u in users:
+            hv = _md5_u64(int(u))
+            h1 = hv >> 32
+            h2 = (hv & 0xFFFFFFFF) | 1
+            for j in range(_BLOOM_K):
+                bits.add((h1 + j * h2) % _BLOOM_M)
+        return pa.table(
+            {"bit_idx": pa.array(np.array(sorted(bits), np.int64))}
+        )
+
+    parts = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(bits_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bits = (
+        np.unique(parts["bit_idx"].to_numpy(np.int64))
+        if not parts.empty else np.array([], np.int64)
+    )
+    return pd.DataFrame({"bit_idx": bits})
+
+
+SQL_BLOOM_FILTER_STATE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+               >> 32) AS BIGINT) AS h1,
+         CAST(((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                & 4294967295) | 1) AS BIGINT) AS h2
+  FROM u
+),
+js AS (SELECT CAST(unnest(range({_BLOOM_K})) AS BIGINT) AS j)
+SELECT DISTINCT (h.h1 + js.j * h.h2) % {_BLOOM_M} AS bit_idx
+FROM h CROSS JOIN js
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -16942,4 +17083,6 @@ SQL_QUERIES: dict[str, tuple] = {
     "adjacent_jaccard": (q_adjacent_jaccard, SQL_ADJACENT_JACCARD),
     "hll_register_state": (q_hll_register_state, SQL_HLL_REGISTER_STATE),
     "kmv_sketch_state": (q_kmv_sketch_state, SQL_KMV_SKETCH_STATE),
+    "cms_sketch_state": (q_cms_sketch_state, SQL_CMS_SKETCH_STATE),
+    "bloom_filter_state": (q_bloom_filter_state, SQL_BLOOM_FILTER_STATE),
 }
