@@ -131,3 +131,41 @@ def test_export_partitioned_resume_skips_completed(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(back[orig.columns.tolist()], orig)
+
+
+def test_export_partitioned_integer_key_roundtrip(ray_session, tmp_path):
+    """Hive layout stringifies partition values in dir names; an INTEGER
+    partition key must come back as its canonical integer dtype after
+    harmonize, and resume must recognize the stringified done-set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import (
+        export_partitioned,
+        harmonize,
+        ingest_partitioned,
+    )
+
+    schema = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    src = pa.table(
+        {"k": pa.array([0, 1, 2, 0, 1, 2, 3], pa.int64()),
+         "v": pa.array(list("abcdefg"), pa.string())}
+    )
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(src, srcp)
+    out = str(tmp_path / "by_k")
+
+    ds = ray.data.read_parquet(srcp)
+    first = export_partitioned(ds, out, "k")
+    assert first == ["0", "1", "2", "3"]
+    assert export_partitioned(ds, out, "k") == []  # stringified done-set hits
+
+    back = ingest_partitioned(out, schema).to_pandas()
+    back = back.sort_values(["k", "v"]).reset_index(drop=True)
+    orig = src.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    import pandas as pd
+
+    assert back["k"].dtype == orig["k"].dtype == "int64"
+    pd.testing.assert_frame_equal(back, orig)
