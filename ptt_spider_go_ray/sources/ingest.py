@@ -86,7 +86,8 @@ def write_canonical(ds, out_dir: str) -> None:
     ds.write_parquet(out_dir)
 
 
-def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True):
+def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
+                       min_rows_per_file: int = 10_000):
     """Hive-partitioned parquet sink with PARTITION-LEVEL resume: one
     ``key=<value>/`` directory per distinct key value, a ``_SUCCESS``
     marker dropped in each directory once the whole write lands, and (with
@@ -138,7 +139,12 @@ def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True):
             return t.filter(pa.array(~np.isin(vals, done_arr)))
 
         ds = ds.map_batches(pending_only, batch_format="pyarrow")
-    ds.write_parquet(out_dir, partition_cols=[key])
+    # min_rows_per_file merges small (block × partition) slivers — without
+    # it a 64-block × 20-partition write lands 1,280 files (measured), the
+    # classic small-files problem at 100-TB scale
+    ds.write_parquet(
+        out_dir, partition_cols=[key], min_rows_per_file=min_rows_per_file
+    )
 
     written = []
     for d in sorted(os.listdir(out_dir)):
