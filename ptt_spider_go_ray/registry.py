@@ -8,6 +8,8 @@ import functools
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
 
 def _flagship_spans(sf_dir: str):
     from .pipelines.flagship import flagship
@@ -715,11 +717,26 @@ def _kmeans_clusters(sf_dir: str):
 def _pagerank_chain(sf_dir: str):
     """Distributed PageRank over the per-lang doc_id chain graph (edge set
     stays distributed; per-round broadcast rank vector + per-block partial
-    contribution sums). Rows-only; pytest replays the identical power
-    iteration in dense numpy and asserts elementwise equality."""
+    contribution sums). The float rank is quantized to rank_e9 (the proven
+    ann cos_e4 idiom) so the DuckDB replay of the identical power iteration
+    (oracles_iterative.pagerank_sql) hash-matches; the raw-float iteration
+    stays pytest-gated against a dense-numpy replay."""
+    import pyarrow as pa
+
     from .pipelines.graph import pagerank
 
-    return pagerank(sf_dir, damping=0.85, iters=10)
+    def quantize(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank_e9": pa.array(np.rint(r * 1e9).astype(np.int64)),
+            }
+        )
+
+    return pagerank(sf_dir, damping=0.85, iters=10).map_batches(
+        quantize, batch_format="pyarrow"
+    )
 
 
 def _flagship_write_roundtrip(sf_dir: str):
@@ -1262,3 +1279,18 @@ EXTRA_ORACLES: dict[str, str] = {
     # the parquet write→read roundtrip must reproduce flagship_spans exactly
     "flagship_write_roundtrip": SQL_FLAGSHIP_SPANS,
 }
+
+# Iterative-algorithm oracles (round-5: unrolled-CTE SQL replays of the
+# seeded-deterministic queries that previously had pytest-only gates —
+# see oracles_iterative.py for the float-discipline notes).
+from .oracles_iterative import (  # noqa: E402
+    kmeans_clusters_sql,
+    pagerank_sql,
+    pq_codes_sql,
+    semdedup_sql,
+)
+
+EXTRA_ORACLES["pq_codes"] = pq_codes_sql(m=4, k=16)
+EXTRA_ORACLES["kmeans_clusters"] = kmeans_clusters_sql(k=16, iters=5)
+EXTRA_ORACLES["semdedup"] = semdedup_sql(k=16, iters=3, threshold=0.92)
+EXTRA_ORACLES["pagerank_chain"] = pagerank_sql(damping=0.85, iters=10)
