@@ -620,21 +620,23 @@ def _fingerprints(sf_dir: str):
 
 
 def _approx_distinct_users(sf_dir: str):
-    """HLL sketch COUNT(DISTINCT) — approximate, so rows-only (pytest asserts
-    <10% error vs exact)."""
+    """HLL sketch COUNT(DISTINCT), md5 hash — the estimate itself is
+    SQL-attested: DuckDB rebuilds the identical p=12 register state and
+    applies the same closed-form estimator (oracles_iterative.hll_estimate_sql;
+    pytest additionally asserts <10% error vs exact)."""
     import pandas as pd
     import ray.data
 
     from .stages.sketch import approx_distinct
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    est = approx_distinct(ds, "user_id", p=12)
+    est = approx_distinct(ds, "user_id", p=12, hash_fn="md5")
     return pd.DataFrame({"n_users_approx": [int(round(est))]})
 
 
 def _approx_distinct_users_per_type(sf_dir: str):
-    """Grouped HLL: approximate distinct users per event type (distributed
-    sketch merge — rows-only; pytest asserts <10% error vs exact)."""
+    """Grouped HLL (md5 hash): approximate distinct users per event type,
+    distributed sketch merge. SQL-attested like _approx_distinct_users."""
     import ray.data
 
     from .stages.sketch import approx_distinct_by
@@ -642,7 +644,7 @@ def _approx_distinct_users_per_type(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return approx_distinct_by(ds, "event_type", "user_id", p=12)
+    return approx_distinct_by(ds, "event_type", "user_id", p=12, hash_fn="md5")
 
 
 def _approx_quantiles_sketch(sf_dir: str):
@@ -1284,6 +1286,7 @@ EXTRA_ORACLES: dict[str, str] = {
 # seeded-deterministic queries that previously had pytest-only gates —
 # see oracles_iterative.py for the float-discipline notes).
 from .oracles_iterative import (  # noqa: E402
+    hll_estimate_sql,
     kmeans_clusters_sql,
     pagerank_sql,
     pq_codes_sql,
@@ -1294,3 +1297,7 @@ EXTRA_ORACLES["pq_codes"] = pq_codes_sql(m=4, k=16)
 EXTRA_ORACLES["kmeans_clusters"] = kmeans_clusters_sql(k=16, iters=5)
 EXTRA_ORACLES["semdedup"] = semdedup_sql(k=16, iters=3, threshold=0.92)
 EXTRA_ORACLES["pagerank_chain"] = pagerank_sql(damping=0.85, iters=10)
+EXTRA_ORACLES["approx_distinct_users"] = hll_estimate_sql(p=12)
+EXTRA_ORACLES["approx_distinct_users_per_type"] = hll_estimate_sql(
+    p=12, group_key="event_type", out_col="n_approx"
+)

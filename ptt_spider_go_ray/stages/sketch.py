@@ -66,13 +66,34 @@ def _floor_log2_u64(v: np.ndarray) -> np.ndarray:
 
 
 class HLL:
-    def __init__(self, p: int = 12):
+    """hash_fn="pandas" (default) uses the fast vectorized pd.util
+    hash; hash_fn="md5" hashes str(int(v)) through md5's top 8 bytes —
+    bit-identical to DuckDB's md5(), which makes the ESTIMATE SQL-attestable
+    (the q_hll_register_state idiom extended to the closed-form estimator)."""
+
+    def __init__(self, p: int = 12, hash_fn: str = "pandas"):
         self.p = p
         self.m = 1 << p
+        self.hash_fn = hash_fn
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
-    @staticmethod
-    def _hash(values) -> np.ndarray:
+    def _hash(self, values) -> np.ndarray:
+        if self.hash_fn == "md5":
+            import hashlib
+
+            # unique first: HLL is duplicate-insensitive and the md5 loop is
+            # the only per-item Python in this path
+            vals = np.unique(np.asarray(values, dtype=np.int64))
+            return np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(int(v)).encode()).digest()[:8], "big"
+                    )
+                    for v in vals
+                ),
+                np.uint64,
+                count=len(vals),
+            )
         return pd.util.hash_array(np.asarray(values, dtype=object))
 
     def add_many(self, values) -> None:
@@ -245,7 +266,8 @@ def approx_quantiles_by(ds, key: str, column: str,
     )
 
 
-def approx_distinct_by(ds, key: str, column: str, p: int = 12):
+def approx_distinct_by(ds, key: str, column: str, p: int = 12,
+                       hash_fn: str = "pandas"):
     """Grouped approximate COUNT(DISTINCT): per-batch per-key partial HLL
     sketches, merged DISTRIBUTEDLY with a groupby over the key — the shuffle
     moves (key, 2^p bytes) rows per batch, never values, and no stage holds
@@ -255,7 +277,7 @@ def approx_distinct_by(ds, key: str, column: str, p: int = 12):
     def sketch_batch(df: pd.DataFrame) -> pa.Table:
         keys, sketches = [], []
         for k, grp in df.groupby(key, sort=False):
-            h = HLL(p)
+            h = HLL(p, hash_fn=hash_fn)
             h.add_many(grp[column].tolist())
             keys.append(k)
             sketches.append(h.to_bytes())
@@ -279,12 +301,13 @@ def approx_distinct_by(ds, key: str, column: str, p: int = 12):
     )
 
 
-def approx_distinct(ds, column: str, p: int = 12) -> float:
+def approx_distinct(ds, column: str, p: int = 12,
+                    hash_fn: str = "pandas") -> float:
     """COUNT(DISTINCT column) ≈ via per-batch partial sketches merged on the
     driver (each partial is 2^p bytes — no value shuffle)."""
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        h = HLL(p)
+        h = HLL(p, hash_fn=hash_fn)
         h.add_many(t[column].to_pylist())
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.large_binary())})
 
