@@ -551,9 +551,28 @@ def _crawl_layout_oracle_sql() -> str:
 
 
 def _dedup_embedding(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs. The raw cosine is quantized to
+    cos_e6 (the ann cos_e4 idiom) so the DuckDB LSH replay
+    (oracles_iterative.dedup_embedding_cosine_sql) hash-matches across the
+    BLAS-vs-sequential inner-product ulp gap; the raw-float pipeline stays
+    pytest-gated against planted duplicates."""
+    import pyarrow as pa
+
     from .pipelines.dedup import embedding_cosine_dups
 
-    return embedding_cosine_dups(sf_dir, threshold=0.3)
+    def quantize(t: pa.Table) -> pa.Table:
+        c = t["cos"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_a": t["vec_a"],
+                "vec_b": t["vec_b"],
+                "cos_e6": pa.array(np.rint(c * 1e6).astype(np.int64)),
+            }
+        )
+
+    return embedding_cosine_dups(sf_dir, threshold=0.3).map_batches(
+        quantize, batch_format="pyarrow"
+    )
 
 
 def _lang_id(sf_dir: str):
@@ -1286,6 +1305,8 @@ EXTRA_ORACLES: dict[str, str] = {
 # seeded-deterministic queries that previously had pytest-only gates —
 # see oracles_iterative.py for the float-discipline notes).
 from .oracles_iterative import (  # noqa: E402
+    bpe_merges_sql,
+    dedup_embedding_cosine_sql,
     hll_estimate_sql,
     kmeans_clusters_sql,
     pagerank_sql,
@@ -1300,4 +1321,10 @@ EXTRA_ORACLES["pagerank_chain"] = pagerank_sql(damping=0.85, iters=10)
 EXTRA_ORACLES["approx_distinct_users"] = hll_estimate_sql(p=12)
 EXTRA_ORACLES["approx_distinct_users_per_type"] = hll_estimate_sql(
     p=12, group_key="event_type", out_col="n_approx"
+)
+EXTRA_ORACLES["bpe_merges"] = bpe_merges_sql(n_merges=6)
+# plane literals are ~100 KB of SQL — build lazily (callable) so importing
+# the registry stays cheap
+EXTRA_ORACLES["dedup_embedding_cosine"] = functools.partial(
+    dedup_embedding_cosine_sql, threshold=0.3
 )
