@@ -99,8 +99,7 @@ def run_crawl_bench(pages: int, latency_s: float, num_cpus: int,
     }
     if verify:
         # span-sequence verification vs the plain-Python oracle (not timed)
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-        from crawl_oracle import oracle_crawl
+        from ptt_spider_go_ray.oracle.crawl_oracle import oracle_crawl
 
         want = oracle_crawl(
             SyntheticSite(spec), "Beauty", pages, push_threshold=0,

@@ -168,6 +168,10 @@ def q_mixture_weights(sf_dir: str):
         promote_options="default",
     )  # ≤ n_sources rows — value-domain bound
     units = tbl["n_units"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # a source whose texts are all empty has n_units == 0: without a floor
+    # the weight division yields inf → undefined int64 cast here and a
+    # divide-by-zero in the SQL oracle (GREATEST(n_units, 1) pairs exactly)
+    units = np.maximum(units, 1.0)
     tot = float(units.sum())
     n_src = float(len(units))
     actual = np.floor(1e6 * units / tot + 0.5).astype(np.int64)
@@ -188,17 +192,19 @@ def q_mixture_weights(sf_dir: str):
 SQL_MIXTURE_WEIGHTS = """
 WITH agg AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS n_units
+         CAST(sum(n_chars) AS BIGINT) AS n_units,
+         -- all-empty source guard: pairs with the engine's np.maximum(units, 1)
+         CAST(GREATEST(sum(n_chars), 1) AS BIGINT) AS units
   FROM documents GROUP BY source
 ), tot AS (
-  SELECT CAST(sum(n_units) AS DOUBLE) AS tot,
+  SELECT CAST(sum(units) AS DOUBLE) AS tot,
          CAST(count(*) AS DOUBLE) AS n_src
   FROM agg
 )
 SELECT source, n_docs, n_units,
-  CAST(FLOOR(1e6 * n_units / tot + 0.5) AS BIGINT) AS actual_frac_e6,
+  CAST(FLOOR(1e6 * units / tot + 0.5) AS BIGINT) AS actual_frac_e6,
   CAST(FLOOR(1e6 / n_src + 0.5) AS BIGINT) AS target_frac_e6,
-  CAST(FLOOR(1e6 * tot / (n_src * n_units) + 0.5) AS BIGINT) AS weight_e6
+  CAST(FLOOR(1e6 * tot / (n_src * units) + 0.5) AS BIGINT) AS weight_e6
 FROM agg, tot
 """
 
@@ -1292,13 +1298,6 @@ GROUP BY o_orderstatus
 # worker (hash-uniform over keys).
 # ---------------------------------------------------------------------------
 
-_TS_BITS = 46  # relative-us timestamps fit 46 bits (~2.2 years); key gets the rest
-
-
-def _composite(keys: np.ndarray, ts_rel: np.ndarray) -> np.ndarray:
-    return (keys.astype(np.int64) << _TS_BITS) | ts_rel.astype(np.int64)
-
-
 def _salt_bucket(keys: np.ndarray, slices: np.ndarray, n_buckets: int) -> np.ndarray:
     """Hot-key-safe bucket for the windowed joins: hash of (key, time-slice)
     instead of the bare key, so one pathological key's history spreads over
@@ -1373,6 +1372,7 @@ def q_range_join(sf_dir: str, slice_us: int | None = None):
                 "bucket": pa.array(_salt_bucket(keys, s, n_buckets)),
                 "side": pa.array(["o"] * t.num_rows),
                 "key": pa.array(keys),
+                "s": pa.array(s),
                 "id": pc.cast(t["o_orderkey"], pa.int64()),
                 "ts": pc.cast(t["o_orderdate"], pa.timestamp("us")),
             }
@@ -1402,6 +1402,7 @@ def q_range_join(sf_dir: str, slice_us: int | None = None):
                 "bucket": pa.array(_salt_bucket(all_keys, all_s, n_buckets)),
                 "side": pa.array(["e"] * len(all_keys)),
                 "key": pa.array(all_keys),
+                "s": pa.array(all_s),
                 "id": pa.array(np.concatenate([ids, ids[rep]])),
                 "ts": pa.array(np.concatenate([ts_col, ts_col[rep]])),
             }
@@ -1411,41 +1412,54 @@ def q_range_join(sf_dir: str, slice_us: int | None = None):
         ev.map_batches(tag_events, batch_format="pyarrow")
     )
 
+    # per-(key, slice) CELL composites: rel is rebased to each cell's own
+    # slice start, so per-bucket timestamp span is bounded by slice+window
+    # BY CONSTRUCTION — two cells years apart that hash-collide into one
+    # bucket get distinct dense cell ids instead of overflowing a shared
+    # 46-bit rel budget (the pre-r5 fail-loud-but-probabilistic case)
+    cap = np.int64(slice_us + week_us)  # rel_within ∈ [0, cap)
+    rel_bits = int(cap).bit_length()
+
     def count_in_window(g: pd.DataFrame) -> pd.DataFrame:
-        orders = g[g["side"] == "o"]
+        side_o = (g["side"] == "o").to_numpy()
+        orders = g[side_o]
         if len(orders) == 0:
             return pd.DataFrame(
                 {"o_orderkey": pd.Series(dtype="int64"),
                  "n_events_7d": pd.Series(dtype="int64")}
             )
-        # distinct (key,slice) cells can collide into one hash bucket; an
-        # event and its backward replica must then not be counted twice
-        events = g[g["side"] == "e"].drop_duplicates("id")
+        events = g[~side_o]
         if len(events) == 0:
             return pd.DataFrame(
                 {"o_orderkey": orders["id"].astype("int64").to_numpy(),
                  "n_events_7d": np.zeros(len(orders), dtype=np.int64)}
             )
+        cells = np.stack(
+            [g["key"].to_numpy().astype(np.int64),
+             g["s"].to_numpy().astype(np.int64)], axis=1
+        )
+        _, inv = np.unique(cells, axis=0, return_inverse=True)
+        inv = inv.astype(np.int64)
+        if int(inv.max()) >= (1 << (62 - rel_bits)):
+            # deterministic bound: cells-per-bucket ≤ rows-per-bucket, which
+            # bucket sizing keeps in the thousands — unreachable in practice
+            raise ValueError("cell count exceeds the composite-key budget")
+        inv_o, inv_e = inv[side_o], inv[~side_o]
         e_ts = events["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rel_e = e_ts - t0 - events["s"].to_numpy().astype(np.int64) * slice_us
+        # originals land in [0, slice_us), backward replicas in
+        # [slice_us, slice_us + week) — anything else is a tagging bug
+        if len(rel_e) and (rel_e.min() < 0 or rel_e.max() >= cap):
+            raise AssertionError("per-cell event rel out of bounds")
+        comp_e = np.sort((inv_e << rel_bits) | rel_e)
         o_ts = orders["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        t0 = e_ts.min()
-        cap = np.int64((1 << _TS_BITS) - 1)
-        e_rel = e_ts - t0
-        if e_rel.max() >= cap:
-            # clipping would silently collapse distinct event timestamps onto
-            # the cap and produce wrong window counts — refuse instead
-            raise ValueError(
-                "event timestamp span exceeds the 46-bit composite-key budget "
-                "(~2.2 years); pre-bucket by time range before the range join"
-            )
-        # Order-side bounds MAY clip: a window bound below t0 (or above the
-        # event span) lands at 0 (or cap > max e_rel), and searchsorted then
-        # counts exactly the events inside the truncated-but-equivalent range.
-        comp_e = np.sort(_composite(events["key"].to_numpy(), e_rel))
-        lo = np.clip(o_ts - t0, 0, cap)
-        hi = np.clip(o_ts + week_us - t0, 0, cap)
-        comp_lo = _composite(orders["key"].to_numpy(), lo)
-        comp_hi = _composite(orders["key"].to_numpy(), hi)
+        o_rel = o_ts - t0 - orders["s"].to_numpy().astype(np.int64) * slice_us
+        # o_rel < 0 only for orders predating every event (slice 0): clipping
+        # to 0 truncates the window to the part that can contain events
+        lo = np.clip(o_rel, 0, cap)
+        hi = np.clip(o_rel + week_us, 0, cap)
+        comp_lo = (inv_o << rel_bits) | lo
+        comp_hi = (inv_o << rel_bits) | hi
         n = np.searchsorted(comp_e, comp_hi, side="left") - np.searchsorted(
             comp_e, comp_lo, side="left"
         )
@@ -1513,6 +1527,7 @@ def q_sliding_window(sf_dir: str, slice_us: int | None = None):
                 "bucket": pa.array(_salt_bucket(all_keys, all_s, n_buckets)),
                 "event_id": pa.array(np.concatenate([ids, ids[rep]])),
                 "user_id": pa.array(all_keys),
+                "s": pa.array(all_s),
                 "ts": pa.array(np.concatenate([ts_np, ts_np[rep]])),
                 "tgt": pa.array(
                     np.concatenate(
@@ -1522,27 +1537,36 @@ def q_sliding_window(sf_dir: str, slice_us: int | None = None):
             }
         )
 
+    # per-(user, slice) CELL composites (see q_range_join): rel is rebased
+    # to each cell's slice start (+window shift — forward replicas sit up to
+    # 30 min BEFORE their cell's slice start), so per-bucket span is bounded
+    # by slice+window by construction; hash-colliding far-apart cells get
+    # distinct cell ids instead of overflowing a shared rel budget
+    cap = np.int64(slice_us + half_hour_us)  # shifted rel ∈ [0, cap)
+    rel_bits = int(cap).bit_length()
+
     def window_counts(g: pd.DataFrame) -> pd.DataFrame:
-        # context = every distinct event in the bucket (a forward replica
-        # and its original can collide into one hash bucket — dedup by id);
-        # targets = original rows only
-        ctx = g.drop_duplicates("event_id")
-        ts = ctx["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        t0b = ts.min()
-        cap = np.int64((1 << _TS_BITS) - 1)
-        rel = ts - t0b
-        if rel.max() >= cap:
-            raise ValueError(
-                "event timestamp span exceeds the 46-bit composite-key budget "
-                "(~2.2 years); pre-bucket by time range before the window"
-            )
-        comp = np.sort(_composite(ctx["user_id"].to_numpy(), rel))
-        tg = g[g["tgt"] == 1]
-        t_ts = tg["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        t_rel = t_ts - t0b
-        t_keys = tg["user_id"].to_numpy()
-        lo = _composite(t_keys, np.clip(t_rel - half_hour_us, 0, cap))
-        hi = _composite(t_keys, t_rel)
+        # context = every row of the cell (originals + forward replicas from
+        # the previous slice's tail); targets = original rows only
+        cells = np.stack(
+            [g["user_id"].to_numpy().astype(np.int64),
+             g["s"].to_numpy().astype(np.int64)], axis=1
+        )
+        _, inv = np.unique(cells, axis=0, return_inverse=True)
+        inv = inv.astype(np.int64)
+        if int(inv.max()) >= (1 << (62 - rel_bits)):
+            raise ValueError("cell count exceeds the composite-key budget")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rel = (ts - t0 - g["s"].to_numpy().astype(np.int64) * slice_us
+               + half_hour_us)
+        if len(rel) and (rel.min() < 0 or rel.max() >= cap):
+            raise AssertionError("per-cell event rel out of bounds")
+        comp = np.sort((inv << rel_bits) | rel)
+        is_tgt = (g["tgt"] == 1).to_numpy()
+        tg = g[is_tgt]
+        t_rel = rel[is_tgt]
+        lo = (inv[is_tgt] << rel_bits) | (t_rel - half_hour_us)
+        hi = (inv[is_tgt] << rel_bits) | t_rel
         # SQL RANGE frames include same-ts PEERS and exclude only the current
         # row itself: count rows in [ts-30m, ts] then subtract self
         n = (

@@ -191,7 +191,7 @@ def _phash_dedup_oracle_sql() -> str:
     """DERIVED oracle for media_phash_dedup (the VERDICT-r3 'deterministic
     derived oracle' pattern, like IVF nprobe=nlist ≡ brute force): the
     expected table is computed INDEPENDENTLY of every Ray moving part —
-    media discovery by the plain-Python crawl oracle (tests/crawl_oracle.py,
+    media discovery by the plain-Python crawl oracle (oracle/crawl_oracle.py,
     heapq BFS over the pure parse functions), near-dup pairs by a brute-force
     O(m²) exact-Hamming scan (no banding, no buckets, no shuffle) — and
     embedded as a VALUES literal DuckDB replays. The per-image hash math
@@ -199,13 +199,7 @@ def _phash_dedup_oracle_sql() -> str:
     the distributed plumbing (crawl dedup, 4×16 pigeonhole banding recall,
     pair dedup, degree annotate), not the arithmetic. Pigeonhole guarantees
     banding loses no Hamming≤3 pair, so brute force must match exactly."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    )
-    from crawl_oracle import oracle_crawl
+    from .oracle.crawl_oracle import oracle_crawl
 
     from .sources.synthetic import SiteSpec, SyntheticSite
     from .stages.dedup import hamming64
@@ -223,10 +217,11 @@ def _phash_dedup_oracle_sql() -> str:
             if hamming64(ph[a], ph[b]) <= 3:
                 deg[a] += 1
                 deg[b] += 1
-    rows = ", ".join(f"('{r}', '{ph[r]:016x}', {deg[r]})" for r in refs)
+    rows = [f"('{r}', '{ph[r]:016x}', {deg[r]})" for r in refs]
     return (
         "SELECT media_ref, phash_hex, CAST(n_neardups AS BIGINT) AS n_neardups "
-        f"FROM (VALUES {rows}) AS t(media_ref, phash_hex, n_neardups)"
+        + _values_from(rows, "t(media_ref, phash_hex, n_neardups)",
+                       ["VARCHAR", "VARCHAR", "BIGINT"])
     )
 
 
@@ -245,13 +240,7 @@ def _media_oracle_items() -> tuple[tuple[str, str, int, bytes], ...]:
     the engine's crawl feeds the actor-pool stages, computed by the plain
     crawl oracle — (url, doc_id, span_idx, payload bytes) per fetched
     media URL, first-wins provenance."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    )
-    from crawl_oracle import oracle_crawl
+    from .oracle.crawl_oracle import oracle_crawl
 
     from .sources.synthetic import SiteSpec, SyntheticSite
 
@@ -263,6 +252,17 @@ def _media_oracle_items() -> tuple[tuple[str, str, int, bytes], ...]:
         doc_id, _, span_idx = want["media_meta"][url].rpartition("|")
         out.append((url, doc_id, int(span_idx), site.html_for(url)[1] or b""))
     return tuple(out)
+
+
+def _values_from(vals: list, alias_cols: str, null_types: list) -> str:
+    """FROM-clause for a derived VALUES oracle. ``FROM (VALUES )`` is a
+    DuckDB syntax error, so a zero-row replay (possible under SiteSpec
+    changes) becomes one row of typed NULLs filtered by ``WHERE false`` —
+    an explicit empty relation with the right column types."""
+    if vals:
+        return f"FROM (VALUES {', '.join(vals)}) AS {alias_cols}"
+    row = ", ".join(f"CAST(NULL AS {t})" for t in null_types)
+    return f"FROM (VALUES ({row})) AS {alias_cols} WHERE false"
 
 
 def _float_list_sql(vec) -> str:
@@ -291,8 +291,12 @@ def _crawl_media_decode_oracle_sql() -> str:
         "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref, "
         "CAST(n_bytes AS BIGINT) AS n_bytes, format, "
         "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
-        f"feature FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, "
-        "media_ref, n_bytes, format, width, height, feature)"
+        "feature " + _values_from(
+            vals,
+            "t(doc_id, span_idx, media_ref, n_bytes, format, width, height, feature)",
+            ["VARCHAR", "INTEGER", "VARCHAR", "BIGINT", "VARCHAR", "INTEGER",
+             "INTEGER", "FLOAT[]"],
+        )
     )
 
 
@@ -314,8 +318,13 @@ def _media_audio_features_oracle_sql() -> str:
         "CAST(sample_rate AS INTEGER) AS sample_rate, "
         "CAST(n_samples AS BIGINT) AS n_samples, "
         "CAST(duration_ms AS BIGINT) AS duration_ms, feature "
-        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, media_ref, "
-        "n_bytes, sample_rate, n_samples, duration_ms, feature)"
+        + _values_from(
+            vals,
+            "t(doc_id, span_idx, media_ref, n_bytes, sample_rate, n_samples, "
+            "duration_ms, feature)",
+            ["VARCHAR", "INTEGER", "VARCHAR", "BIGINT", "INTEGER", "BIGINT",
+             "BIGINT", "FLOAT[]"],
+        )
     )
 
 
@@ -343,8 +352,11 @@ def _media_frame_sample_oracle_sql() -> str:
         "SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, media_ref, "
         "CAST(frame_idx AS INTEGER) AS frame_idx, "
         "CAST(ts_ms AS BIGINT) AS ts_ms, feature "
-        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, media_ref, "
-        "frame_idx, ts_ms, feature)"
+        + _values_from(
+            vals,
+            "t(doc_id, span_idx, media_ref, frame_idx, ts_ms, feature)",
+            ["VARCHAR", "INTEGER", "VARCHAR", "INTEGER", "BIGINT", "FLOAT[]"],
+        )
     )
 
 
@@ -374,8 +386,12 @@ def _media_resize_plan_oracle_sql() -> str:
         "CAST(new_width AS INTEGER) AS new_width, "
         "CAST(new_height AS INTEGER) AS new_height, "
         "CAST(scale_e4 AS BIGINT) AS scale_e4 "
-        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, span_idx, width, "
-        "height, new_width, new_height, scale_e4)"
+        + _values_from(
+            vals,
+            "t(doc_id, span_idx, width, height, new_width, new_height, scale_e4)",
+            ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+             "BIGINT"],
+        )
     )
 
 
@@ -406,19 +422,25 @@ def _doc_rows_values_sql(rows: list[dict]) -> str:
             f"\"offset\" := CAST({sp['offset']} AS INTEGER))"
         )
 
-    vals = ", ".join(
+    vals = [
         "({d}, {t}, {u}, {b}, {a}, {p}, {s}, list_value({sp}))".format(
             d=_sql_str(r["doc_id"]), t=_sql_str(r["title"]), u=_sql_str(r["url"]),
             b=_sql_str(r["board"]), a=_sql_str(r["author"]), p=r["push"],
             s=r["seq"], sp=", ".join(span_sql(x) for x in r["spans"]),
         )
         for r in rows
-    )
+    ]
+    span_t = ('STRUCT(kind VARCHAR, text VARCHAR, media_ref VARCHAR, '
+              '"offset" INTEGER)[]')
     return (
         "SELECT doc_id, title, url, board, author, "
         "CAST(push_rate AS INTEGER) AS push_rate, CAST(seq AS BIGINT) AS seq, "
-        f"spans FROM (VALUES {vals}) AS t(doc_id, title, url, board, author, "
-        "push_rate, seq, spans)"
+        "spans " + _values_from(
+            vals,
+            "t(doc_id, title, url, board, author, push_rate, seq, spans)",
+            ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER",
+             "BIGINT", span_t],
+        )
     )
 
 
@@ -440,13 +462,7 @@ def _crawl_board_oracle_sql() -> str:
     with list_value(struct_pack(...)) spans. Attests the whole board-mode
     path: frontier seed/dispatch, push filter, parse fan-out, per-doc span
     normalization."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    )
-    from crawl_oracle import oracle_crawl
+    from .oracle.crawl_oracle import oracle_crawl
 
     from .sources.synthetic import SiteSpec, SyntheticSite
 
@@ -460,13 +476,7 @@ def _crawl_board_oracle_sql() -> str:
 def _crawl_file_mode_oracle_sql() -> str:
     """DERIVED oracle for crawl_file_mode: same replay over the file-mode
     seed list (prefix filter, content-resolved titles, push=0)."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    )
-    from crawl_oracle import oracle_crawl
+    from .oracle.crawl_oracle import oracle_crawl
 
     from .sources.synthetic import SiteSpec, SyntheticSite
 
@@ -493,13 +503,7 @@ def _crawl_layout_oracle_sql() -> str:
     pure functions (clean_file_name + unique_dir_names in seq order) — and
     embedded as a VALUES literal. Attests the engine's frontier dispatch,
     actor-pool parse fan-out, and the (board, dir_key) groupby shuffle."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    )
-    from crawl_oracle import oracle_crawl
+    from .oracle.crawl_oracle import oracle_crawl
 
     from .functions.parse import clean_file_name, unique_dir_names
     from .sources.synthetic import SiteSpec, SyntheticSite
@@ -533,7 +537,7 @@ def _crawl_layout_oracle_sql() -> str:
             r["save_dir"] = f"{r['board']}/{n}"
 
     esc = lambda s: s.replace("'", "''")  # noqa: E731
-    vals = ", ".join(
+    vals = [
         "('{doc_id}', '{title}', '{url}', '{board}', '{author}', {push}, {seq}, "
         "'{dir_key}', '{save_dir}')".format(
             doc_id=esc(r["doc_id"]), title=esc(r["title"]), url=esc(r["url"]),
@@ -541,12 +545,17 @@ def _crawl_layout_oracle_sql() -> str:
             seq=r["seq"], dir_key=esc(r["dir_key"]), save_dir=esc(r["save_dir"]),
         )
         for r in rows
-    )
+    ]
     return (
         "SELECT doc_id, title, url, board, author, "
         "CAST(push_rate AS INTEGER) AS push_rate, CAST(seq AS BIGINT) AS seq, "
-        f"dir_key, save_dir FROM (VALUES {vals}) AS t(doc_id, title, url, "
-        "board, author, push_rate, seq, dir_key, save_dir)"
+        "dir_key, save_dir " + _values_from(
+            vals,
+            "t(doc_id, title, url, board, author, push_rate, seq, dir_key, "
+            "save_dir)",
+            ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER",
+             "BIGINT", "VARCHAR", "VARCHAR"],
+        )
     )
 
 
@@ -849,7 +858,7 @@ def _partitioned_write_roundtrip(sf_dir: str):
         raise AssertionError(
             f"partition resume contract broken: first={first} second={second}"
         )
-    return ingest_partitioned(out, schema)
+    return ingest_partitioned(out, schema, partition_key="source")
 
 
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {

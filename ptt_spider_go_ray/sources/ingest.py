@@ -105,6 +105,7 @@ def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
     values completed THIS run (empty when everything was already marked).
     """
     import os
+    from urllib.parse import quote, unquote
 
     import numpy as np
     import pyarrow as pa
@@ -132,10 +133,18 @@ def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
     os.makedirs(out_dir, exist_ok=True)
 
     if done:
+        # the writer hive-encodes partition values into dir names with
+        # urllib quote(safe='') semantics (probed: space→%20, '/'→%2F,
+        # '='→%3D, '%'→%25) — canonicalize OUR side the same way or
+        # special-char partitions never match the done-set and a resume
+        # silently double-writes into _SUCCESS-marked dirs
         done_arr = np.array(sorted(done), dtype=object)
 
         def pending_only(t: pa.Table) -> pa.Table:
-            vals = np.array([str(v) for v in t[key].to_pylist()], dtype=object)
+            vals = np.array(
+                [quote(str(v), safe="") for v in t[key].to_pylist()],
+                dtype=object,
+            )
             return t.filter(pa.array(~np.isin(vals, done_arr)))
 
         ds = ds.map_batches(pending_only, batch_format="pyarrow")
@@ -150,16 +159,37 @@ def export_partitioned(ds, out_dir: str, key: str, *, resume: bool = True,
     for d in sorted(os.listdir(out_dir)):
         if d.startswith(prefix) and d[len(prefix):] not in done:
             open(os.path.join(out_dir, d, "_SUCCESS"), "w").close()
-            written.append(d[len(prefix):])
-    return written
+            written.append(unquote(d[len(prefix):]))
+    return sorted(written)
 
 
-def ingest_partitioned(path: str, schema: pa.Schema):
+def ingest_partitioned(path: str, schema: pa.Schema, partition_key: str | None = None):
     """Read a hive-partitioned export back onto the canonical schema (the
     partition column returns as a dictionary/string — harmonize casts it,
-    restores column order, and drops the marker artifacts)."""
-    import ray.data
+    restores column order, and drops the marker artifacts).
 
-    return harmonize(
-        ray.data.read_parquet(path, file_extensions=["parquet"]), schema
-    )
+    ``partition_key`` names the column that was hive-encoded into dir
+    names; pyarrow does NOT percent-decode it on read ('a b' comes back
+    'a%20b'), so we unquote it here to keep the documented value-invisible
+    round-trip. Decoding touches only the per-batch DISTINCT values
+    (dictionary-encode first) — O(partition domain), not O(rows)."""
+    import ray.data
+    from urllib.parse import unquote
+
+    ds = ray.data.read_parquet(path, file_extensions=["parquet"])
+    if partition_key is not None:
+
+        def _decode(t: pa.Table) -> pa.Table:
+            idx = t.schema.get_field_index(partition_key)
+            enc = t[partition_key].combine_chunks().cast(pa.string())
+            d = enc.dictionary_encode()
+            dec = pa.array(
+                [None if v is None else unquote(v)
+                 for v in d.dictionary.to_pylist()],
+                pa.string(),
+            )
+            col = pa.DictionaryArray.from_arrays(d.indices, dec).cast(pa.string())
+            return t.set_column(idx, partition_key, col)
+
+        ds = ds.map_batches(_decode, batch_format="pyarrow", batch_size=None)
+    return harmonize(ds, schema)

@@ -124,7 +124,9 @@ def test_export_partitioned_resume_skips_completed(ray_session, tmp_path):
     untouched = {k: v for k, v in before.items() if not k.startswith(os.path.join(out, victim))}
     assert {k: after[k] for k in untouched} == untouched
 
-    back = ingest_partitioned(out, canonical_schema(sf, "documents")).to_pandas()
+    back = ingest_partitioned(
+        out, canonical_schema(sf, "documents"), partition_key="source"
+    ).to_pandas()
     orig = ray.data.read_parquet(f"{sf}/documents.parquet").to_pandas()
     back = back.sort_values("doc_id").reset_index(drop=True)
     orig = orig.sort_values("doc_id").reset_index(drop=True)
@@ -162,10 +164,56 @@ def test_export_partitioned_integer_key_roundtrip(ray_session, tmp_path):
     assert first == ["0", "1", "2", "3"]
     assert export_partitioned(ds, out, "k") == []  # stringified done-set hits
 
-    back = ingest_partitioned(out, schema).to_pandas()
+    back = ingest_partitioned(out, schema, partition_key="k").to_pandas()
     back = back.sort_values(["k", "v"]).reset_index(drop=True)
     orig = src.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     import pandas as pd
 
     assert back["k"].dtype == orig["k"].dtype == "int64"
     pd.testing.assert_frame_equal(back, orig)
+
+
+def test_export_partitioned_special_char_values(ray_session, tmp_path):
+    """Partition values the hive writer percent-encodes (space, '/', '=',
+    '%', unicode) must (a) round-trip back as the ORIGINAL strings and
+    (b) hit the done-set on resume — the encoded-dir-vs-raw-value mismatch
+    previously made a resumed export double-write those partitions."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import (
+        export_partitioned,
+        ingest_partitioned,
+    )
+
+    vals = ["a b", "a/b", "a=b", "a%20b", "中文", "plain"]
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    src = pa.table(
+        {"k": pa.array(vals * 2, pa.string()),
+         "v": pa.array(range(len(vals) * 2), pa.int64())}
+    )
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(src, srcp)
+    out = str(tmp_path / "by_k")
+
+    ds = ray.data.read_parquet(srcp)
+    first = export_partitioned(ds, out, "k")
+    assert first == sorted(vals)  # decoded values, not dir suffixes
+
+    # full skip on resume: encoded dirs must match the quoted done-set
+    assert export_partitioned(ds, out, "k") == []
+
+    # crash one encoded partition → only that one rebuilds, by decoded name
+    victim_dir = next(d for d in os.listdir(out) if d == "k=a%20b")
+    os.remove(os.path.join(out, victim_dir, "_SUCCESS"))
+    assert export_partitioned(ds, out, "k") == ["a b"]
+
+    back = ingest_partitioned(out, schema, partition_key="k").to_pandas()
+    back = back.sort_values("v").reset_index(drop=True)
+    orig = src.to_pandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["k", "v"]], orig)  # 12 rows, not 19

@@ -105,6 +105,34 @@ def test_percentiles_degenerate_groups(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_mixture_weights_all_empty_source(ray_session, tmp_path):
+    """A source whose texts are all empty (sum n_chars == 0) must not
+    produce inf/undefined-cast weights: both engines floor units at 1 and
+    still agree exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.queries import SQL_MIXTURE_WEIGHTS, q_mixture_weights
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "source": pa.array(["web", "web", "empty", "empty", "wiki", "wiki"]),
+            "n_chars": pa.array([100, 200, 0, 0, 50, 70], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = canon(to_pandas(q_mixture_weights(str(tmp_path))))
+    assert (got["weight_e6"] > 0).all() and np.isfinite(got["weight_e6"]).all()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = canon(con.sql(SQL_MIXTURE_WEIGHTS).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_value_histogram_constant_column(ray_session, tmp_path):
     """All-equal values (bin width 0) land in bin 0 on both engines."""
     import pyarrow as pa
@@ -207,6 +235,55 @@ def test_range_join_long_span_handled_by_time_slicing(ray_session, tmp_path):
     got = to_pandas(q_range_join(str(tmp_path)))
     assert got["o_orderkey"].tolist() == [1]
     assert got["n_events_7d"].tolist() == [1]  # only the day-0 event
+
+
+def test_range_join_colliding_cells_one_bucket(ray_session, tmp_path, monkeypatch):
+    """Force EVERY (key, slice) cell into one hash bucket (n_buckets=1) with
+    a multi-year span: per-cell composites must keep counts exact — the
+    pre-r5 shared-rel design overflowed its 46-bit budget here."""
+    import datetime
+
+    import duckdb as _dd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ptt_spider_go_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_key_buckets", lambda *a, **k: 1)
+
+    base = datetime.datetime(2000, 1, 1)
+    ts = [base + datetime.timedelta(days=d) for d in (0, 2, 3, 1300, 1302)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 8, 7, 7], pa.int64()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([7, 7, 8], pa.int64()),
+                "o_orderdate": pa.array(
+                    [ts[0], base + datetime.timedelta(days=1299), ts[2]],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = canon(to_pandas(Q.q_range_join(str(tmp_path))))
+    con = _dd.connect()
+    for t in ("events", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = canon(con.sql(Q.SQL_RANGE_JOIN).df())
+    pd.testing.assert_frame_equal(got, want)
 
 
 def _planted_hot_key_tables(tmp_path, n_hot=900, n_cold=100):
