@@ -4964,37 +4964,148 @@ def _shingles3(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return dedup["i"].to_numpy(dtype=np.int64), dedup["s"].to_numpy()
 
 
+# held-out docs whose hashed shingles we'll broadcast whole; above this the
+# bucketed semi-join path runs (the q_bloom_semi_join discipline — never a
+# driver set that grows with the eval corpus)
+_DECON_BCAST_MAX_DOCS = 200_000
+
+
+def _shingle_h64(sh: np.ndarray) -> np.ndarray:
+    """Shingle strings → stable 64-bit fingerprints (pd.util.hash_array,
+    deterministic across processes). Membership tests run on the int64
+    fingerprints — ~10× smaller than Python string sets and vectorized.
+    Collision caveat: two distinct shingles sharing a fingerprint would
+    count as a hit; expectation n_bench·n_cand/2^64 — the standard MinHash
+    fingerprint-identity assumption this repo's dedup family already makes."""
+    return pd.util.hash_array(sh.astype(object))
+
+
 def q_decontaminate(sf_dir: str):
     import ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    import pyarrow.parquet as pq_
 
-    def bench_partial(df: pd.DataFrame) -> pa.Table:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = pq_.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    held_docs = n_docs // _DECON_MOD + 1
+
+    if held_docs <= _DECON_BCAST_MAX_DOCS:
+        # broadcast path: held-out shingles as SORTED uint64 fingerprints
+        # shipped once via ray.put (was a Python-string frozenset)
+        def bench_partial(df: pd.DataFrame) -> pa.Table:
+            df = df[df["doc_id"] % _DECON_MOD == 0]
+            _, sh = _shingles3(df.reset_index(drop=True))
+            return pa.table(
+                {"h": pa.array(np.unique(_shingle_h64(sh)), pa.uint64())}
+            )
+
+        parts = [
+            t["h"].to_numpy(zero_copy_only=False)
+            for t in ds.map_batches(bench_partial, batch_format="pandas")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+        bench_ref = ray.put(bench)
+
+        def flag(df: pd.DataFrame) -> pa.Table:
+            df = df[df["doc_id"] % _DECON_MOD != 0].reset_index(drop=True)
+            idx, sh = _shingles3(df)
+            b = ray.get(bench_ref)
+            h = _shingle_h64(sh)
+            if len(b):
+                pos = np.searchsorted(b, h)
+                hits = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
+            else:
+                hits = np.zeros(len(h), bool)
+            n_sh = np.bincount(idx, minlength=len(df)).astype(np.int64)
+            n_hit = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
+            keep = n_sh > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(df["doc_id"].to_numpy()[keep].astype(np.int64)),
+                    "n_shingles": pa.array(n_sh[keep]),
+                    "n_hits": pa.array(n_hit[keep]),
+                    "contaminated": pa.array(n_hit[keep] > 0),
+                }
+            )
+
+        return ds.map_batches(flag, batch_format="pandas")
+
+    # scale path: bucketed semi-join — (bucket = h64 % nb) co-locates each
+    # candidate shingle with exactly the bench fingerprints it could match;
+    # per-bucket vectorized isin emits per-doc partial counts, a final
+    # groupby(doc_id) sums them. Shuffle volume = fingerprints (24 B/row),
+    # never shingle strings; driver holds nothing that scales with data.
+    from ray.data.aggregate import Sum
+
+    nb = max(32, held_docs // 50_000)
+
+    def bench_rows(df: pd.DataFrame) -> pa.Table:
         df = df[df["doc_id"] % _DECON_MOD == 0]
         _, sh = _shingles3(df.reset_index(drop=True))
-        return pa.table({"s": pa.array(np.unique(sh).astype(str))})
-
-    bench_parts = ds.map_batches(bench_partial, batch_format="pandas").take_all()
-    bench_ref = ray.put(frozenset(r["s"] for r in bench_parts))
-
-    def flag(df: pd.DataFrame) -> pa.Table:
-        df = df[df["doc_id"] % _DECON_MOD != 0].reset_index(drop=True)
-        idx, sh = _shingles3(df)
-        bench = ray.get(bench_ref)
-        hits = pd.Series(sh).isin(bench).to_numpy()
-        n_sh = np.bincount(idx, minlength=len(df)).astype(np.int64)
-        n_hit = np.bincount(idx, weights=hits, minlength=len(df)).astype(np.int64)
-        keep = n_sh > 0
+        h = np.unique(_shingle_h64(sh))
         return pa.table(
             {
-                "doc_id": pa.array(df["doc_id"].to_numpy()[keep].astype(np.int64)),
-                "n_shingles": pa.array(n_sh[keep]),
-                "n_hits": pa.array(n_hit[keep]),
-                "contaminated": pa.array(n_hit[keep] > 0),
+                "bucket": pa.array((h % nb).astype(np.int64)),
+                "doc_id": pa.array(np.full(len(h), -1, np.int64)),
+                "h": pa.array(h, pa.uint64()),
             }
         )
 
-    return ds.map_batches(flag, batch_format="pandas")
+    def cand_rows(df: pd.DataFrame) -> pa.Table:
+        df = df[df["doc_id"] % _DECON_MOD != 0].reset_index(drop=True)
+        idx, sh = _shingles3(df)
+        h = _shingle_h64(sh)
+        return pa.table(
+            {
+                "bucket": pa.array((h % nb).astype(np.int64)),
+                "doc_id": pa.array(df["doc_id"].to_numpy()[idx].astype(np.int64)),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        is_bench = (g["doc_id"] < 0).to_numpy()
+        bench_h = g["h"].to_numpy()[is_bench]
+        cand = g[~is_bench]
+        if len(cand) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "n_sh": pd.Series(dtype="int64"),
+                 "n_hit": pd.Series(dtype="int64")}
+            )
+        hits = np.isin(cand["h"].to_numpy(), bench_h)
+        per = (
+            pd.DataFrame({"doc_id": cand["doc_id"].to_numpy(), "n_hit": hits})
+            .groupby("doc_id", sort=False)
+            .agg(n_sh=("n_hit", "size"), n_hit=("n_hit", "sum"))
+            .reset_index()
+        )
+        return per.astype({"doc_id": "int64", "n_sh": "int64", "n_hit": "int64"})
+
+    both = ds.map_batches(bench_rows, batch_format="pandas").union(
+        ds.map_batches(cand_rows, batch_format="pandas")
+    )
+    per_doc = (
+        both.groupby("bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_sh", alias_name="n_shingles"),
+                   Sum("n_hit", alias_name="n_hits"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_hits = pc.cast(t["n_hits"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+                "n_hits": n_hits,
+                "contaminated": pc.greater(n_hits, 0),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_DECONTAMINATE = f"""
@@ -12950,6 +13061,12 @@ _CB3_TOK_RE = r"[^\t\n\f\r\v ]+"
 _CB3_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r\v ]"
 
 
+# dup-id broadcast cap (~32 MB as int64); above it the survivor filter runs
+# as a bucketed ANTI join — at 100 TB with 30-50% dup rates the id array is
+# multi-GB and must never ship whole to every task
+_CB3_BCAST_MAX = 4_000_000
+
+
 def q_corpus_build_v3(sf_dir: str):
     import ray
 
@@ -12961,13 +13078,12 @@ def q_corpus_build_v3(sf_dir: str):
         if len(dups)
         else np.array([], np.int64)
     )
-    dup_ref = ray.put(dup_ids)
     sw = set(EN_STOPWORDS)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        ids = ray.get(dup_ref)
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        """Quality-filtered per-doc metric rows (dup filter applied later)."""
         text = df["text"].fillna("")
         doc = df["doc_id"].to_numpy(np.int64)
         n_tokens = text.str.findall(_CB3_TOK_RE).str.len().astype("int64").to_numpy()
@@ -12979,12 +13095,7 @@ def q_corpus_build_v3(sf_dir: str):
             if len(hits)
             else np.zeros(len(df), np.int64)
         )
-        if len(ids):
-            pos = np.clip(np.searchsorted(ids, doc), 0, len(ids) - 1)
-            is_dup = ids[pos] == doc
-        else:
-            is_dup = np.zeros(len(doc), bool)
-        m = (~is_dup) & (n_tokens >= 10) & (20 * n_stop >= n_tokens)
+        m = (n_tokens >= 10) & (20 * n_stop >= n_tokens)
         return pd.DataFrame(
             {
                 "doc_id": doc[m],
@@ -12994,7 +13105,74 @@ def q_corpus_build_v3(sf_dir: str):
             }
         )
 
-    return ds.map_batches(keep, batch_format="pandas", batch_size=_TEXT_BATCH)
+    if len(dup_ids) <= _CB3_BCAST_MAX:
+        dup_ref = ray.put(dup_ids)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            out = metrics(df)
+            ids = ray.get(dup_ref)
+            doc = out["doc_id"].to_numpy(np.int64)
+            if len(ids):
+                pos = np.clip(np.searchsorted(ids, doc), 0, len(ids) - 1)
+                is_dup = ids[pos] == doc
+            else:
+                is_dup = np.zeros(len(doc), bool)
+            return out[~is_dup].reset_index(drop=True)
+
+        return ds.map_batches(keep, batch_format="pandas", batch_size=_TEXT_BATCH)
+
+    # scale path: bucketed ANTI join — survivors' metadata (4 ints/doc) and
+    # dup ids co-locate by hash(doc_id) % nb; per-bucket vectorized isin
+    # drops the dups. One metadata shuffle, no O(dups) broadcast. (Here the
+    # dup side is re-distributed from the memoized upstream frame; a full
+    # 100-TB deployment feeds the dedup pipeline's Dataset in directly.)
+    import pyarrow as pa_
+
+    import ray.data
+
+    nb = max(32, len(dup_ids) // 500_000)
+
+    def bucket_of(doc: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(doc.astype(np.int64)) % nb).astype(np.int64)
+
+    def cand_rows(df: pd.DataFrame) -> pa.Table:
+        # arrow out: the union partner (dup_ds) holds arrow blocks, and
+        # mixed block types break the downstream groupby sort sampler
+        out = metrics(df)
+        out.insert(0, "bucket", bucket_of(out["doc_id"].to_numpy(np.int64)))
+        out["is_dup_row"] = np.zeros(len(out), np.int8)
+        return pa_.Table.from_pandas(out, preserve_index=False)
+
+    dup_tbl = pa_.table(
+        {
+            "bucket": pa_.array(bucket_of(dup_ids)),
+            "doc_id": pa_.array(dup_ids),
+            "n_tokens": pa_.array(np.zeros(len(dup_ids), np.int64)),
+            "n_bpe_tokens": pa_.array(np.zeros(len(dup_ids), np.int64)),
+            "n_chunks": pa_.array(np.zeros(len(dup_ids), np.int64)),
+            "is_dup_row": pa_.array(np.ones(len(dup_ids), np.int8)),
+        }
+    )
+    bs = max(1, dup_tbl.num_rows // 32)
+    dup_ds = ray.data.from_arrow(
+        [dup_tbl.slice(i, bs) for i in range(0, dup_tbl.num_rows, bs)]
+        or [dup_tbl]  # zero dups: one empty typed block
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        is_dup_row = (g["is_dup_row"] == 1).to_numpy()
+        dup_in_bucket = g["doc_id"].to_numpy()[is_dup_row]
+        cand = g[~is_dup_row]
+        keep = ~np.isin(cand["doc_id"].to_numpy(), dup_in_bucket)
+        out = cand.loc[keep, ["doc_id", "n_tokens", "n_bpe_tokens", "n_chunks"]]
+        return out.reset_index(drop=True).astype("int64")
+
+    return (
+        ds.map_batches(cand_rows, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .union(dup_ds)
+        .groupby("bucket")
+        .map_groups(anti, batch_format="pandas")
+    )
 
 
 SQL_CORPUS_BUILD_V3 = rf"""

@@ -690,6 +690,38 @@ def _approx_quantiles_sketch(sf_dir: str):
     )
 
 
+def _approx_quantiles_bottomk(sf_dir: str):
+    """Approximate quantiles via a deterministic bottom-k md5-hash sample
+    (stages/sketch.py::bottomk_quantiles). Unlike the KLL sketch (whose
+    state depends on batch boundaries), the sample — and therefore the
+    ESTIMATE — is order/partitioning-independent and SQL-attested
+    (oracles_iterative.bottomk_quantiles_sql); pytest additionally bounds
+    the rank error vs exact quantiles."""
+    import ray.data
+
+    from .stages.sketch import bottomk_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return bottomk_quantiles(ds, "value", "event_id", qs=(0.5, 0.9, 0.99), k=2048)
+
+
+def _approx_quantiles_bottomk_per_type(sf_dir: str):
+    """Grouped bottom-k sample quantiles per event_type — distributed
+    per-key bottom-k merge; SQL-attested like _approx_quantiles_bottomk."""
+    import ray.data
+
+    from .stages.sketch import bottomk_quantiles_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return bottomk_quantiles_by(
+        ds, "event_type", "value", "event_id", qs=(0.5, 0.9, 0.99), k=512
+    )
+
+
 def _approx_quantiles_per_type(sf_dir: str):
     """Grouped KLL quantile sketch over events.value per event_type
     (approximate → rows-only; pytest asserts per-group rank error vs exact)."""
@@ -884,6 +916,8 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
     "approx_quantiles_per_type": _approx_quantiles_per_type,
+    "approx_quantiles_bottomk": _approx_quantiles_bottomk,
+    "approx_quantiles_bottomk_per_type": _approx_quantiles_bottomk_per_type,
     "kmeans_clusters": _kmeans_clusters,
     "pq_codes": _pq_codes,
     "pagerank_chain": _pagerank_chain,
@@ -1314,6 +1348,7 @@ EXTRA_ORACLES: dict[str, str] = {
 # seeded-deterministic queries that previously had pytest-only gates —
 # see oracles_iterative.py for the float-discipline notes).
 from .oracles_iterative import (  # noqa: E402
+    bottomk_quantiles_sql,
     bpe_merges_sql,
     dedup_embedding_cosine_sql,
     hll_estimate_sql,
@@ -1332,6 +1367,10 @@ EXTRA_ORACLES["approx_distinct_users_per_type"] = hll_estimate_sql(
     p=12, group_key="event_type", out_col="n_approx"
 )
 EXTRA_ORACLES["bpe_merges"] = bpe_merges_sql(n_merges=6)
+EXTRA_ORACLES["approx_quantiles_bottomk"] = bottomk_quantiles_sql(k=2048)
+EXTRA_ORACLES["approx_quantiles_bottomk_per_type"] = bottomk_quantiles_sql(
+    k=512, group_key="event_type"
+)
 # plane literals are ~100 KB of SQL — build lazily (callable) so importing
 # the registry stays cheap
 EXTRA_ORACLES["dedup_embedding_cosine"] = functools.partial(

@@ -572,3 +572,121 @@ def kmv_intersect_by(ds, key: str, column: str, key_a, key_b, k: int = 1024,
             "est_intersection": [KMV.intersect_estimate(acc["a"], acc["b"])],
         }
     )
+
+
+def _md5_u64(ids: np.ndarray) -> np.ndarray:
+    """md5(str(int(v))) top-8-bytes big-endian — bit-identical to DuckDB's
+    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16))::UBIGINT (the HLL md5
+    bridge). Per-item Python, so callers keep it off the hot path (bounded
+    inputs / sample selection only)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[:8], "big")
+            for v in ids
+        ),
+        np.uint64,
+        count=len(ids),
+    )
+
+
+def _bottomk_partial(hv: np.ndarray, vals: np.ndarray, k: int):
+    """k smallest (hash, value) pairs of one batch — np.argpartition, O(n)."""
+    if len(hv) > k:
+        sel = np.argpartition(hv, k - 1)[:k]
+        return hv[sel], vals[sel]
+    return hv, vals
+
+
+def _sample_quantiles(vals: np.ndarray, qs) -> np.ndarray:
+    """Deterministic discrete quantile over a sample: sorted values, index
+    ceil(q·n) - 1 (clamped) — expressed in SQL as
+    row_number() OVER (ORDER BY value) == GREATEST(1, CEIL(q * n)). The
+    selected value is raw data (no arithmetic), so engine and oracle agree
+    bit-for-bit."""
+    v = np.sort(vals)
+    n = len(v)
+    idx = np.maximum(np.ceil(np.asarray(qs, np.float64) * n), 1).astype(np.int64) - 1
+    return v[np.minimum(idx, n - 1)]
+
+
+def bottomk_quantiles(ds, column: str, id_col: str,
+                      qs: tuple = (0.5, 0.9, 0.99), k: int = 2048):
+    """Approximate quantiles via a DETERMINISTIC bottom-k hash sample:
+    keep the k rows whose md5(id) hashes are globally smallest — a uniform,
+    order- and partitioning-independent sample (unlike the KLL sketch,
+    whose state depends on batch boundaries), so the ESTIMATE itself is
+    SQL-attestable. Rank error is O(1/sqrt(k)) with high probability.
+
+    Scale shape: per-batch O(batch) partial top-k, driver merge holds ≤
+    k·n_blocks pairs (bounded re-partial applied), no value shuffle."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        hv, vv = _bottomk_partial(_md5_u64(ids), vals, k)
+        return pa.table({"hv": pa.array(hv, pa.uint64()),
+                         "value": pa.array(vv, pa.float64())})
+
+    hvs, vvs = [], []
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        hvs.append(t["hv"].to_numpy(zero_copy_only=False))
+        vvs.append(t["value"].to_numpy(zero_copy_only=False))
+        if sum(len(a) for a in hvs) > 64 * k:  # bound driver memory
+            hv, vv = _bottomk_partial(np.concatenate(hvs), np.concatenate(vvs), k)
+            hvs, vvs = [hv], [vv]
+    hv, vv = _bottomk_partial(np.concatenate(hvs), np.concatenate(vvs), k)
+    est = _sample_quantiles(vv, qs)
+    return pd.DataFrame({"q": np.asarray(qs, np.float64), "value_approx": est})
+
+
+def bottomk_quantiles_by(ds, key: str, column: str, id_col: str,
+                         qs: tuple = (0.5, 0.9, 0.99), k: int = 512):
+    """Grouped bottom-k sample quantiles: per-batch per-key partial bottom-k,
+    merged DISTRIBUTEDLY via groupby(key) — the shuffle moves ≤ k
+    (hash, value) pairs per key per batch, never full groups."""
+    import pyarrow as pa
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ks, hs, vs = [], [], []
+        for kk, grp in df.groupby(key, sort=False):
+            ids = grp[id_col].to_numpy().astype(np.int64)
+            hv, vv = _bottomk_partial(
+                _md5_u64(ids), grp[column].to_numpy().astype(np.float64), k
+            )
+            ks.extend([kk] * len(hv))
+            hs.append(hv)
+            vs.append(vv)
+        return pa.table(
+            {
+                key: pa.array(ks),
+                "hv": pa.array(np.concatenate(hs) if hs else
+                               np.empty(0, np.uint64), pa.uint64()),
+                "value": pa.array(np.concatenate(vs) if vs else
+                                  np.empty(0, np.float64), pa.float64()),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        hv, vv = _bottomk_partial(
+            g["hv"].to_numpy().astype(np.uint64),
+            g["value"].to_numpy().astype(np.float64), k
+        )
+        est = _sample_quantiles(vv, qs)
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]] * len(qs),
+                "q": np.asarray(qs, np.float64),
+                "value_approx": est,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(key)
+        .map_groups(merge_group, batch_format="pandas")
+    )

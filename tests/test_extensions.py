@@ -158,6 +158,47 @@ def test_approx_quantiles_pipeline(ray_session):
         assert abs(rank - q) < 0.05, (q, rank)
 
 
+def test_bottomk_quantiles_accuracy(ray_session):
+    """Bottom-k md5 sample quantiles (the SQL-attestable alternative to the
+    KLL sketch): rank error vs exact < 5% globally and per group, and the
+    global result is invariant to input partitioning (the property the
+    oracle relies on)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ptt_spider_go_ray.registry import EXTRA_QUERIES
+    from ptt_spider_go_ray.stages.sketch import bottomk_quantiles
+
+    got = EXTRA_QUERIES["approx_quantiles_bottomk"](SF)
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    srt = np.sort(vals)
+    for q, est in zip(got["q"], got["value_approx"]):
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.05, (q, rank)
+
+    # partitioning invariance: 1 block vs 16 blocks → identical estimates
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    one = bottomk_quantiles(ray.data.from_arrow(t), "value", "event_id")
+    bs = max(1, t.num_rows // 16)
+    many = bottomk_quantiles(
+        ray.data.from_arrow([t.slice(i, bs) for i in range(0, t.num_rows, bs)]),
+        "value", "event_id",
+    )
+    assert one["value_approx"].tolist() == many["value_approx"].tolist()
+
+    grouped = EXTRA_QUERIES["approx_quantiles_bottomk_per_type"](SF).to_pandas()
+    df = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas()
+    assert set(grouped["event_type"]) == set(df["event_type"])
+    for _, row in grouped.iterrows():
+        gv = np.sort(df.loc[df["event_type"] == row["event_type"], "value"].to_numpy())
+        rank = np.searchsorted(gv, row["value_approx"]) / len(gv)
+        assert abs(rank - row["q"]) < 0.07, (row["event_type"], row["q"], rank)
+
+
 def test_format_bytes_reference_parity():
     from ptt_spider_go_ray.functions.text import format_bytes
 

@@ -161,6 +161,30 @@ def test_tpch_q3_native_join_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_corpus_build_v3_anti_join_path(ray_session, monkeypatch):
+    """Force the dup-id set over the broadcast threshold so the bucketed
+    ANTI-join scale path runs; result must still match the oracle exactly
+    (the survivor set is identical — only the filter's distribution moves)."""
+    import ptt_spider_go_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_CB3_BCAST_MAX", -1)
+    got = canon(to_pandas(Q.q_corpus_build_v3(SF)))
+    want = canon(duck_result(Q.SQL_CORPUS_BUILD_V3))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_decontaminate_bucketed_semi_join_path(ray_session, monkeypatch):
+    """Force the held-out shingle set over the broadcast threshold so the
+    bucketed semi-join scale path runs; per-doc hit counts must still match
+    the oracle exactly."""
+    import ptt_spider_go_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_DECON_BCAST_MAX_DOCS", -1)
+    got = canon(to_pandas(Q.q_decontaminate(SF)))
+    want = canon(duck_result(Q.SQL_DECONTAMINATE))
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_tpch_q5_native_join_path(ray_session):
     """Force the customer side over the broadcast threshold so the native
     hash join fallback runs; result must still match the oracle."""
