@@ -52,6 +52,28 @@ def _arrow_out(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _tok_arrow(texts) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized ``[a-z]+`` tokenization in pure Arrow kernels: lowercase
+    → split on the complement class → drop the empty edge tokens the split
+    leaves behind. Returns (parent_row int64, token str) — element-for-
+    element identical to pandas ``str.lower().str.findall('[a-z]+')``
+    exploded (pinned by the oracle suite), but zero-copy from the block,
+    no pandas conversion of the text column, and RE2-class C++ regex —
+    the scan cost that actually scales with data at 100 TB."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(texts.fill_null("")), "[^a-z]+"
+    )
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    return (
+        parent.filter(mask).to_numpy().astype(np.int64),
+        flat.filter(mask),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: push-threshold filter (P2, crawler/crawler.go:413-421)
 # ---------------------------------------------------------------------------
@@ -10413,53 +10435,63 @@ FROM m
 
 def q_rare_token_docs(sf_dir: str):
     import ray
-    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata — no scan
 
-    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
-        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
-        lens = toks.str.len().to_numpy(np.int64)
-        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-        terms = (
-            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
+    def distinct_pairs(t: pa.Table):
+        parent, toks = _tok_arrow(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        return (
+            pd.DataFrame({"token": np.asarray(toks.to_pylist(), object),
+                          "doc_id": ids})
+            .drop_duplicates()
         )
-        pairs = pd.DataFrame({"token": terms, "doc_id": ids}).drop_duplicates()
-        return _arrow_out(pairs.astype({"doc_id": "int64"}))
 
-    pairs = ds.map_batches(
-        distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
-    ).materialize()  # two consumers below; pairs « raw text
+    def df_partial(t: pa.Table) -> pa.Table:
+        # a doc's text lives in one row, so per-batch distinct (doc, token)
+        # → per-token counts are exact partials; the driver merge is
+        # Heaps'-law-bounded vocabulary, not rows — no Ray hash aggregate
+        cnt = distinct_pairs(t).groupby("token", sort=False).size()
+        return pa.table(
+            {
+                "token": pa.array(cnt.index.to_numpy(object), pa.string()),
+                "df": pa.array(cnt.to_numpy(np.int64)),
+            }
+        )
 
-    dfreq = pairs.groupby("token").aggregate(Count(alias_name="df"))
-    rare = {
-        r["token"]
-        for r in dfreq.map_batches(
-            lambda t: t.filter(pc.less(pc.multiply(t["df"], pa.scalar(4)),
-                                       pa.scalar(n_docs))),
-            batch_format="pyarrow",
-        ).take_all()
-    }
-    rare_ref = ray.put(frozenset(rare))
+    parts = pa.concat_tables(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=_COMBINE_BATCH)
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    dfreq = parts.to_pandas().groupby("token", as_index=False)["df"].sum()
+    rare = np.sort(
+        dfreq.loc[4 * dfreq["df"] < n_docs, "token"].to_numpy(object)
+    )
+    rare_ref = ray.put(rare)
 
     def count_rare(t: pa.Table) -> pa.Table:
+        # per-doc counts are FINAL per batch (doc rows don't straddle
+        # batches) — no downstream groupby
         rs = ray.get(rare_ref)
-        toks = t["token"].to_pylist()
-        keep = np.fromiter((x in rs for x in toks), bool, len(toks))
-        df = pd.DataFrame(
-            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
-             "n_rare": 1}
-        ).groupby("doc_id", as_index=False).sum()
-        return _arrow_out(df.astype({"n_rare": "int64"}))
-
-    return (
-        pairs.map_batches(
-            count_rare, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        pairs = distinct_pairs(t)
+        keep = np.isin(pairs["token"].to_numpy(object), rs)
+        out = (
+            pd.DataFrame({"doc_id": pairs["doc_id"].to_numpy()[keep]})
+            .groupby("doc_id", as_index=False)
+            .size()
         )
-        .groupby("doc_id")
-        .aggregate(Sum("n_rare", alias_name="n_rare"))
-    )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "n_rare": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(count_rare, batch_format="pyarrow",
+                          batch_size=_TEXT_BATCH)
 
 
 SQL_RARE_TOKEN_DOCS = """
@@ -10559,32 +10591,37 @@ FROM r WHERE rk = (n - 1) // 2 + 1
 
 def q_keyword_per_doc(sf_dir: str):
     import ray
-    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = ds.count()
+    n_docs = ds.count()  # parquet metadata — no scan
 
-    def explode(df: pd.DataFrame):
-        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
-        lens = toks.str.len().to_numpy(np.int64)
-        ids = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
-        terms = (
-            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
-        )
-        return ids, terms
+    def explode(t: pa.Table):
+        parent, toks = _tok_arrow(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        return ids, np.asarray(toks.to_pylist(), dtype=object)
 
-    def distinct_pairs(df: pd.DataFrame) -> pa.Table:
-        ids, terms = explode(df)
+    def df_partial(t: pa.Table) -> pa.Table:
+        # each doc's text lives in one row → per-batch DISTINCT (doc, token)
+        # then per-token counts are exact partials; driver merge is bounded
+        # by the Heaps'-law vocabulary, not by rows (no Ray hash aggregate)
+        ids, terms = explode(t)
         pairs = pd.DataFrame({"token": terms, "doc_id": ids}).drop_duplicates()
-        return _arrow_out(pairs.astype({"doc_id": "int64"}))
-
-    dfreq = (
-        ds.map_batches(
-            distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
+        cnt = pairs.groupby("token", sort=False).size()
+        return pa.table(
+            {
+                "token": pa.array(cnt.index.to_numpy(object), pa.string()),
+                "df": pa.array(cnt.to_numpy(np.int64)),
+            }
         )
-        .groupby("token")
-        .aggregate(Count(alias_name="df"))
-        .to_pandas()
+
+    parts = pa.concat_tables(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=_COMBINE_BATCH)
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    dfreq = (
+        parts.to_pandas().groupby("token", as_index=False)["df"].sum()
         .sort_values("token")
     )
     vocab = dfreq["token"].to_numpy(object)
@@ -10593,9 +10630,9 @@ def q_keyword_per_doc(sf_dir: str):
     )
     vmap_ref = ray.put((vocab, idf))
 
-    def best_term(df: pd.DataFrame) -> pa.Table:
+    def best_term(t_in: pa.Table) -> pa.Table:
         vocab_, idf_ = ray.get(vmap_ref)
-        ids, terms = explode(df)
+        ids, terms = explode(t_in)
         if not len(ids):
             return pa.table(
                 {
@@ -10631,7 +10668,8 @@ def q_keyword_per_doc(sf_dir: str):
             }
         )
 
-    return ds.map_batches(best_term, batch_format="pandas")
+    return ds.map_batches(best_term, batch_format="pyarrow",
+                          batch_size=_TEXT_BATCH)
 
 
 SQL_KEYWORD_PER_DOC = """
@@ -10918,33 +10956,48 @@ _CB2_CHUNK = 256
 
 
 def q_corpus_build_v2(sf_dir: str):
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
-    # pass 0: exact p5/p95 length band (value-frequency native groupby —
-    # bounded by distinct LENGTHS — one driver cumsum; length_filter rule)
+    # pass 0: exact p5/p95 length band — per-batch value-frequency partials
+    # merged on the driver (bounded by distinct LENGTHS, the length_filter
+    # rule); cheaper than a Ray hash aggregate and reads n_chars only
+    lens_ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"n_chars": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
     freq = (
-        ds.groupby("n_chars").aggregate(Count(alias_name="c")).to_pandas()
-    ).sort_values("n_chars")
+        pa.concat_tables(
+            lens_ds.map_batches(len_partial, batch_format="pyarrow",
+                                batch_size=_COMBINE_BATCH)
+            .iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .to_pandas()
+        .groupby("n_chars", as_index=False)["c"].sum()
+        .sort_values("n_chars")
+    )
     vals = freq["n_chars"].to_numpy()
     cum = np.cumsum(freq["c"].to_numpy())
     n = int(cum[-1])
     lo = int(vals[np.searchsorted(cum, (n * 5 + 99) // 100, side="left")])
     hi = int(vals[np.searchsorted(cum, (n * 95 + 99) // 100, side="left")])
 
-    blocked = frozenset(_BLOCKLIST)
+    _BLOCK_ARR = np.sort(np.array(sorted(_BLOCKLIST), dtype=object))
     ws = _re_mod.compile(r"\s+")
 
     def scan(df: pd.DataFrame) -> pa.Table:
         keep_len = (df["n_chars"] >= lo) & (df["n_chars"] <= hi)
-        df = df[keep_len]
-        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
-        lens = toks.str.len().to_numpy(np.int64)
-        pos = np.repeat(np.arange(len(df)), lens)
-        terms = (
-            np.concatenate(toks.to_numpy()) if lens.sum() else np.array([], object)
-        )
-        hit = pd.Series(terms).isin(blocked).to_numpy()
+        df = df[keep_len].reset_index(drop=True)
+        pos, toks = _tok_arrow(pa.array(df["text"], pa.string()))
+        lens = np.bincount(pos, minlength=len(df)).astype(np.int64)
+        terms = np.asarray(toks.to_pylist(), dtype=object)
+        hit = np.isin(terms, _BLOCK_ARR)
         hits = np.bincount(pos[hit], minlength=len(df))
         df = df[hits == 0]
         lens = lens[hits == 0]
@@ -15679,7 +15732,12 @@ def q_perplexity_buckets(sf_dir: str):
             }
         )
 
-    scored = ds.map_batches(score, batch_format="pandas", batch_size=_TEXT_BATCH)
+    # two consumers (band counts, per-cell bucketize) — materialize the
+    # tiny scored rows (5 scalars/doc) once instead of re-running the
+    # text-scan score pass per consumer
+    scored = ds.map_batches(
+        score, batch_format="pandas", batch_size=_TEXT_BATCH
+    ).materialize()
 
     def band_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["lang", "band"], as_index=False).size()
