@@ -324,7 +324,8 @@ def kmeans_assign(sf_dir: str, k: int = 16, iters: int = 5):
     return _embeddings(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
-def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
+def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92,
+             max_cluster: int | None = None):
     """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
     arXiv:2303.09540 — public method): k-means the embedding space, then
     inside each cluster drop every vector whose cosine to an already-kept
@@ -334,9 +335,21 @@ def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
     Scale shape: the O(n²) cosine stage is confined to one CLUSTER
     (~n/k rows) inside a per-cluster task after a hash groupby — the
     all-pairs matrix never spans the table, and assignment itself is one
-    broadcast-centroid matmul per batch. Partitioning assumption: a
-    cluster fits a worker; grow k with corpus size (k ≈ n / 10⁵ at
-    100 TB) or recurse a second k-means level inside oversized clusters.
+    broadcast-centroid matmul per batch.
+
+    Hot-cluster escape hatch (``max_cluster``): a pathological cluster —
+    all near-identical docs, exactly what dedup inputs look like — would
+    otherwise serialize in one group task. With ``max_cluster=N`` set,
+    clusters over N rows split by a secondary vec_id hash into parallel
+    sub-cells, each locally greedy-pruned, and the sub-cell SURVIVORS get a
+    per-cluster boundary re-check pass (global greedy over survivors only
+    — dup-heavy clusters shrink massively in phase one, so the re-check is
+    small). The output is always a maximal independent set of the
+    threshold graph with exact-duplicate groups keeping their lowest
+    vec_id; it can differ from pure sequential greedy only for chains of
+    borderline-distinct vectors, which is why the SQL-oracled default
+    keeps ``max_cluster=None`` (exact greedy) and the salted path is
+    pinned by the planted-hot-cluster pytest instead.
 
     Returns Dataset[(vec_id, cluster)] of SURVIVORS."""
     import ray
@@ -360,7 +373,8 @@ def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
         assign_keep_vec, batch_format="pyarrow"
     )
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
+    def greedy_keep(g: pd.DataFrame) -> pd.DataFrame:
+        """Sequential greedy in vec_id order; returns the kept ROWS."""
         g = g.sort_values("vec_id").reset_index(drop=True)
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -371,7 +385,10 @@ def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
         for i in range(len(g)):
             if not kept or not np.any(cos[i, kept] >= threshold):
                 kept.append(i)
-        out = g.iloc[kept]
+        return g.iloc[kept]
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        out = greedy_keep(g)
         return pd.DataFrame(
             {
                 "vec_id": out["vec_id"].astype("int64").to_numpy(),
@@ -379,8 +396,67 @@ def semdedup(sf_dir: str, k: int = 16, iters: int = 3, threshold: float = 0.92):
             }
         )
 
+    if max_cluster is None:
+        return (
+            assigned.groupby("cluster")
+            .map_groups(prune, batch_format="pandas")
+            .select_columns(["vec_id", "cluster"])
+        )
+
+    # salted path: cluster sizes from per-batch partials (k rows — value-
+    # domain bound), oversized clusters fan out over hash(vec_id) sub-cells
+    import pyarrow as pa_
+
+    size_parts = assigned.map_batches(
+        lambda t: pa_.table(
+            {
+                "cluster": pa_.array(
+                    np.unique(t["cluster"].to_numpy(zero_copy_only=False))
+                ),
+                "n": pa_.array(
+                    np.unique(
+                        t["cluster"].to_numpy(zero_copy_only=False),
+                        return_counts=True,
+                    )[1].astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sizes = (
+        pa_.concat_tables(
+            size_parts.iter_batches(batch_size=None, batch_format="pyarrow"),
+            promote_options="default",
+        )
+        .to_pandas()
+        .groupby("cluster")["n"].sum()
+    )
+    fan = {
+        int(c): int(-(-n // max_cluster)) for c, n in sizes.items() if n > max_cluster
+    }
+    fan_ref = ray.put(fan)
+
+    def salt(t: pa_.Table) -> pa_.Table:
+        f = ray.get(fan_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        sub = np.zeros(len(cl), np.int64)
+        if f:
+            vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fans = np.array([f.get(int(c), 1) for c in cl], np.int64)
+            sub = (pd.util.hash_array(vid) % fans).astype(np.int64)
+        return t.append_column("sub", pa_.array(sub))
+
+    local = (
+        assigned.map_batches(salt, batch_format="pyarrow")
+        .groupby(["cluster", "sub"])
+        .map_groups(
+            lambda g: greedy_keep(g)[["vec_id", "cluster", "embedding"]],
+            batch_format="pandas",
+        )
+    )
+    # boundary re-check: global greedy per cluster over phase-one survivors
     return (
-        assigned.groupby("cluster")
+        local.groupby("cluster")
         .map_groups(prune, batch_format="pandas")
         .select_columns(["vec_id", "cluster"])
     )

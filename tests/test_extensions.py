@@ -942,6 +942,62 @@ def test_semdedup_survivors_match_global_greedy(ray_session, dup_docs_dir):
     assert got["vec_id"].is_unique
 
 
+def test_semdedup_hot_cluster_salted_path(ray_session, tmp_path_factory):
+    """Planted pathological cluster — 90% of vectors are exact copies from
+    3 duplicate groups, so k-means funnels them into ONE cluster — with
+    max_cluster forcing the salted split + boundary-re-check path: each
+    planted group must keep exactly its lowest vec_id, singletons must all
+    survive, and the result must equal the exact (unsalted) path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ptt_spider_go_ray.pipelines.similarity import semdedup
+
+    d = tmp_path_factory.mktemp("hotcluster")
+    rng = np.random.default_rng(11)
+    dim = 64
+    # group bases share an L2 ball (one k-means cluster) but differ ~8°
+    # in angle (inter-group cos ≈ 0.99 < the 0.999 threshold); copies are
+    # bit-exact so intra-group cos == 1.0
+    groups = [10.0 + rng.standard_normal(dim) for _ in range(3)]
+    vecs, ids = [], []
+    vid = 0
+    for base in groups:  # 270 exact copies per group
+        for _ in range(90 * 3):
+            vecs.append(base)
+            ids.append(vid)
+            vid += 1
+    for _ in range(90):  # 10% singletons: iid directions, pairwise cos ≪ 1
+        vecs.append(rng.standard_normal(dim) * 20.0)
+        ids.append(vid)
+        vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    exact = semdedup(str(d), k=4, iters=2, threshold=0.999).to_pandas()
+    salted = semdedup(
+        str(d), k=4, iters=2, threshold=0.999, max_cluster=50
+    ).to_pandas()
+
+    # exact-duplicate groups keep their lowest vec_id on BOTH paths
+    want_group_survivors = {0, 270, 540}
+    for got in (exact, salted):
+        s = set(got["vec_id"].astype(int))
+        assert want_group_survivors <= s
+        assert len(s & set(range(810))) == 3  # one survivor per planted group
+        assert set(range(810, 900)) <= s  # singletons all survive
+    assert set(salted["vec_id"]) == set(exact["vec_id"])
+
+
 def test_semdedup_threshold_above_one_keeps_everything(ray_session, dup_docs_dir):
     import pyarrow.parquet as pq
 
