@@ -39,6 +39,16 @@ SCALING_LATENCY_S = 0.60
 SCALING_BATCH = 6
 
 
+def load_1m() -> float:
+    """1-minute load average — recorded next to every bench row so a
+    contended measurement self-labels (the round-4 16v64 scaling spread
+    0.625-0.860 was host contention, visible only in prose before)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
 def warm_up(num_cpus: int) -> None:
     """Force worker-process spawn before timing starts (cluster warm-up; a
     long-lived cluster has warm workers, so excluding spawn from the timed
@@ -205,6 +215,7 @@ def main() -> None:
             "speedup": round(results["pooled"]["pages_per_sec"]
                              / results["no_keepalive"]["pages_per_sec"], 2),
             "num_cpus": args.cpus,
+            "load_1m": load_1m(),
         }))
         ray.shutdown()
         return
@@ -244,10 +255,14 @@ def main() -> None:
             "pages_per_sec": {str(lo): r_lo, str(hi): r_hi},
             "verified": [results[lo]["crawl"].get("verified"),
                          results[hi]["crawl"].get("verified")],
+            "load_1m": {str(lo): results[lo].get("load_1m"),
+                        str(hi): results[hi].get("load_1m"),
+                        "now": load_1m()},
             "sf": SF_DIR,
         }))
         return
 
+    load_start = load_1m()
     init_ray(args.cpus)
     import ray
 
@@ -286,6 +301,7 @@ def main() -> None:
         "queries": queries_summary,
         "sf": SF_DIR,
         "num_cpus": args.cpus,
+        "load_1m": {"start": load_start, "end": load_1m()},
         "crawl": crawl,
     }))
     ray.shutdown()
