@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default="", help="checkpoint dir (enables resume)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--mock", action="store_true", help="use the synthetic site")
+    ap.add_argument("--relaxed", action="store_true",
+                    help="pipeline crawl rounds two-deep (relaxed dispatch "
+                         "ordering, same outputs; see run_crawl docstring)")
     ap.add_argument("--no-media", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=8)
     ap.add_argument("--log", default="auto", choices=["auto", "plain", "styled", "noop"],
@@ -152,6 +155,7 @@ def main(argv=None) -> int:
         # honor Retry-After for real
         deterministic=args.mock,
         progress=print_progress,
+        relaxed_ordering=args.relaxed,
     )
     if live is not None:
         live.finish()

@@ -275,6 +275,7 @@ def run_crawl(
     fetch_via: str = "tasks",
     retain_ledger: bool | None = None,
     progress=None,
+    relaxed_ordering: bool = False,
 ) -> CrawlResult:
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
@@ -307,6 +308,14 @@ def run_crawl(
     1,000 pages) — keep it for environments where fetch state must NOT be
     shared across concurrent crawls in one process (the task cache is
     per-worker-global, keyed by transport factory).
+
+    ``relaxed_ordering``: pipeline rounds two-deep — round N+1's take/fetch
+    overlaps round N's parse/offer (the reference's own ordering is racy
+    per-kind FIFO, so this is faithful). Discoveries dispatch one round
+    later than strict mode; the seen-set, no-refetch, and output-content
+    invariants are identical, and checkpoints land only at quiescent
+    points so kill/resume stays exact. Strict (default) keeps the
+    ledger-equality contract for the ordering oracle.
 
     Resume contract: pass the SAME mode arguments (board/file_lines,
     push_threshold, fetch_media, transport) as the original run — the
@@ -415,30 +424,22 @@ def run_crawl(
     # _process_block); num_cpus=1: it runs after the round's fetch/parse
     # stages have drained, so there is no pool to starve
     process_block = ray.remote(num_cpus=1)(_process_block)
-    setup_seconds = _time.time() - t_setup
-    t_loop = _time.time()
 
-    while True:
-        if max_rounds is not None and rounds_this_run >= max_rounds:
-            finished = False
-            break
-        tbl = _take_global(shards, cc.batch_urls, n_shards)
-        if tbl.num_rows == 0:
-            # Empty take ≠ empty frontier: politeness may have deferred every
-            # queued row. Terminate only when the shards are truly drained.
-            if sum(ray.get([s.size.remote() for s in shards])) == 0:
-                break
-            _time.sleep(0.05)  # wait for token refill
-            continue
-        round_ledger = list(
-            zip(tbl["priority"].to_pylist(), tbl["seq"].to_pylist(),
-                tbl["url"].to_pylist())
-        )
-        ledger_delta.extend(round_ledger)
-        dispatched += tbl.num_rows
-        if retain:
-            ledger.extend(round_ledger)
+    import functools
 
+    from ray import cloudpickle
+
+    # cloudpickle, NOT stdlib pickle: a factory defined in a script's
+    # __main__ (the CLI's mock_transport) must serialize BY VALUE —
+    # stdlib pickle ships a dangling __main__ reference that fails to
+    # resolve inside Ray workers
+    factory_bytes = cloudpickle.dumps(transport_factory)
+
+    def _exec_round(tbl: pa.Table, round_epoch: int) -> list[dict]:
+        """Fetch → parse → worker-side split/write → buffered offers →
+        commit barrier for ONE dispatched round. Pure function of (tbl,
+        round_epoch) plus the shared actors, so relaxed mode can run two
+        rounds concurrently from driver threads."""
         # one block per fetch batch: from_arrow(single table) would give ONE
         # block = one task = a serial round; zero-copy slices parallelize it
         bs = max(1, cc.fetch_batch_size)
@@ -449,15 +450,6 @@ def run_crawl(
             # transport cache) instead of spinning an actor pool per round.
             # Robots gating already happened at offer time (driver cache), so
             # both fetch paths honor cc.robots.
-            import functools
-
-            from ray import cloudpickle
-
-            # cloudpickle, NOT stdlib pickle: a factory defined in a script's
-            # __main__ (the CLI's mock_transport) must serialize BY VALUE —
-            # stdlib pickle ships a dangling __main__ reference that fails to
-            # resolve inside Ray workers
-            factory_bytes = cloudpickle.dumps(transport_factory)
             fetched = ds.map_batches(
                 functools.partial(fetch_batch_task, factory_bytes=factory_bytes,
                                   deterministic=deterministic),
@@ -502,12 +494,13 @@ def run_crawl(
 
             for _name in ("docs", "media"):
                 _shutil.rmtree(
-                    os.path.join(out_dir, _name, f"round={epoch}"), ignore_errors=True
+                    os.path.join(out_dir, _name, f"round={round_epoch}"),
+                    ignore_errors=True,
                 )
         outs = ray.get(
             [
                 process_block.remote(
-                    ref, out_dir, epoch, i,
+                    ref, out_dir, round_epoch, i,
                     shards=shards, n_shards=n_shards, max_depth=cc.max_depth,
                 )
                 for i, ref in enumerate(refs)
@@ -518,7 +511,26 @@ def run_crawl(
         # (priority, seq) order. One tiny RPC per shard; the driver never
         # touches a candidate row.
         ray.get([s.commit_offers.remote() for s in shards])
+        return outs
 
+    setup_seconds = _time.time() - t_setup
+    t_loop = _time.time()
+
+    def _dispatch_bookkeeping(tbl: pa.Table) -> None:
+        nonlocal dispatched
+        round_ledger = list(
+            zip(tbl["priority"].to_pylist(), tbl["seq"].to_pylist(),
+                tbl["url"].to_pylist())
+        )
+        ledger_delta.extend(round_ledger)
+        dispatched += tbl.num_rows
+        if retain:
+            ledger.extend(round_ledger)
+
+    def _harvest(outs: list[dict], tbl: pa.Table, round_no: int) -> None:
+        """Fold one finished round's outputs into the run accumulators
+        (driver thread only — never called concurrently)."""
+        nonlocal fetch_errors
         fetch_errors += sum(o["n_err"] for o in outs)
         for o in outs:
             for k, v in o["err_by_kind"].items():
@@ -539,21 +551,13 @@ def run_crawl(
                 ])
         docs_tables.extend(o["doc"] for o in outs if o["doc"] is not None)
         media_tables.extend(o["media"] for o in outs if o["media"] is not None)
-
-        epoch += 1
-        rounds_this_run += 1
-        if ckpt_dir and epoch % max(1, cc.checkpoint_every) == 0:
-            _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
-            ledger_delta.clear()
-        elif not ckpt_dir:
-            ledger_delta.clear()
         if progress is not None:
             sm = ray.get([s.get_metrics.remote() for s in shards])
             sizes = ray.get([s.size.remote() for s in shards])
             offered = sum(m["offered"] for m in sm)
             progress(
                 {
-                    "round": epoch,
+                    "round": round_no,
                     "dispatched": tbl.num_rows,
                     # per-kind dispatch counts (index/article/media) feed the
                     # live progress bars (ui/live.go pageBar/downloadBar)
@@ -586,6 +590,83 @@ def run_crawl(
                     ],
                 }
             )
+
+    if relaxed_ordering:
+        # PIPELINED rounds (opt-in; faithful to the reference's racy
+        # per-kind FIFO): round N+1's take/fetch overlaps round N's
+        # parse/offer — a round's discoveries dispatch one round later than
+        # strict mode, but the seen-set / no-refetch / output invariants are
+        # unchanged (dedup happens at offer, dispatch pops rows exactly
+        # once). Strict mode stays the default: the ledger-equality oracle
+        # is defined only for the sequential schedule.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        every = max(1, cc.checkpoint_every)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            inflight: deque = deque()  # (future, tbl, round_no)
+
+            def _drain_one() -> None:
+                fut, f_tbl, rno = inflight.popleft()
+                _harvest(fut.result(), f_tbl, rno)
+
+            while True:
+                if max_rounds is not None and rounds_this_run >= max_rounds:
+                    finished = False
+                    break
+                tbl = _take_global(shards, cc.batch_urls, n_shards)
+                if tbl.num_rows == 0:
+                    if inflight:
+                        # an in-flight round's offers may refill the frontier
+                        _drain_one()
+                        continue
+                    if sum(ray.get([s.size.remote() for s in shards])) == 0:
+                        break
+                    _time.sleep(0.05)  # wait for token refill
+                    continue
+                _dispatch_bookkeeping(tbl)
+                inflight.append((ex.submit(_exec_round, tbl, epoch), tbl, epoch + 1))
+                epoch += 1
+                rounds_this_run += 1
+                while len(inflight) >= 2:  # pipeline depth 2
+                    _drain_one()
+                if ckpt_dir and epoch % every == 0:
+                    # checkpoints only at QUIESCENT points: the snapshot must
+                    # reflect every committed offer of every written round,
+                    # or a resume would lose in-flight rows
+                    while inflight:
+                        _drain_one()
+                    _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
+                    ledger_delta.clear()
+                elif not ckpt_dir:
+                    ledger_delta.clear()
+            while inflight:
+                _drain_one()
+    else:
+      while True:
+        if max_rounds is not None and rounds_this_run >= max_rounds:
+            finished = False
+            break
+        tbl = _take_global(shards, cc.batch_urls, n_shards)
+        if tbl.num_rows == 0:
+            # Empty take ≠ empty frontier: politeness may have deferred every
+            # queued row. Terminate only when the shards are truly drained.
+            if sum(ray.get([s.size.remote() for s in shards])) == 0:
+                break
+            _time.sleep(0.05)  # wait for token refill
+            continue
+        _dispatch_bookkeeping(tbl)
+
+        outs = _exec_round(tbl, epoch)
+
+        epoch += 1
+        rounds_this_run += 1
+        if ckpt_dir and epoch % max(1, cc.checkpoint_every) == 0:
+            _checkpoint(shards, ckpt_dir, epoch, ledger_delta)
+            ledger_delta.clear()
+        elif not ckpt_dir:
+            ledger_delta.clear()
+        _harvest(outs, tbl, epoch)
 
     # final checkpoint: flush any rounds accumulated since the last interval
     # so a FINISHED (or max_rounds-bounded) run is fully durable

@@ -565,3 +565,68 @@ def test_task_fetch_ships_local_factory_by_value(ray_session):
     )
     assert res.finished and res.dispatched > 0
     assert res.metrics["fetch_errors"] == 0
+
+
+def test_relaxed_ordering_same_outputs(ray_session):
+    """Pipelined (relaxed_ordering=True) crawl: dispatch ORDER may differ
+    from the strict schedule, but the URL set (each dispatched exactly
+    once), the final seen-set, and every doc's content/span sequence must
+    equal the oracle's."""
+    factory = functools.partial(make_transport, SPEC)
+    res = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10, relaxed_ordering=True,
+    )
+    want = oracle_crawl(
+        SyntheticSite(SPEC), "Beauty", 3, push_threshold=10, batch_urls=16
+    )
+    assert res.seen_set == want["seen"]
+    assert res.metrics["cuckoo_false_positives"] == 0
+    urls = [u for _, _, u in res.ledger]
+    assert len(urls) == len(set(urls))  # no URL fetched twice
+    assert sorted(urls) == sorted(u for _, _, u in want["ledger"])
+    got = {r["doc_id"]: r for r in res.docs.to_pylist()}
+    assert set(got) == set(want["docs"])
+    for doc_id, w in want["docs"].items():
+        g = got[doc_id]
+        media = [s["media_ref"] for s in g["spans"] if s["kind"] == "media"]
+        assert media == w["media_refs"], doc_id
+        assert g["title"] == w["title"]
+        assert g["push_rate"] == w["push"]
+        offs = [s["offset"] for s in g["spans"]]
+        assert offs == list(range(len(offs)))
+
+
+def test_relaxed_ordering_kill_resume_exact(ray_session, tmp_path):
+    """Relaxed mode checkpoints only at quiescent points, so a killed
+    pipelined run resumes without refetching or duplicating — same URL set
+    and doc ids as an uninterrupted relaxed run."""
+    import pyarrow as pa
+
+    factory = functools.partial(make_transport, SPEC)
+    ck = str(tmp_path / "ck")
+    full = run_crawl(
+        cfg_small(), transport_factory=factory, board="Beauty", pages=3,
+        push_threshold=10, relaxed_ordering=True,
+    )
+    part = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        max_rounds=2, retain_ledger=True, relaxed_ordering=True,
+    )
+    assert not part.finished
+    rest = run_crawl(
+        cfg_small(checkpoint_dir=ck, checkpoint_every=2),
+        transport_factory=factory, board="Beauty", pages=3, push_threshold=10,
+        resume=True, retain_ledger=True, relaxed_ordering=True,
+    )
+    assert rest.finished
+    urls = [u for _, _, u in rest.ledger]
+    assert len(urls) == len(set(urls))  # resume never refetches
+    assert rest.seen_set == full.seen_set
+    combined = pa.concat_tables(
+        t for t in (part.docs, rest.docs) if t is not None
+    )
+    got_ids = sorted(combined["doc_id"].to_pylist())
+    assert got_ids == sorted(full.docs["doc_id"].to_pylist())
+    assert len(got_ids) == len(set(got_ids))
