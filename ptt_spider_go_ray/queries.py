@@ -4969,19 +4969,29 @@ _DECON_MOD = 37
 
 def _shingles3(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Per-batch (doc_idx, shingle) arrays of DISTINCT word-3-gram shingles
-    per document; vectorized over the batch (one findall + one unique)."""
-    toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
-    lists = [(i, np.asarray(t, dtype=object)) for i, t in zip(df.index, toks) if len(t) >= 3]
-    if not lists:
-        return np.array([], dtype=np.int64), np.array([], dtype=object)
-    flat = np.concatenate([a for _, a in lists])
-    lens = np.fromiter((len(a) for _, a in lists), dtype=np.int64)
-    ends = np.cumsum(lens)
+    per document; tokenization is the pure-Arrow kernel (_tok_arrow — no
+    per-batch pandas conversion of the text column), windowing and dedup
+    stay vectorized numpy/pandas."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=object))
+    if not len(df):
+        return empty
+    parent, toks = _tok_arrow(pa.array(df["text"], pa.string()))
+    lens = np.bincount(parent, minlength=len(df))
+    ok_rows = lens >= 3  # a trigram needs 3 tokens
+    if not ok_rows.any():
+        return empty
+    terms = np.asarray(toks.to_pylist(), dtype=object)
+    keep_tok = ok_rows[parent]
+    flat = terms[keep_tok]
+    lens2 = lens[ok_rows]
+    ends = np.cumsum(lens2)
     mask = np.ones(len(flat) - 2, dtype=bool)
     mask[ends[:-1] - 1] = False  # trigram would straddle two documents
     mask[ends[:-1] - 2] = False
     sh = (flat[:-2][mask] + " ") + (flat[1:-1][mask] + " ") + flat[2:][mask]
-    idx = np.repeat(np.fromiter((i for i, _ in lists), dtype=np.int64), lens - 2)
+    idx = np.repeat(
+        df.index.to_numpy()[np.flatnonzero(ok_rows)].astype(np.int64), lens2 - 2
+    )
     dedup = pd.DataFrame({"i": idx, "s": sh}).drop_duplicates()
     return dedup["i"].to_numpy(dtype=np.int64), dedup["s"].to_numpy()
 
