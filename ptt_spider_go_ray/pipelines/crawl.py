@@ -276,6 +276,7 @@ def run_crawl(
     retain_ledger: bool | None = None,
     progress=None,
     relaxed_ordering: bool = False,
+    pipeline_depth: int = 2,
 ) -> CrawlResult:
     """Run (or resume) a crawl. ``transport_factory`` must be a picklable
     zero-arg callable (ships to fetch actors). ``max_rounds`` bounds the run
@@ -309,13 +310,16 @@ def run_crawl(
     shared across concurrent crawls in one process (the task cache is
     per-worker-global, keyed by transport factory).
 
-    ``relaxed_ordering``: pipeline rounds two-deep — round N+1's take/fetch
-    overlaps round N's parse/offer (the reference's own ordering is racy
-    per-kind FIFO, so this is faithful). Discoveries dispatch one round
-    later than strict mode; the seen-set, no-refetch, and output-content
-    invariants are identical, and checkpoints land only at quiescent
-    points so kill/resume stays exact. Strict (default) keeps the
-    ledger-equality contract for the ordering oracle.
+    ``relaxed_ordering``: pipeline rounds ``pipeline_depth`` deep (default
+    2) — round N+1's take/fetch overlaps round N's parse/offer (the
+    reference's own ordering is racy per-kind FIFO, so this is faithful).
+    Discoveries dispatch up to depth−1 rounds later than strict mode; the
+    seen-set, no-refetch, and output-content invariants are identical, and
+    checkpoints land only at quiescent points so kill/resume stays exact.
+    Strict (default) keeps the ledger-equality contract for the ordering
+    oracle. Depth bounds driver metadata in flight to O(depth × batch);
+    measured on the 82k-URL capstone, depth 2 captures nearly all the win
+    (BASELINE.md) — raise it only when parse/offer wall dominates fetch.
 
     Resume contract: pass the SAME mode arguments (board/file_lines,
     push_threshold, fetch_media, transport) as the original run — the
@@ -603,7 +607,8 @@ def run_crawl(
         from concurrent.futures import ThreadPoolExecutor
 
         every = max(1, cc.checkpoint_every)
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        depth = max(2, int(pipeline_depth))
+        with ThreadPoolExecutor(max_workers=depth) as ex:
             inflight: deque = deque()  # (future, tbl, round_no)
 
             def _drain_one() -> None:
@@ -628,7 +633,7 @@ def run_crawl(
                 inflight.append((ex.submit(_exec_round, tbl, epoch), tbl, epoch + 1))
                 epoch += 1
                 rounds_this_run += 1
-                while len(inflight) >= 2:  # pipeline depth 2
+                while len(inflight) >= depth:
                     _drain_one()
                 if ckpt_dir and epoch % every == 0:
                     # checkpoints only at QUIESCENT points: the snapshot must

@@ -567,15 +567,16 @@ def test_task_fetch_ships_local_factory_by_value(ray_session):
     assert res.metrics["fetch_errors"] == 0
 
 
-def test_relaxed_ordering_same_outputs(ray_session):
+@pytest.mark.parametrize("depth", [2, 3])
+def test_relaxed_ordering_same_outputs(ray_session, depth):
     """Pipelined (relaxed_ordering=True) crawl: dispatch ORDER may differ
     from the strict schedule, but the URL set (each dispatched exactly
     once), the final seen-set, and every doc's content/span sequence must
-    equal the oracle's."""
+    equal the oracle's — at any pipeline depth."""
     factory = functools.partial(make_transport, SPEC)
     res = run_crawl(
         cfg_small(), transport_factory=factory, board="Beauty", pages=3,
-        push_threshold=10, relaxed_ordering=True,
+        push_threshold=10, relaxed_ordering=True, pipeline_depth=depth,
     )
     want = oracle_crawl(
         SyntheticSite(SPEC), "Beauty", 3, push_threshold=10, batch_urls=16
