@@ -17139,10 +17139,392 @@ ORDER BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Q: cross-document LINE dedup (CCNet / RefinedWeb line-wise dedup): a line
+# that appears in >= 3 DISTINCT documents is boilerplate (nav bars, footers,
+# license headers) and is dropped from every document that carries it.
+# Distinct from q_paragraph_dedup, which counts paragraph OCCURRENCES —
+# here the signal is document frequency, and the output is the removal
+# ledger a corpus-cleaning pass would apply (kept_chars = post-dedup size).
+# Distributed shape: explode lines with a bucket keyed on the line hash
+# (all instances of one hash land in ONE bucket, so per-bucket df IS global
+# df), per-doc partials inside the bucket, then a doc-keyed rebucket to sum
+# partials — two bounded shuffles, documents never move, no all-pairs stage.
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(sf_dir: str):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1) * 8)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lines(df: pd.DataFrame) -> pd.DataFrame:
+        doc_out, h_out, len_out = [], [], []
+        for doc, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            for ln in (t or "").split("\n"):
+                ln = ln.strip(" \t\r")
+                if ln:
+                    doc_out.append(doc)
+                    h_out.append(hashlib.md5(ln.encode("utf-8")).hexdigest())
+                    len_out.append(len(ln))
+        h = np.array(h_out, dtype=object)
+        return pd.DataFrame(
+            {
+                "bucket": (pd.util.hash_array(h) % nb).astype(np.int64),
+                "doc_id": np.array(doc_out, dtype=np.int64),
+                "h": h,
+                "n": np.array(len_out, dtype=np.int64),
+            }
+        )
+
+    def df_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # document frequency per line hash — global because the bucket is a
+        # function of the hash; removal rule: df >= 3 distinct docs
+        df_cnt = g.groupby("h", sort=False)["doc_id"].transform("nunique")
+        rm = (df_cnt >= 3).to_numpy()
+        n = g["n"].to_numpy(np.int64)
+        part = (
+            g.assign(r=rm.astype(np.int64), kc=np.where(rm, 0, n))
+            .groupby("doc_id", as_index=False)
+            .agg(n_lines=("r", "size"), n_removed=("r", "sum"), kept_chars=("kc", "sum"))
+            .astype({"n_lines": "int64", "n_removed": "int64", "kept_chars": "int64"})
+        )
+        part["db"] = (part["doc_id"].to_numpy() % nb).astype(np.int64)
+        return part[["db", "doc_id", "n_lines", "n_removed", "kept_chars"]]
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)[
+            ["n_lines", "n_removed", "kept_chars"]
+        ].sum()
+        return s.astype(
+            {"doc_id": "int64", "n_lines": "int64", "n_removed": "int64",
+             "kept_chars": "int64"}
+        )
+
+    return (
+        ds.map_batches(lines, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(df_in_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+SQL_LINE_DEDUP = r"""
+WITH l0 AS (
+  SELECT doc_id,
+         trim(unnest(string_split(COALESCE(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents
+),
+l AS (SELECT doc_id, md5(line) AS h, CAST(length(line) AS BIGINT) AS n
+      FROM l0 WHERE length(line) > 0),
+c AS (SELECT h, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN df >= 3 THEN 0 ELSE n END) AS BIGINT) AS kept_chars
+FROM l JOIN c USING (h)
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q: temperature-scaled mixture weights (mT5 / multilingual alpha-sampling,
+# alpha = 0.5): low-resource sources get boosted by w_i ∝ p_i^0.5. Float
+# discipline: 0.5 is the ONE exponent IEEE-754 guarantees correctly rounded
+# (sqrt), so numpy and DuckDB agree bit-for-bit; each sqrt is e6-quantized to
+# an int BEFORE the normalizing sum, so the sum is integer-exact under any
+# addition order on either engine. Distributed shape: per-batch Arrow
+# combiner partials → one tiny groupby over the SOURCE VALUE DOMAIN; the
+# weight arithmetic runs on the driver over <= n_sources rows.
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mixture(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum")])
+        return g.rename_columns(["source", "n_units"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby("source")
+        .aggregate(Sum("n_units", alias_name="n_units"))
+    )
+    tbl = pa.concat_tables(
+        agg.iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )  # <= n_sources rows — value-domain bound
+    n_units = tbl["n_units"].to_numpy(zero_copy_only=False).astype(np.int64)
+    units = np.maximum(n_units, 1).astype(np.float64)  # all-empty-source guard
+    tot = float(units.sum())  # integer-valued doubles: order-exact
+    s = np.floor(np.sqrt(units) * 1e6 + 0.5).astype(np.int64)
+    ss = float(s.sum())
+    return pa.table(
+        {
+            "source": tbl["source"],
+            "n_units": pa.array(n_units),
+            "sqrt_units_e6": pa.array(s),
+            "actual_frac_e6": pa.array(
+                np.floor(1e6 * units / tot + 0.5).astype(np.int64)
+            ),
+            "w_temp_e6": pa.array(
+                np.floor(1e6 * s.astype(np.float64) / ss + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH agg AS (
+  SELECT source,
+         CAST(sum(n_chars) AS BIGINT) AS n_units,
+         -- pairs with the engine's np.maximum(n_units, 1)
+         CAST(GREATEST(sum(n_chars), 1) AS BIGINT) AS units
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_units, units,
+         CAST(FLOOR(sqrt(CAST(units AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS sqrt_units_e6
+  FROM agg
+), tot AS (
+  SELECT CAST(sum(units) AS DOUBLE) AS tot,
+         CAST(sum(sqrt_units_e6) AS DOUBLE) AS ss
+  FROM s
+)
+SELECT source, n_units, sqrt_units_e6,
+  CAST(FLOOR(1e6 * units / tot + 0.5) AS BIGINT) AS actual_frac_e6,
+  CAST(FLOOR(1e6 * sqrt_units_e6 / ss + 0.5) AS BIGINT) AS w_temp_e6
+FROM s, tot
+"""
+
+# ---------------------------------------------------------------------------
+# Q: quality-filter FUNNEL — the survival table a corpus-cleaning report
+# leads with (RefinedWeb Table 2 shape): how many documents (and chars)
+# survive each cumulative filter stage. Stages: total → nonempty →
+# min_len (>= 200 chars) → max_len (<= 20000) → letter_frac (ASCII letters
+# >= half the chars; the comparison is INTEGER (letters*2 >= n_chars), so
+# no float crosses the engine boundary). Distributed shape: one streaming
+# pass, 5-row partials per batch, driver folds <= 5 rows.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["total", "nonempty", "min_len", "max_len", "letter_frac"]
+
+
+def q_quality_funnel(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        letters = pc.count_substring_regex(
+            pc.coalesce(t["text"], ""), "[a-zA-Z]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        m1 = n_chars > 0
+        m2 = m1 & (n_chars >= 200)
+        m3 = m2 & (n_chars <= 20000)
+        m4 = m3 & (letters * 2 >= n_chars)
+        reached = (
+            m1.astype(np.int64) + m2.astype(np.int64)
+            + m3.astype(np.int64) + m4.astype(np.int64)
+        )
+        n_docs = np.array(
+            [int((reached >= k).sum()) for k in range(5)], np.int64
+        )
+        sum_chars = np.array(
+            [int(n_chars[reached >= k].sum()) for k in range(5)], np.int64
+        )
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(5, dtype=np.int64)),
+                "n_docs": pa.array(n_docs),
+                "sum_chars": pa.array(sum_chars),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    agg = parts.groupby("stage_idx", as_index=False)[["n_docs", "sum_chars"]].sum()
+    agg = agg.sort_values("stage_idx").reset_index(drop=True)
+    total = float(agg["n_docs"].iloc[0])
+    return pd.DataFrame(
+        {
+            "stage_idx": agg["stage_idx"].to_numpy(np.int64),
+            "stage": np.array(_FUNNEL_STAGES, dtype=object),
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "sum_chars": agg["sum_chars"].to_numpy(np.int64),
+            "frac_docs_e6": np.floor(
+                1e6 * agg["n_docs"].to_numpy(np.float64) / total + 0.5
+            ).astype(np.int64),
+        }
+    )
+
+
+SQL_QUALITY_FUNNEL = r"""
+WITH d AS (
+  SELECT n_chars,
+         CAST(length(regexp_replace(COALESCE(text, ''), '[^a-zA-Z]', '', 'g'))
+              AS BIGINT) AS letters
+  FROM documents
+), r AS (
+  SELECT n_chars,
+    CASE WHEN n_chars <= 0 THEN 0
+         WHEN n_chars < 200 THEN 1
+         WHEN n_chars > 20000 THEN 2
+         WHEN letters * 2 < n_chars THEN 3
+         ELSE 4 END AS reached
+  FROM d
+), stages(stage_idx, stage) AS (
+  VALUES (0, 'total'), (1, 'nonempty'), (2, 'min_len'),
+         (3, 'max_len'), (4, 'letter_frac')
+), tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r)
+SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx, s.stage,
+  CAST(sum(CASE WHEN r.reached >= s.stage_idx THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs,
+  CAST(sum(CASE WHEN r.reached >= s.stage_idx THEN n_chars ELSE 0 END)
+       AS BIGINT) AS sum_chars,
+  CAST(FLOOR(1e6 * sum(CASE WHEN r.reached >= s.stage_idx THEN 1 ELSE 0 END)
+             / tot.total + 0.5) AS BIGINT) AS frac_docs_e6
+FROM stages s, r, tot
+GROUP BY 1, 2, tot.total
+"""
+
+# ---------------------------------------------------------------------------
+# Q: train/val/test split LEAKAGE — word-trigram shingles shared between
+# splits under the q_split_assign hash measure eval contamination pressure
+# (exact-dup texts are the degenerate case and are near-absent in this
+# corpus; shingle overlap is the signal RefinedWeb/GPT-3-style decon audits
+# report). Output: one row per split pair with per-split distinct-shingle
+# counts, the shared count, and the e6-quantized Jaccard. Distributed
+# shape: per-batch distinct (shingle, split) pairs → ONE bounded shuffle
+# keyed on the shingle hash (per-bucket presence is global for its
+# shingles) → <= 6 partial rows per bucket → driver folds a handful of
+# ints. Documents never move; no all-pairs stage.
+# ---------------------------------------------------------------------------
+
+
+def q_split_leakage(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .pipelines.dedup import _coarse_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb = _coarse_buckets(max(n_docs, 1) * 32)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        idx, sh = _shingles3(df.reset_index(drop=True))
+        did = df["doc_id"].to_numpy(np.int64)[idx].astype(np.uint64)
+        hv = ((did % _SAMPLE_MOD) * _SAMPLE_MULT) % _SAMPLE_MOD
+        split = np.where(
+            hv < _SPLIT_TRAIN, "train", np.where(hv < _SPLIT_VAL, "val", "test")
+        )
+        d = pd.DataFrame({"s": sh, "split": split}).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "bucket": (
+                    pd.util.hash_array(d["s"].to_numpy()) % nb
+                ).astype(np.int64),
+                "s": d["s"].to_numpy(),
+                "split": d["split"].to_numpy(),
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # presence matrix shingle × split; diagonal rows carry per-split
+        # distinct totals, off-diagonal rows the pairwise shared counts
+        d = g[["s", "split"]].drop_duplicates()
+        pv = pd.crosstab(d["s"], d["split"]).astype(bool)
+        splits = sorted(pv.columns)
+        rows = []
+        for i, a in enumerate(splits):
+            rows.append((a, a, int(pv[a].sum())))
+            for b in splits[i + 1:]:
+                rows.append((a, b, int((pv[a] & pv[b]).sum())))
+        return pd.DataFrame(rows, columns=["split_a", "split_b", "n"]).astype(
+            {"n": "int64"}
+        )
+
+    parts = (
+        ds.map_batches(tag, batch_format="pandas", batch_size=_TEXT_BATCH)
+        .groupby("bucket")
+        .map_groups(pair_partials, batch_format="pandas")
+    ).to_pandas()
+    agg = parts.groupby(["split_a", "split_b"], as_index=False)["n"].sum()
+    tot = {
+        a: int(n) for a, b, n in agg.itertuples(index=False) if a == b
+    }
+    out = []
+    for a, b, n in agg.itertuples(index=False):
+        if a != b and n > 0:
+            na, nb_ = tot[a], tot[b]
+            jac = int(np.floor(1e6 * float(n) / (na + nb_ - n) + 0.5))
+            out.append((a, b, np.int64(na), np.int64(nb_), np.int64(n), np.int64(jac)))
+    return pd.DataFrame(
+        out,
+        columns=["split_a", "split_b", "n_a", "n_b", "n_shared", "jaccard_e6"],
+    ).astype(
+        {"n_a": "int64", "n_b": "int64", "n_shared": "int64", "jaccard_e6": "int64"}
+    )
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+d AS (
+  SELECT DISTINCT
+    CASE WHEN hv < {_SPLIT_TRAIN} THEN 'train'
+         WHEN hv < {_SPLIT_VAL} THEN 'val'
+         ELSE 'test' END AS split, s
+  FROM (
+    SELECT s, (CAST(doc_id % {_SAMPLE_MOD} AS HUGEINT) * {_SAMPLE_MULT})
+                % {_SAMPLE_MOD} AS hv
+    FROM sh
+  )
+),
+tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+pair AS (
+  SELECT a.split AS split_a, b.split AS split_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM d a JOIN d b ON a.s = b.s AND a.split < b.split
+  GROUP BY 1, 2
+)
+SELECT split_a, split_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+  CAST(FLOOR(1e6 * n_shared / (ta.n + tb.n - n_shared) + 0.5) AS BIGINT)
+    AS jaccard_e6
+FROM pair
+JOIN tot ta ON ta.split = pair.split_a
+JOIN tot tb ON tb.split = pair.split_b
+WHERE n_shared > 0
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
+    "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_band_pairs": (q_minhash_band_pairs, SQL_MINHASH_BAND_PAIRS),
     "minhash_verified_dups": (q_minhash_verified_dups, SQL_MINHASH_VERIFIED_DUPS),
