@@ -17164,22 +17164,27 @@ def q_line_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def lines(df: pd.DataFrame) -> pd.DataFrame:
-        doc_out, h_out, len_out = [], [], []
-        for doc, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
-            for ln in (t or "").split("\n"):
-                ln = ln.strip(" \t\r")
-                if ln:
-                    doc_out.append(doc)
-                    h_out.append(hashlib.md5(ln.encode("utf-8")).hexdigest())
-                    len_out.append(len(ln))
-        h = np.array(h_out, dtype=object)
+    def lines(t: pa.Table) -> pd.DataFrame:
+        # explode text → lines entirely in Arrow kernels (split/trim/filter
+        # are zero-copy-ish C++); only the md5 runs per line in Python
+        ls = pc.split_pattern(pc.coalesce(t["text"], ""), "\n")
+        parent = pc.list_parent_indices(ls)
+        trimmed = pc.utf8_trim(pc.list_flatten(ls), " \t\r")
+        keep = pc.greater(pc.utf8_length(trimmed), 0)
+        trimmed = trimmed.filter(keep)
+        docs = t["doc_id"].take(parent.filter(keep))
+        h = np.array(
+            [hashlib.md5(x.encode("utf-8")).hexdigest()
+             for x in trimmed.to_pylist()],
+            dtype=object,
+        )
         return pd.DataFrame(
             {
                 "bucket": (pd.util.hash_array(h) % nb).astype(np.int64),
-                "doc_id": np.array(doc_out, dtype=np.int64),
+                "doc_id": docs.to_numpy(zero_copy_only=False).astype(np.int64),
                 "h": h,
-                "n": np.array(len_out, dtype=np.int64),
+                "n": pc.utf8_length(trimmed)
+                     .to_numpy(zero_copy_only=False).astype(np.int64),
             }
         )
 
@@ -17208,7 +17213,7 @@ def q_line_dedup(sf_dir: str):
         )
 
     return (
-        ds.map_batches(lines, batch_format="pandas", batch_size=_TEXT_BATCH)
+        ds.map_batches(lines, batch_format="pyarrow", batch_size=_TEXT_BATCH)
         .groupby("bucket")
         .map_groups(df_in_bucket, batch_format="pandas")
         .groupby("db")
