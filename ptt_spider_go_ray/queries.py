@@ -17522,11 +17522,179 @@ WHERE n_shared > 0
 """
 
 # ---------------------------------------------------------------------------
+# Q: embedding-norm histogram — the broken-embedding detector a vector-
+# pipeline health check leads with: quantize each component to ints
+# (floor(x * 2^10); same discipline as q_embedding_gram), per-vector
+# norm_q = Σ q² is then an EXACT int64 (64–128 dims × (2^10)² stays far
+# under 2^63), and the fixed-width integer binning (norm_q // 512) is
+# arithmetic both engines share bit-for-bit — no float crosses the engine
+# boundary. Distributed shape: one streaming pass, per-batch bincount
+# partials over the (small) bin domain, driver folds a handful of rows.
+# ---------------------------------------------------------------------------
+
+_NORM_SCALE = 1 << 10
+_NORM_BIN_W = 512
+
+
+def q_embedding_norm_hist(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {"bin": pd.Series(dtype="int64"), "n_vecs": pd.Series(dtype="int64")}
+            )
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        q = np.floor(mat * float(_NORM_SCALE)).astype(np.int64)
+        norm_q = (q * q).sum(axis=1)
+        b, n = np.unique(norm_q // _NORM_BIN_W, return_counts=True)
+        return pd.DataFrame({"bin": b.astype(np.int64), "n_vecs": n.astype(np.int64)})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    agg = parts.groupby("bin", as_index=False)["n_vecs"].sum()
+    return pd.DataFrame(
+        {
+            "bin": agg["bin"].to_numpy(np.int64),
+            "bin_lo": (agg["bin"].to_numpy(np.int64) * _NORM_BIN_W),
+            "n_vecs": agg["n_vecs"].to_numpy(np.int64),
+        }
+    )
+
+
+SQL_EMBEDDING_NORM_HIST = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS u FROM embeddings
+),
+n AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor(CAST(u AS DOUBLE) * {_NORM_SCALE}) AS BIGINT)
+                  * CAST(floor(CAST(u AS DOUBLE) * {_NORM_SCALE}) AS BIGINT))
+              AS BIGINT) AS norm_q
+  FROM e GROUP BY 1
+)
+SELECT CAST(norm_q // {_NORM_BIN_W} AS BIGINT) AS bin,
+       CAST((norm_q // {_NORM_BIN_W}) * {_NORM_BIN_W} AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM n GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: boilerplate head/tail grams — the diagnostic that justifies a
+# line-dedup threshold: the top-20 most common OPENING and CLOSING token
+# trigrams across documents (template intros, signatures, footers; whole
+# first/last lines are near-unique in this corpus, so the trigram is the
+# granularity with signal). Distributed shape: Arrow-kernel tokenization
+# (_tok_arrow), per-batch (pos, gram) count partials → one groupby over the
+# gram domain → per-block top-k candidates → driver ranks <= 2 × 20 rows
+# (the q_top_terms_per_lang top-k discipline: every tie broken
+# (n DESC, gram ASC) on both engines). Docs with < 3 tokens are excluded
+# on both sides.
+# ---------------------------------------------------------------------------
+
+_BT_TOPK = 20
+
+
+def q_boilerplate_tails(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def headtail_partial(t: pa.Table) -> pa.Table:
+        par, toks = _tok_arrow(t["text"])
+        if not len(par):
+            return pa.table(
+                {"pos": pa.array([], pa.string()),
+                 "gram": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        flat = np.asarray(toks.to_pylist(), dtype=object)
+        # par is nondecreasing (list order): first index + length per doc
+        _, first, counts_ = np.unique(par, return_index=True, return_counts=True)
+        ok = counts_ >= 3  # a trigram needs 3 tokens
+        first = first[ok]
+        last = first + counts_[ok] - 1
+        heads = flat[first] + " " + flat[first + 1] + " " + flat[first + 2]
+        tails = flat[last - 2] + " " + flat[last - 1] + " " + flat[last]
+        c = pd.DataFrame(
+            {
+                "pos": np.repeat(["head", "tail"], len(first)),
+                "gram": np.concatenate([heads, tails]),
+            }
+        )
+        c["n_docs"] = np.int64(1)
+        return _arrow_out(
+            c.groupby(["pos", "gram"], as_index=False).sum().astype({"n_docs": "int64"})
+        )
+
+    counts = (
+        ds.map_batches(
+            headtail_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+        )
+        .groupby(["pos", "gram"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
+        if df.empty or "pos" not in df.columns:  # schema-less empty block
+            return pa.table(
+                {"pos": pa.array([], pa.string()),
+                 "gram": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        df = df[df["n_docs"] >= 2]
+        df = df.sort_values(
+            ["pos", "n_docs", "gram"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return _arrow_out(
+            df.groupby("pos", sort=False).head(_BT_TOPK).astype({"n_docs": "int64"})
+        )
+
+    cands = counts.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if cands.empty:
+        return pd.DataFrame(
+            {"pos": pd.Series(dtype=object), "gram": pd.Series(dtype=object),
+             "n_docs": pd.Series(dtype="int64"), "rk": pd.Series(dtype="int64")}
+        )
+    cands = cands.sort_values(
+        ["pos", "n_docs", "gram"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = cands.groupby("pos", sort=False).head(_BT_TOPK).reset_index(drop=True)
+    out["rk"] = out.groupby("pos", sort=False).cumcount() + 1
+    return out.astype({"n_docs": "int64", "rk": "int64"})
+
+
+SQL_BOILERPLATE_TAILS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+hl AS (
+  SELECT 'head' AS pos, t[1] || ' ' || t[2] || ' ' || t[3] AS gram
+  FROM toks WHERE len(t) >= 3
+  UNION ALL
+  SELECT 'tail' AS pos, t[-3] || ' ' || t[-2] || ' ' || t[-1] AS gram
+  FROM toks WHERE len(t) >= 3
+),
+c AS (SELECT pos, gram, count(*) AS n_docs FROM hl GROUP BY 1, 2),
+r AS (
+  SELECT pos, gram, CAST(n_docs AS BIGINT) AS n_docs,
+         row_number() OVER (PARTITION BY pos ORDER BY n_docs DESC, gram) AS rk
+  FROM c WHERE n_docs >= 2
+)
+SELECT pos, gram, n_docs, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {_BT_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "embedding_norm_hist": (q_embedding_norm_hist, SQL_EMBEDDING_NORM_HIST),
+    "boilerplate_tails": (q_boilerplate_tails, SQL_BOILERPLATE_TAILS),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quality_funnel": (q_quality_funnel, SQL_QUALITY_FUNNEL),
     "split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),

@@ -114,6 +114,70 @@ def test_quality_funnel_stage_counts(ray_session, tmp_path):
     assert (np.diff(n) <= 0).all()
 
 
+def test_embedding_norm_hist_planted_outliers(ray_session, tmp_path):
+    """An all-zero vector lands in bin 0 and an oversized vector in a far
+    bin — the broken-embedding detector separates both from the unit-norm
+    bulk; exact vs DuckDB."""
+    from ptt_spider_go_ray.queries import (
+        SQL_EMBEDDING_NORM_HIST,
+        q_embedding_norm_hist,
+    )
+
+    rng = np.random.default_rng(7)
+    bulk = rng.normal(size=(20, 8)).astype(np.float32)
+    bulk /= np.linalg.norm(bulk, axis=1, keepdims=True)
+    vecs = np.vstack([bulk, np.zeros((1, 8), np.float32), 10.0 * bulk[:1]])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = canon(to_pandas(q_embedding_norm_hist(str(tmp_path))))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = canon(con.sql(SQL_EMBEDDING_NORM_HIST).df())
+    pd.testing.assert_frame_equal(got, want)
+
+    bins = got.set_index("bin")["n_vecs"]
+    assert bins.get(0, 0) == 1                      # the zero vector
+    assert got["bin"].max() > 100 * got["bin"].to_numpy()[1]  # 10x-norm far bin
+
+
+def test_boilerplate_tails_planted_templates(ray_session, tmp_path):
+    """Three docs opening with one trigram and two closing with another must
+    rank first in their positions; <3-token docs are excluded; exact vs
+    DuckDB."""
+    from ptt_spider_go_ray.queries import SQL_BOILERPLATE_TAILS, q_boilerplate_tails
+
+    texts = [
+        "dear valued customer your order shipped regards acme support team",
+        "dear valued customer please see attachment regards acme support team",
+        "dear valued customer account notice follows kind regards billing",
+        "unrelated words entirely here",
+        "two tokens",  # < 3 tokens after [a-z]+ tokenization? 'two tokens' = 2 → excluded
+        "",
+    ]
+    sf = _docs(tmp_path, texts)
+    got = canon(to_pandas(q_boilerplate_tails(sf)))
+    want = canon(_duck(tmp_path, SQL_BOILERPLATE_TAILS))
+    pd.testing.assert_frame_equal(got, want)
+
+    heads = got[got["pos"] == "head"].sort_values("rk")
+    tails = got[got["pos"] == "tail"].sort_values("rk")
+    assert heads.iloc[0]["gram"] == "dear valued customer"
+    assert heads.iloc[0]["n_docs"] == 3
+    assert tails.iloc[0]["gram"] == "acme support team"
+    assert tails.iloc[0]["n_docs"] == 2
+
+
 def test_split_leakage_planted_cross_split_shingle(ray_session, tmp_path):
     """Two docs sharing a trigram, planted on OPPOSITE sides of the split
     hash, must surface that pair with n_shared >= 1; exact vs DuckDB."""
