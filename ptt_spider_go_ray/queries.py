@@ -17688,10 +17688,391 @@ SELECT pos, gram, n_docs, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {_BT_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# Q: per-doc type/token ratio — lexical-diversity signal used by corpus
+# quality filters (low TTR → templated/repetitive text). Per-batch explode +
+# index-groupby nunique (C-speed), zero shuffles; the single float is ONE
+# IEEE division of two exact ints so DuckDB agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def q_type_token_ratio(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        nun = ex.groupby(level=0).nunique()
+        n_dist = np.zeros(len(df), dtype=np.int64)
+        n_dist[nun.index.to_numpy()] = nun.to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_dist),
+                "ttr": pa.array(
+                    np.where(n_tok > 0, n_dist / np.maximum(n_tok, 1), 0.0)
+                ),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pandas")
+
+
+SQL_TYPE_TOKEN_RATIO = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN COALESCE(a.n_tokens, 0) > 0
+            THEN CAST(a.n_distinct AS DOUBLE) / a.n_tokens ELSE 0.0
+       END AS ttr
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: corpus top-k character trigrams — the fastText/CLD-style n-gram feature
+# table. Per-batch the texts are NUL-joined into one byte buffer and counted
+# with a stride-tricks sliding window + np.unique on a void view (windows
+# crossing a doc boundary contain the NUL separator and are masked out), so
+# the hot path is fully vectorized; the shuffle moves (gram, n) partials,
+# never text. Non-ASCII batches fall back to an exact per-doc path so char
+# (not byte) semantics always match the SQL substr oracle.
+# ---------------------------------------------------------------------------
+
+_CHAR_TRIGRAM_K = 50
+
+
+def q_char_trigram_topk(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].fillna("").str.lower().tolist()
+        buf = "\x00".join(texts).encode("utf-8")
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        if len(arr) >= 3 and (len(arr) == 0 or arr.max() < 128):
+            w = np.lib.stride_tricks.sliding_window_view(arr, 3)
+            w = w[~np.any(w == 0, axis=1)]
+            if not len(w):
+                grams = np.array([], dtype=object)
+                counts = np.array([], dtype=np.int64)
+            else:
+                v = np.ascontiguousarray(w).view(
+                    np.dtype((np.void, 3))
+                ).ravel()
+                uv, counts = np.unique(v, return_counts=True)
+                grams = np.array(
+                    [bytes(x).decode("ascii") for x in uv], dtype=object
+                )
+        else:  # non-ASCII: exact char-semantics fallback
+            from collections import Counter
+
+            c: Counter = Counter()
+            for t in texts:
+                c.update(t[i : i + 3] for i in range(len(t) - 2))
+            grams = np.array(sorted(c), dtype=object)
+            counts = np.array([c[g] for g in grams], dtype=np.int64)
+        return pa.table(
+            {"gram": pa.array(grams, pa.string()),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()  # aggregate-after-map scheduling barrier (see q_word_count)
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")  # arrow-normalize
+    )
+    return counted.sort(["n", "gram"], descending=[True, False]).limit(
+        _CHAR_TRIGRAM_K
+    )
+
+
+SQL_CHAR_TRIGRAM_TOPK = f"""
+WITH base AS (SELECT lower(COALESCE(text, '')) AS t FROM documents),
+pos AS (
+  SELECT t, unnest(range(length(t) - 2)) AS i FROM base WHERE length(t) >= 3
+)
+SELECT substr(t, CAST(i + 1 AS INT), 3) AS gram, CAST(count(*) AS BIGINT) AS n
+FROM pos GROUP BY gram
+ORDER BY n DESC, gram ASC LIMIT {_CHAR_TRIGRAM_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: corpus token-length histogram — tokenizer sanity signal (a long tail of
+# 20+-char "tokens" usually means markup leaked through the cleaner).
+# Per-batch np.bincount partials (≤ max_len rows each), tiny final groupby.
+# ---------------------------------------------------------------------------
+
+
+def q_word_len_hist(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = np.fromiter(
+            (len(w) for t in toks for w in t), dtype=np.int64
+        )
+        if not len(lens):
+            return pa.table({"tok_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.bincount(lens)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"tok_len": pa.array(nz.astype(np.int64)),
+             "n": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("tok_len")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
+SQL_WORD_LEN_HIST = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+)
+SELECT CAST(length(w) AS BIGINT) AS tok_len, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY tok_len
+"""
+
+# ---------------------------------------------------------------------------
+# Q: suffix dedup — the mirror of q_dedup_prefix for trailing boilerplate
+# (shared signatures/footers): docs agreeing on their last 64 chars collapse
+# to the min doc_id. Same combiner + INT-bucket shuffle shape as the prefix
+# variant; only (suffix, min_id, cnt) partials move.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_suffix(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = _key_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"p": df["text"].str.slice(-64), "doc_id": df["doc_id"]}
+            )
+            .groupby("p", sort=False)
+            .agg(min_id=("doc_id", "min"), cnt=("doc_id", "size"))
+            .reset_index()
+        )
+        h = np.fromiter((hash64(x) for x in g["p"]), np.uint64, len(g))
+        g["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return _arrow_out(g.astype({"min_id": "int64", "cnt": "int64"}))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("p", sort=False, as_index=False).agg(
+            doc_id=("min_id", "min"), n_dups=("cnt", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype("int64"),
+                "n_dups": out["n_dups"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+SQL_DEDUP_SUFFIX = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (
+  SELECT doc_id,
+         substr(text, CASE WHEN length(text) > 64
+                           THEN length(text) - 63 ELSE 1 END) AS s
+  FROM documents
+)
+GROUP BY s
+"""
+
+# ---------------------------------------------------------------------------
+# Q: skip-gram pair counts (word2vec-style context window 2) — directional
+# (center, context) pairs at distance 1 and 2, top-k by count. Same
+# flat-token + boundary-mask vectorization as q_bigram_top, one extra shift.
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_K = 30
+
+
+def q_skipgram_pairs(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lists = [np.asarray(t, dtype=object) for t in toks if len(t) >= 2]
+        if not lists:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(lists)
+        ends = np.cumsum(np.fromiter((len(x) for x in lists), dtype=np.int64))
+        pairs = []
+        for d in (1, 2):
+            if len(flat) <= d:
+                continue
+            mask = np.ones(len(flat) - d, dtype=bool)
+            for k in range(1, d + 1):  # drop pairs straddling a doc boundary
+                idx = ends[:-1] - k
+                mask[idx[(idx >= 0) & (idx < len(mask))]] = False
+            pairs.append((flat[:-d][mask] + " ") + flat[d:][mask])
+        big = np.concatenate(pairs) if pairs else np.array([], dtype=object)
+        if not len(big):
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        grams, counts = np.unique(big.astype(str), return_counts=True)
+        return pa.table(
+            {"pair": pa.array(grams.astype(str)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return counted.sort(["n", "pair"], descending=[True, False]).limit(_SKIPGRAM_K)
+
+
+SQL_SKIPGRAM_PAIRS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS pair
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+2]))
+  FROM toks WHERE len(t) >= 3
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {_SKIPGRAM_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q: document-frequency-pruned vocabulary (CountVectorizer min_df/max_df) —
+# the vocab-selection step of every bag-of-words / TF-IDF featurizer. Per
+# batch: explode once, drop_duplicates for the df partial, plain counts for
+# the cf partial; shuffle moves (word, df, cf) triples only. max_df is half
+# the corpus (integer floor), computed from dataset metadata, not a scan.
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_DF = 5
+
+
+def q_vocab_prune(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    max_df = ds.count() * 9 // 10  # CountVectorizer-conventional max_df=0.9
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"].repeat(toks.str.len()).to_numpy(),
+             "word": np.concatenate(
+                 [np.asarray(t, dtype=object) for t in toks]
+             ) if toks.str.len().sum() else np.array([], dtype=object)}
+        )
+        if not len(ex):
+            return pa.table(
+                {"word": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
+                 "cf": pa.array([], pa.int64())}
+            )
+        cf = ex.groupby("word", sort=False).size()
+        dfreq = (
+            ex.drop_duplicates(["doc_id", "word"])
+            .groupby("word", sort=False)
+            .size()
+        )
+        out = pd.DataFrame({"df": dfreq, "cf": cf}).reset_index()
+        return pa.table(
+            {"word": pa.array(out["word"].astype(str)),
+             "df": pa.array(out["df"].to_numpy(np.int64)),
+             "cf": pa.array(out["cf"].to_numpy(np.int64))}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    # NOTE: summing per-batch distinct-doc partials is exact because one
+    # doc's tokens never span two batches (docs are whole rows).
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["df"], _VOCAB_MIN_DF),
+            pc.less_equal(t["df"], max_df),
+        )
+        return t.filter(keep)
+
+    return merged.map_batches(prune, batch_format="pyarrow")
+
+
+SQL_VOCAB_PRUNE = f"""
+WITH e AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+a AS (
+  SELECT w AS word,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM e GROUP BY w
+)
+SELECT * FROM a
+WHERE df >= {_VOCAB_MIN_DF}
+  AND df <= (SELECT count(*) * 9 // 10 FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
+    "type_token_ratio": (q_type_token_ratio, SQL_TYPE_TOKEN_RATIO),
+    "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
+    "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
+    "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),
+    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+    "vocab_prune": (q_vocab_prune, SQL_VOCAB_PRUNE),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "embedding_norm_hist": (q_embedding_norm_hist, SQL_EMBEDDING_NORM_HIST),
     "boilerplate_tails": (q_boilerplate_tails, SQL_BOILERPLATE_TAILS),
