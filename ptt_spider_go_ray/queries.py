@@ -18063,11 +18063,374 @@ WHERE df >= {_VOCAB_MIN_DF}
 """
 
 # ---------------------------------------------------------------------------
+# Q: event-type co-occurrence — distinct users who performed BOTH types, per
+# unordered type pair (market-basket shape). Users are hash-bucketed so every
+# user's distinct-type set lands in one group; per-bucket C-speed self-merge
+# builds the pairs, then a tiny (|types|²-bounded) global sum.
+# ---------------------------------------------------------------------------
+
+
+def q_type_cooccurrence(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = _key_buckets(ds.count())
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(["user_id", "event_type"])
+        return pa.table(
+            {
+                "user_id": pa.array(d["user_id"].to_numpy(np.int64)),
+                "event_type": pa.array(d["event_type"].astype(str)),
+                "bucket": pa.array(
+                    _bucket_of(d["user_id"].to_numpy(np.int64), n_buckets)
+                ),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pd.DataFrame(
+            {
+                "type_a": out["event_type_x"].astype(str),
+                "type_b": out["event_type_y"].astype(str),
+                "n_users": out["n_users"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "type_a": t["type_a"],
+                    "type_b": t["type_b"],
+                    "n_users": pc.cast(t["n_users"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_TYPE_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Q: empirical CDF per event type — cume_dist of every DISTINCT value
+# (the distributed analog of the window function: per-batch (type, value, n)
+# partials, then one group per type over its DISTINCT values — far smaller
+# than the row count — value-sorted cumsum, ONE int/int division per row).
+# ---------------------------------------------------------------------------
+
+
+def q_cume_dist_vals(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["event_type", "value"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"].astype(str)),
+                "value": pa.array(g["value"].to_numpy(np.float64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    del Sum  # single type-keyed shuffle; dup (value, n) partials merge in-group
+
+    def cdf(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("value", sort=True)["n"].sum()  # merge cross-batch partials
+        cum = np.cumsum(m.to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "event_type": np.repeat(g["event_type"].iloc[0], len(m)),
+                "value": m.index.to_numpy(np.float64),
+                "cume_dist": cum / cum[-1],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("event_type")
+        .map_groups(cdf, batch_format="pandas")
+    )
+
+
+SQL_CUME_DIST_VALS = """
+SELECT DISTINCT event_type, value,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cume_dist
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q: vocabulary coverage curve — fraction of all corpus tokens covered by the
+# top-k most frequent words (the "how small can the tokenizer vocab be"
+# planning curve). The word table is top-(max k)-truncated DISTRIBUTED
+# (sort+limit); only ≤ max-k rows + one Sum scalar reach the driver.
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = (5, 10, 20, 40)
+
+
+def q_ngram_coverage_curve(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) \
+            if len(toks) else np.array([], dtype=object)
+        if not len(flat):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(words.astype(str)),
+             "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    total = counted.sum("n")
+    top = (
+        counted.sort(["n", "word"], descending=[True, False])
+        .limit(max(_COVERAGE_KS))
+        .to_pandas()
+    )  # ≤ max-k rows — bounded driver pull
+    cum = np.cumsum(top["n"].to_numpy(np.int64))
+    ks = np.array(_COVERAGE_KS, dtype=np.int64)
+    covered = np.array(
+        [cum[min(k, len(cum)) - 1] if len(cum) else 0 for k in ks], np.int64
+    )
+    return pd.DataFrame(
+        {
+            "k": ks,
+            "top_tokens": covered,
+            "total_tokens": np.full(len(ks), int(total), np.int64),
+            "coverage": covered / int(total) if total else np.zeros(len(ks)),
+        }
+    )
+
+
+SQL_NGRAM_COVERAGE_CURVE = f"""
+WITH c AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+'))
+          AS w FROM documents)
+  GROUP BY w
+),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM c),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST((SELECT sum(n) FROM r WHERE rk <= k) AS BIGINT) AS top_tokens,
+       CAST((SELECT total FROM t) AS BIGINT) AS total_tokens,
+       CAST((SELECT sum(n) FROM r WHERE rk <= k) AS DOUBLE)
+         / (SELECT total FROM t) AS coverage
+FROM (VALUES {', '.join(f'({k})' for k in _COVERAGE_KS)}) v(k)
+"""
+
+# ---------------------------------------------------------------------------
+# Q: hapax-legomena ratio per source — share of each source's vocabulary
+# that occurs exactly once (high hapax → noisy/OCR-ish text). Two tiny
+# shuffles: (source, word) counts, then per-source vocab/hapax sums.
+# ---------------------------------------------------------------------------
+
+
+def q_hapax_ratio(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        lens = toks.str.len()
+        if not lens.sum():
+            return pa.table({"source": pa.array([], pa.string()),
+                             "word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ex = pd.DataFrame(
+            {"source": df["source"].repeat(lens).to_numpy(),
+             "word": np.concatenate([np.asarray(t, dtype=object) for t in toks])}
+        )
+        g = ex.groupby(["source", "word"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {"source": pa.array(g["source"].astype(str)),
+             "word": pa.array(g["word"].astype(str)),
+             "n": pa.array(g["n"].to_numpy(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .materialize()
+        .groupby(["source", "word"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "vocab": pa.array(np.ones(len(t), np.int64)),
+                "hapax": pc.cast(pc.equal(t["n"], 1), pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t["vocab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["hapax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_vocab": pa.array(v),
+                "n_hapax": pa.array(h),
+                "hapax_ratio": pa.array(h / v),
+            }
+        )
+
+    return (
+        counts.map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("vocab", alias_name="vocab"),
+                   Sum("hapax", alias_name="hapax"))
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+SQL_HAPAX_RATIO = """
+WITH e AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+  FROM documents
+),
+c AS (SELECT source, w, count(*) AS n FROM e GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS hapax_ratio
+FROM c GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# Q: top-k embedding dimensions by variance (PCA/feature-selection
+# diagnostic). Float discipline (the q_embedding_centroid trick): values are
+# fixed-pointed to e3 ints per batch, so the distributed sums are EXACT
+# integers, and the variance is derived from those ints with the identical
+# pinned double expression in both engines — bit-exact. sumsq bound:
+# (|x|·1e3)² ≈ 1e7 per row for unit-scale embeddings → int64 safe to ~1e11
+# rows per dim.
+# ---------------------------------------------------------------------------
+
+_DIM_VAR_K = 8
+
+
+def q_dim_variance_topk(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        emb = flat.reshape(-1, _EMB_DIM) * 1e3
+        e3 = (np.sign(emb) * np.floor(np.abs(emb) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, _EMB_DIM + 1, dtype=np.int64)),
+                "sum_e3": pa.array(e3.sum(axis=0)),
+                "sumsq_e3": pa.array((e3 * e3).sum(axis=0)),
+                "n": pa.array(np.full(_EMB_DIM, e3.shape[0], np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH)
+        .groupby("dim")
+        .aggregate(Sum("sum_e3", alias_name="sum_e3"),
+                   Sum("sumsq_e3", alias_name="sumsq_e3"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def var(t: pa.Table) -> pa.Table:
+        s = t["sum_e3"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["sumsq_e3"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_e3": pc.cast(t["sum_e3"], pa.int64()),
+                "sumsq_e3": pc.cast(t["sumsq_e3"], pa.int64()),
+                "var_e6": pa.array((ss - s * s / n) / n),
+            }
+        )
+
+    return (
+        agg.map_batches(var, batch_format="pyarrow")
+        .sort(["var_e6", "dim"], descending=[True, False])
+        .limit(_DIM_VAR_K)
+    )
+
+
+SQL_DIM_VARIANCE_TOPK = f"""
+WITH d AS (SELECT i FROM range(1, {_EMB_DIM + 1}) t(i)),
+p AS (
+  SELECT CAST(d.i AS BIGINT) AS dim,
+         CAST(round(embedding[d.i] * 1e3) AS BIGINT) AS e3
+  FROM embeddings, d
+),
+a AS (
+  SELECT dim, CAST(sum(e3) AS BIGINT) AS sum_e3,
+         CAST(sum(e3 * e3) AS BIGINT) AS sumsq_e3,
+         count(*) AS n
+  FROM p GROUP BY dim
+)
+SELECT dim, n, sum_e3, sumsq_e3,
+       (CAST(sumsq_e3 AS DOUBLE)
+          - CAST(sum_e3 AS DOUBLE) * CAST(sum_e3 AS DOUBLE) / n) / n AS var_e6
+FROM a ORDER BY var_e6 DESC, dim ASC LIMIT {_DIM_VAR_K}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple] = {
     "type_token_ratio": (q_type_token_ratio, SQL_TYPE_TOKEN_RATIO),
+    "type_cooccurrence": (q_type_cooccurrence, SQL_TYPE_COOCCURRENCE),
+    "cume_dist_vals": (q_cume_dist_vals, SQL_CUME_DIST_VALS),
+    "ngram_coverage_curve": (q_ngram_coverage_curve, SQL_NGRAM_COVERAGE_CURVE),
+    "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
+    "dim_variance_topk": (q_dim_variance_topk, SQL_DIM_VARIANCE_TOPK),
     "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
     "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
     "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),
