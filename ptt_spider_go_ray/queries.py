@@ -18421,6 +18421,173 @@ FROM a ORDER BY var_e6 DESC, dim ASC LIMIT {_DIM_VAR_K}
 """
 
 # ---------------------------------------------------------------------------
+# Q: document↔embedding join rollup — per-source embedding mass (the "are
+# this source's vectors degenerate" QA check). Cross-table equi-join
+# doc_id = vec_id via ONE shared int-bucket shuffle (both sides keyed by the
+# same hash), per-bucket C-speed merge, then a tiny per-source fold. The
+# squared norm is Σ(round(x·1e3))² — exact int64 on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_source_join(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_buckets = _key_buckets(embs.count())
+
+    def emb_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = (
+            t["embedding"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        emb = flat.reshape(len(ids), _EMB_DIM) * 1e3
+        e3 = (np.sign(emb) * np.floor(np.abs(emb) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids),
+                "bucket": pa.array(_bucket_of(ids, n_buckets)),
+                "norm2_e6": pa.array((e3 * e3).sum(axis=1)),
+                "source": pa.array([None] * len(ids), pa.string()),
+            }
+        )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ids),
+                "bucket": pa.array(_bucket_of(ids, n_buckets)),
+                "norm2_e6": pa.array(np.full(len(ids), -1, np.int64)),
+                "source": pc.cast(t["source"], pa.string()),
+            }
+        )
+
+    tagged = embs.map_batches(emb_partial, batch_format="pyarrow").union(
+        docs.map_batches(doc_partial, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["norm2_e6"] >= 0]
+        d = g[g["norm2_e6"] < 0]
+        m = e.merge(d[["key", "source"]], on="key", suffixes=("", "_d"))
+        out = m.groupby("source_d", sort=False)["norm2_e6"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "source": out.index.astype(str),
+                "n_vecs": out["size"].to_numpy(np.int64),
+                "sum_norm2_e6": out["sum"].to_numpy(np.int64),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t["sum_norm2_e6"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_vecs": pc.cast(t["n_vecs"], pa.int64()),
+                "sum_norm2_e6": pc.cast(t["sum_norm2_e6"], pa.int64()),
+                "avg_norm2_e6": pa.array(s / n),
+            }
+        )
+
+    return (
+        tagged.groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"),
+                   Sum("sum_norm2_e6", alias_name="sum_norm2_e6"))
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
+SQL_EMBEDDING_SOURCE_JOIN = """
+WITH n AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(x * 1e3) AS BIGINT)
+                     * CAST(round(x * 1e3) AS BIGINT))) AS BIGINT) AS norm2
+  FROM embeddings
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(n.norm2) AS BIGINT) AS sum_norm2_e6,
+       CAST(sum(n.norm2) AS DOUBLE) / count(*) AS avg_norm2_e6
+FROM documents d JOIN n ON n.vec_id = d.doc_id
+GROUP BY d.source
+"""
+
+# ---------------------------------------------------------------------------
+# Q: range similarity search — ALL vectors whose dot product with any probe
+# vector clears a threshold (the retrieval-recall complement of top-k ANN).
+# Probes are a deterministic id-stride sample (vec_id % 101 == 0, first 8),
+# broadcast once; the scan is ONE int64 matmul per batch over e3 fixed-point
+# values, so scores are exact integers on both engines — zero shuffles.
+# ---------------------------------------------------------------------------
+
+_RANGE_SEARCH_TAU_E6 = 250_000  # dot ≥ 0.25 for unit-norm vectors
+_RANGE_SEARCH_NQ = 8
+
+
+def q_ann_range_search(sf_dir: str):
+    embs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_e3(tbl: pa.Table) -> tuple:
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = (
+            tbl["embedding"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        emb = flat.reshape(len(ids), _EMB_DIM) * 1e3
+        return ids, (np.sign(emb) * np.floor(np.abs(emb) + 0.5)).astype(np.int64)
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 101 == 0))
+
+    probes = (
+        embs.map_batches(probe_filter, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(_RANGE_SEARCH_NQ)
+        .to_pandas()
+    )  # ≤ NQ rows — bounded driver pull, broadcast in the scan closure
+    q_ids = probes["vec_id"].to_numpy(np.int64)
+    q_emb = np.stack(probes["embedding"].to_numpy()).astype(np.float64) * 1e3
+    q_e3 = (np.sign(q_emb) * np.floor(np.abs(q_emb) + 0.5)).astype(np.int64)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids, x = to_e3(t)
+        scores = x @ q_e3.T  # (n, nq) exact int64
+        ri, qi = np.nonzero(scores >= _RANGE_SEARCH_TAU_E6)
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids[qi]),
+                "vec_id": pa.array(ids[ri]),
+                "dot_e6": pa.array(scores[ri, qi]),
+            }
+        )
+
+    return embs.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_ANN_RANGE_SEARCH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % 101 = 0 ORDER BY vec_id LIMIT {_RANGE_SEARCH_NQ}
+),
+p AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                i -> CAST(round(qe[CAST(i AS INT)] * 1e3) AS BIGINT)
+                     * CAST(round(e.embedding[CAST(i AS INT)] * 1e3) AS BIGINT)))
+           AS BIGINT) AS dot_e6
+  FROM q, embeddings e
+)
+SELECT query_id, vec_id, dot_e6 FROM p WHERE dot_e6 >= {_RANGE_SEARCH_TAU_E6}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18431,6 +18598,8 @@ SQL_QUERIES: dict[str, tuple] = {
     "ngram_coverage_curve": (q_ngram_coverage_curve, SQL_NGRAM_COVERAGE_CURVE),
     "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
     "dim_variance_topk": (q_dim_variance_topk, SQL_DIM_VARIANCE_TOPK),
+    "embedding_source_join": (q_embedding_source_join, SQL_EMBEDDING_SOURCE_JOIN),
+    "ann_range_search": (q_ann_range_search, SQL_ANN_RANGE_SEARCH),
     "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
     "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
     "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),
