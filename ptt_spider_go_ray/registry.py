@@ -862,6 +862,42 @@ def _ingest_csv_roundtrip(sf_dir: str):
     return ingest_csv(scratch, schema)
 
 
+def _ingest_orc_roundtrip(sf_dir: str):
+    """documents → ORC shards (worker-side sink; Ray ships no ORC writer) →
+    read_binary_files + pyarrow.orc decode → harmonize. Oracle: the original
+    table — the format boundary must be value- and dtype-invisible."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import canonical_schema, export_orc, ingest_orc
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/documents_orc_{tag}"
+    schema = canonical_schema(sf_dir, "documents")
+    export_orc(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), scratch)
+    return ingest_orc(scratch, schema)
+
+
+def _ingest_feather_roundtrip(sf_dir: str):
+    """embeddings → Feather (Arrow IPC) shards → decode → harmonize. The
+    nested list<float> column picks this pair on purpose: IPC is the
+    lossless boundary, so even float payloads round-trip bit-exactly."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import canonical_schema, export_feather, ingest_feather
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/embeddings_feather_{tag}"
+    schema = canonical_schema(sf_dir, "embeddings")
+    export_feather(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), scratch
+    )
+    return ingest_feather(scratch, schema)
+
+
 def _partitioned_write_roundtrip(sf_dir: str):
     """documents → hive-partitioned parquet by source with partition-level
     _SUCCESS resume (sources/ingest.py::export_partitioned; the export runs
@@ -896,6 +932,8 @@ def _partitioned_write_roundtrip(sf_dir: str):
 EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ingest_jsonl_roundtrip": _ingest_jsonl_roundtrip,
     "ingest_csv_roundtrip": _ingest_csv_roundtrip,
+    "ingest_orc_roundtrip": _ingest_orc_roundtrip,
+    "ingest_feather_roundtrip": _ingest_feather_roundtrip,
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "flagship_spans": _flagship_spans,
     "explode_media": _explode_media,
@@ -1317,6 +1355,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_jsonl_roundtrip": "SELECT * FROM documents",
     "partitioned_write_roundtrip": "SELECT * FROM documents",
     "ingest_csv_roundtrip": "SELECT * FROM events",
+    "ingest_orc_roundtrip": "SELECT * FROM documents",
+    "ingest_feather_roundtrip": "SELECT * FROM embeddings",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

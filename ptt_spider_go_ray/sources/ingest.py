@@ -80,6 +80,79 @@ def ingest_csv(path: str, schema: pa.Schema):
     return harmonize(ray.data.read_csv(path), schema)
 
 
+def export_orc(ds, out_dir: str) -> None:
+    """One ORC file per block via a worker-side sink (Ray Data ships no ORC
+    writer; the crawl sinks set the worker-side-write precedent). The dir is
+    cleaned first so re-runs are idempotent; a Sum over per-block row counts
+    drives execution without materializing data on the driver."""
+    import os
+    import uuid
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        orc.write_table(t, f"{out_dir}/{uuid.uuid4().hex}.orc")
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write, batch_format="pyarrow", batch_size=None).sum("n")
+
+
+def ingest_orc(path: str, schema: pa.Schema):
+    """ORC shards → Dataset: read_binary_files shards per file, each batch
+    decodes its files with pyarrow.orc (zero driver involvement), then the
+    usual harmonize cast restores the canonical footer schema."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        tables = [
+            orc.ORCFile(pa.BufferReader(b.as_py())).read() for b in t["bytes"]
+        ]
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+
+    return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
+
+
+def export_feather(ds, out_dir: str) -> None:
+    """One Feather (Arrow IPC) file per block — the lossless boundary:
+    nested types (list<float> embeddings) survive bit-exactly."""
+    import os
+    import uuid
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+
+        feather.write_feather(t, f"{out_dir}/{uuid.uuid4().hex}.feather")
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write, batch_format="pyarrow", batch_size=None).sum("n")
+
+
+def ingest_feather(path: str, schema: pa.Schema):
+    import ray.data
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+
+        tables = [
+            feather.read_table(pa.BufferReader(b.as_py())) for b in t["bytes"]
+        ]
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+
+    return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
+
+
 def write_canonical(ds, out_dir: str) -> None:
     """Partitioned parquet sink (one file per block — resumable layout)."""
     shutil.rmtree(out_dir, ignore_errors=True)

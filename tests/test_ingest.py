@@ -217,3 +217,71 @@ def test_export_partitioned_special_char_values(ray_session, tmp_path):
     back = back.sort_values("v").reset_index(drop=True)
     orig = src.to_pandas().sort_values("v").reset_index(drop=True)
     pd.testing.assert_frame_equal(back[["k", "v"]], orig)  # 12 rows, not 19
+
+
+def test_orc_roundtrip_dtype_invisible(ray_session, tmp_path):
+    """documents-shaped table through the ORC boundary: values, dtypes and
+    column order all survive; multi-block export produces multiple files."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import export_orc, ingest_orc
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("n", pa.int32())]
+    )
+    src = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i} 中文" for i in range(100)], pa.string()),
+            "n": pa.array(range(100), pa.int32()),
+        }
+    )
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(src, srcp)
+    out = str(tmp_path / "orc_out")
+
+    export_orc(ray.data.read_parquet(srcp, override_num_blocks=4), out)
+    assert len(os.listdir(out)) >= 2  # sharded, not one giant file
+
+    back = ingest_orc(out, schema).to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, src.to_pandas())
+
+    # idempotent re-export: the dir is cleaned, not appended to
+    export_orc(ray.data.read_parquet(srcp, override_num_blocks=2), out)
+    back2 = ingest_orc(out, schema).to_pandas()
+    assert len(back2) == 100
+
+
+def test_feather_roundtrip_bit_exact_floats(ray_session, tmp_path):
+    """Nested list<float32> through the Feather/IPC boundary must be
+    BIT-exact (IPC is lossless) — checked via raw byte comparison."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import export_feather, ingest_feather
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    src = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(src, srcp)
+    out = str(tmp_path / "feather_out")
+
+    export_feather(ray.data.read_parquet(srcp), out)
+    back = ingest_feather(out, schema).to_pandas()
+    back = back.sort_values("vec_id").reset_index(drop=True)
+    got = np.stack(back["embedding"].to_numpy()).astype(np.float32)
+    assert got.tobytes() == vecs.tobytes()
