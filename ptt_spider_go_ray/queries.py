@@ -18588,6 +18588,127 @@ SELECT query_id, vec_id, dot_e6 FROM p WHERE dot_e6 >= {_RANGE_SEARCH_TAU_E6}
 """
 
 # ---------------------------------------------------------------------------
+# Q: first principal component by power iteration — top-k vectors by
+# |projection| onto PC1 (the "what dominates this embedding space" probe).
+# Distributed shape: the gram matrix comes from the q_embedding_gram
+# discipline (per-batch int64 qᵀq partials at 2^20 fixed point — EXACT — and
+# a d²-bounded driver merge); the 8 power-iteration rounds run on the driver
+# over the 64×64 matrix (O(d²·iters), data-size-independent); projections are
+# a second streaming scan against the broadcast eigenvector. Output is pure
+# integer ranks: float ulp drift between numpy and DuckDB matters only when
+# two |projections| tie within ~1e-12 relative — measure-zero on continuous
+# embeddings (same caveat class as kmeans_clusters).
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+_PCA_TOPK = 10
+
+
+def q_pca_power_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qm = np.floor(mat * float(_GRAM_SCALE)).astype(np.int64)
+        g = qm.T @ qm  # exact int64
+        ii, jj = np.indices(g.shape)
+        return pa.table(
+            {"i": pa.array(ii.ravel().astype(np.int64)),
+             "j": pa.array(jj.ravel().astype(np.int64)),
+             "g": pa.array(g.ravel())}
+        )
+
+    parts = ds.map_batches(
+        gram_partial, batch_format="pyarrow", batch_size=_COMBINE_BATCH
+    ).to_pandas()
+    parts["g"] = parts["g"].astype(object)  # python-int cross-block sum: exact
+    gm = parts.groupby(["i", "j"])["g"].sum()
+    G = np.zeros((_EMB_DIM, _EMB_DIM), np.float64)
+    G[gm.index.get_level_values(0), gm.index.get_level_values(1)] = (
+        gm.to_numpy(np.float64)
+    )
+    v = np.zeros(_EMB_DIM, np.float64)
+    v[0] = 1.0
+    for _ in range(_PCA_ITERS):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "abs_proj": pa.array([], pa.float64())})
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qm = np.floor(mat * float(_GRAM_SCALE))
+        return pa.table(
+            {"vec_id": pa.array(ids), "abs_proj": pa.array(np.abs(qm @ v))}
+        )
+
+    top = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .sort(["abs_proj", "vec_id"], descending=[True, False])
+        .limit(_PCA_TOPK)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vec_id": top["vec_id"].to_numpy(np.int64),
+        }
+    )
+
+
+def _pca_power_sql(iters: int = _PCA_ITERS, topk: int = _PCA_TOPK) -> str:
+    """Unrolled power-iteration CTE chain (the kmeans_clusters_sql pattern;
+    MATERIALIZED is load-bearing — DuckDB 1.0 inlines plain CTEs, making the
+    chain exponential in iters)."""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT g.i, sum(CAST(g.gq AS DOUBLE) * v.val) AS wv
+  FROM g JOIN v{r - 1} v ON g.j = v.i GROUP BY g.i
+),
+v{r} AS MATERIALIZED (
+  SELECT i, wv / (SELECT sqrt(sum(wv * wv)) FROM w{r}) AS val FROM w{r}
+)""")
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS u,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(u AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT) AS qv
+  FROM e
+),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS gq
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS val FROM g),
+{",".join(rounds)},
+p AS (
+  SELECT q.vec_id, sum(CAST(q.qv AS DOUBLE) * v.val) AS proj
+  FROM q JOIN v{iters} v ON q.i = v.i GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id) AS BIGINT)
+         AS rank,
+       vec_id
+FROM p ORDER BY abs(proj) DESC, vec_id LIMIT {topk}
+"""
+
+
+SQL_PCA_POWER_TOPK = _pca_power_sql()
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18600,6 +18721,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "dim_variance_topk": (q_dim_variance_topk, SQL_DIM_VARIANCE_TOPK),
     "embedding_source_join": (q_embedding_source_join, SQL_EMBEDDING_SOURCE_JOIN),
     "ann_range_search": (q_ann_range_search, SQL_ANN_RANGE_SEARCH),
+    "pca_power_topk": (q_pca_power_topk, SQL_PCA_POWER_TOPK),
     "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
     "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
     "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),

@@ -293,3 +293,20 @@ def test_ann_range_search_exact_threshold(ray_session, tmp_path):
     _assert_match(got, want)
     pairs = set(zip(got["query_id"], got["vec_id"]))
     assert (0, 0) in pairs and (0, 7) in pairs and (0, 5) not in pairs
+
+
+def test_pca_power_planted_direction(ray_session, tmp_path):
+    """A planted dominant direction: 3 vectors with a huge component on dim
+    7, the rest tiny noise elsewhere — PC1 must align with dim 7 and the
+    top ranks must be exactly the planted vectors ordered by magnitude."""
+    from ptt_spider_go_ray.queries import SQL_PCA_POWER_TOPK, q_pca_power_topk
+
+    rng = np.random.default_rng(3)
+    vecs = (rng.normal(size=(30, 64)) * 0.01).astype(np.float32)
+    for rank, (vid, mag) in enumerate([(4, 9.0), (11, 7.0), (25, 5.0)]):
+        vecs[vid, 7] = mag
+    sf = _embeddings(tmp_path, list(vecs))
+    got = to_pandas(q_pca_power_topk(sf))
+    want = _duck(tmp_path, SQL_PCA_POWER_TOPK)
+    _assert_match(got, want)
+    assert got.sort_values("rank")["vec_id"].tolist()[:3] == [4, 11, 25]
