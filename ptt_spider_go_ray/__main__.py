@@ -32,7 +32,93 @@ def mock_transport():
     return MockTransport(SyntheticSite(SiteSpec(boards={"Beauty": 10, "Joke": 5})))
 
 
+def query_main(argv) -> int:
+    """`python -m ptt_spider_go_ray query <name>` — run any registry query
+    against a testdata scale dir and print one JSON summary line. The crawl
+    CLI mirrors the reference's flags; this subcommand is the analogous
+    front door for the 270-query analytic surface (the thing a user of the
+    engine actually runs day-to-day)."""
+    ap = argparse.ArgumentParser(prog="ptt_spider_go_ray query")
+    ap.add_argument("name", nargs="?", default="",
+                    help="query name from __ray_entry__.queries() "
+                         "(omit with --list)")
+    ap.add_argument("--list", action="store_true",
+                    help="list registered query names (★ = SQL-oracled)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001",
+                    help="scale dir with the parquet tables")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--stats", action="store_true",
+                    help="print ds.stats() (Dataset results only)")
+    ap.add_argument("--out", default="",
+                    help="write the result to this parquet path/dir")
+    ap.add_argument("--head", type=int, default=5,
+                    help="rows of preview to print on stderr (0 = none)")
+    args = ap.parse_args(argv)
+
+    from .queries import SQL_QUERIES
+    from .registry import EXTRA_ORACLES, EXTRA_QUERIES
+
+    registry = {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    registry.update(EXTRA_QUERIES)
+    oracled = set(SQL_QUERIES) | set(EXTRA_ORACLES)
+
+    if args.list or not args.name:
+        for name in sorted(registry):
+            print(("★ " if name in oracled else "  ") + name)
+        return 0
+    if args.name not in registry:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, registry, n=3)
+        print(f"unknown query {args.name!r}" +
+              (f" — did you mean: {', '.join(near)}?" if near else ""),
+              file=sys.stderr)
+        return 2
+
+    import time
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        t0 = time.monotonic()
+        res = registry[args.name](args.sf)
+        is_ds = hasattr(res, "to_pandas") and hasattr(res, "stats")
+        if args.out:
+            if is_ds:
+                res = res.materialize()  # stats + write + count in one exec
+                res.write_parquet(args.out)
+            else:
+                (res if hasattr(res, "to_parquet") else res.to_pandas()
+                 ).to_parquet(args.out)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        seconds = round(time.monotonic() - t0, 3)
+        if args.head and len(df):
+            print(df.head(args.head).to_string(), file=sys.stderr)
+        if args.stats and is_ds:
+            print(res.stats(), file=sys.stderr)
+        print(json.dumps({
+            "query": args.name, "rows": int(len(df)),
+            "columns": list(map(str, df.columns)), "seconds": seconds,
+            "oracled": args.name in oracled,
+            "out": args.out or None, "sf": args.sf,
+        }))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["query"]:
+        return query_main(argv[1:])
     ap = argparse.ArgumentParser(prog="ptt_spider_go_ray")
     ap.add_argument("--board", default="", help="board name (board mode)")
     ap.add_argument("--pages", type=int, default=2, help="number of index pages")

@@ -862,6 +862,44 @@ def _ingest_csv_roundtrip(sf_dir: str):
     return ingest_csv(scratch, schema)
 
 
+def _compression_ratio_oracle_sql() -> str:
+    """DERIVED oracle for compression_ratio (zlib has no SQL form): the
+    per-text compressed size is computed by an independent plain-Python zlib
+    replay over ALL THREE testdata scales and embedded as a VALUES literal
+    keyed by md5(text) — not doc_id — so ONE static SQL string is correct
+    whichever scale the driver binds the views to (an unknown scale fails
+    loudly via the inner join's row-count mismatch, never silently). The
+    byte length and the single IEEE division stay on the SQL side, so DuckDB
+    attests everything except the zlib arithmetic itself."""
+    import hashlib
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    rows: dict[str, int] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )
+        for txt in t["text"].to_pylist():
+            b = (txt or "").encode("utf-8")
+            m = hashlib.md5(b).hexdigest()
+            if m not in rows:
+                rows[m] = len(zlib.compress(b, 6))
+    vals = ", ".join(f"('{m}', {n})" for m, n in sorted(rows.items()))
+    return f"""
+WITH v(text_md5, n_comp) AS (VALUES {vals}),
+d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+SELECT d.doc_id,
+       CAST(strlen(t) AS BIGINT) AS n_raw_bytes,
+       CAST(v.n_comp AS BIGINT) AS n_comp_bytes,
+       CASE WHEN strlen(t) > 0
+            THEN CAST(v.n_comp AS DOUBLE) / greatest(strlen(t), 1)
+            ELSE 1.0 END AS compression_ratio
+FROM d JOIN v ON md5(t) = v.text_md5
+"""
+
+
 def _ingest_orc_roundtrip(sf_dir: str):
     """documents → ORC shards (worker-side sink; Ray ships no ORC writer) →
     read_binary_files + pyarrow.orc decode → harmonize. Oracle: the original
@@ -1358,6 +1396,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_orc_roundtrip": "SELECT * FROM documents",
     "ingest_feather_roundtrip": "SELECT * FROM embeddings",
     "media_phash_dedup": _phash_dedup_oracle_sql,
+    "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,
     "crawl_board": _crawl_board_oracle_sql,
