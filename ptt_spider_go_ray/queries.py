@@ -42,6 +42,11 @@ def _md5_col(texts) -> list[str]:
 
 
 _COMBINE_BATCH = 65536  # combiners need big batches to actually reduce
+# token-exploding text combiners cap lower: a 64 k-doc batch of exploded
+# object-dtype tokens peaked at ~2 GiB worker heap and serialized the stage
+# to 2 tasks on a 100 k-doc corpus (ds.stats(), 2026-08-20); 16 k keeps the
+# per-batch reduction (vocab ≪ batch) at 4× the parallelism and ¼ the heap
+_TEXT_COMBINE_BATCH = 16384
 _TEXT_BATCH = 4096  # per-doc text ops: token state is O(tokens in batch),
 # a 65k-doc batch of long docs is a worker-heap bomb and gains nothing
 
@@ -17789,7 +17794,7 @@ def q_char_trigram_topk(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()  # aggregate-after-map scheduling barrier (see q_word_count)
         .groupby("gram")
         .aggregate(Sum("n", alias_name="n"))
@@ -17838,7 +17843,7 @@ def q_word_len_hist(sf_dir: str):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("tok_len")
         .aggregate(Sum("n", alias_name="n"))
@@ -17955,7 +17960,7 @@ def q_skipgram_pairs(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("pair")
         .aggregate(Sum("n", alias_name="n"))
@@ -18027,7 +18032,7 @@ def q_vocab_prune(sf_dir: str):
         )
 
     merged = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("word")
         .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
@@ -18214,7 +18219,7 @@ def q_ngram_coverage_curve(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
@@ -18290,7 +18295,7 @@ def q_hapax_ratio(sf_dir: str):
         )
 
     counts = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby(["source", "word"])
         .aggregate(Sum("n", alias_name="n"))
