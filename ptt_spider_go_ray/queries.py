@@ -2124,7 +2124,7 @@ def q_word_count(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()  # aggregate-after-map scheduling barrier (see above)
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
@@ -2619,7 +2619,7 @@ def q_heavy_hitters(sf_dir: str):
     # merge (keyed-union count sum, one compress) is a vectorized pandas
     # groupby, not a Python loop over blocks × capacity rows
     parts = ds.map_batches(
-        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).to_pandas()
     g = parts.groupby("key", as_index=False)["n"].sum()
     acc = SpaceSaving(_HH_CAPACITY)
@@ -2820,7 +2820,7 @@ def q_tfidf_top_terms(sf_dir: str):
                          "df": pa.array(counts.astype(np.int64))})
 
     df_rows = (
-        ds.map_batches(df_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(df_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
         .take_all()
@@ -2856,7 +2856,7 @@ def q_tfidf_top_terms(sf_dir: str):
              "tfidf_e6": pa.array(e6)}
         )
 
-    return ds.map_batches(score, batch_format="pandas", batch_size=_COMBINE_BATCH)
+    return ds.map_batches(score, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
 
 
 SQL_TFIDF_TOP_TERMS = f"""
@@ -3503,7 +3503,7 @@ def q_pack_chunks(sf_dir: str):
 
     sums: dict[int, int] = {}
     for r in ds.map_batches(
-        range_sums, batch_format="pandas", batch_size=_COMBINE_BATCH
+        range_sums, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).take_all():
         sums[int(r["rng"])] = sums.get(int(r["rng"]), 0) + int(r["tok"])
     offsets: dict[int, int] = {}
@@ -4281,7 +4281,7 @@ def q_bigram_top(sf_dir: str):
         )
 
     counted = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()  # aggregate-after-map scheduling barrier (see q_word_count)
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
@@ -6261,7 +6261,7 @@ def q_bigram_pmi(sf_dir: str):
         )
 
     uni = (
-        ds.map_batches(uni_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(uni_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
@@ -6269,7 +6269,7 @@ def q_bigram_pmi(sf_dir: str):
         .materialize()
     )
     bi = (
-        ds.map_batches(bi_partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        ds.map_batches(bi_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .materialize()
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
@@ -7159,7 +7159,7 @@ def q_fertility_per_lang(sf_dir: str):
         )
 
     part = ds.map_batches(
-        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).to_pandas()
     out = part.groupby("lang", as_index=False)[
         ["n_docs", "n_tokens", "n_chars"]
@@ -7298,7 +7298,7 @@ def q_charlm_score(sf_dir: str):
         )
 
     part = ds.map_batches(
-        count_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        count_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).to_pandas()
     counts = part.groupby("bg")["n"].sum()
     total = int(counts.sum())
@@ -8720,7 +8720,7 @@ def q_bpe_top_pairs(sf_dir: str):
         )
 
     parts = ds.map_batches(
-        partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).to_pandas()
     tot = parts.groupby("k", as_index=False)["n"].sum()
     ks = tot["k"].to_numpy()
@@ -9879,7 +9879,7 @@ def q_top_terms_per_lang(sf_dir: str):
 
     counts = (
         ds.map_batches(
-            tok_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+            tok_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
         )
         .groupby(["lang", "term"])
         .aggregate(Sum("n", alias_name="n"))
@@ -10338,7 +10338,7 @@ def q_vocab_per_source(sf_dir: str):
 
     counts = (
         ds.map_batches(
-            distinct_pairs, batch_format="pandas", batch_size=_COMBINE_BATCH
+            distinct_pairs, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
         )
         .groupby(["source", "token"])
         .aggregate(Count(alias_name="_n"))
@@ -11404,7 +11404,7 @@ def q_bm25_topk(sf_dir: str):
     folded: dict[str, int] = {t: 0 for t in qterms}
     folded["\x00tok"] = 0
     for r in ds.map_batches(
-        stats_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        stats_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).take_all():
         folded[r["term"]] += int(r["v"])
 
@@ -11445,7 +11445,7 @@ def q_bm25_topk(sf_dir: str):
         return _arrow_out(out.astype({"doc_id": "int64", "score_e6": "int64"}))
 
     cand = ds.map_batches(
-        score, batch_format="pandas", batch_size=_COMBINE_BATCH
+        score, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).take_all()
     top = pd.DataFrame(cand, columns=["doc_id", "score_e6"]).sort_values(
         ["score_e6", "doc_id"], ascending=[False, True], kind="mergesort"
@@ -11802,7 +11802,7 @@ def q_inverted_index(sf_dir: str):
 
     return (
         _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(pairs, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .map_batches(pairs, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH)
         .groupby("bucket")
         .map_groups(assemble, batch_format="pandas")
     )
@@ -15710,7 +15710,7 @@ def q_perplexity_buckets(sf_dir: str):
         )
 
     part = ds.map_batches(
-        count_partial, batch_format="pandas", batch_size=_COMBINE_BATCH
+        count_partial, batch_format="pandas", batch_size=_TEXT_COMBINE_BATCH
     ).to_pandas()
     counts = part.groupby("bg")["n"].sum()
     total = int(counts.sum())
@@ -15766,7 +15766,7 @@ def q_perplexity_buckets(sf_dir: str):
 
     cnt = (
         scored.map_batches(band_counts, batch_format="pandas",
-                           batch_size=_COMBINE_BATCH)
+                           batch_size=_TEXT_COMBINE_BATCH)
         .to_pandas()
         .groupby(["lang", "band"], as_index=False)["n"].sum()
         .sort_values(["lang", "band"])
