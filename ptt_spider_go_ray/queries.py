@@ -18714,6 +18714,109 @@ FROM p ORDER BY abs(proj) DESC, vec_id LIMIT {topk}
 SQL_PCA_POWER_TOPK = _pca_power_sql()
 
 # ---------------------------------------------------------------------------
+# Q: deterministic bootstrap of per-type event counts — uncertainty
+# quantification at scale without randomness: trial t resamples row e iff
+# mix32(event_id·T + t) is odd (half-sampling bootstrap, the Poisson-
+# bootstrap limit for p=1/2), so every engine draws the SAME resamples and
+# the trial counts are exact integers. ONE type-keyed shuffle of ≤ T+1
+# partial rows per (batch, type); the mean is the single IEEE division.
+# ---------------------------------------------------------------------------
+
+_BOOT_TRIALS = 16
+
+
+def q_bootstrap_type_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .stages.sketch import mix32
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    T = _BOOT_TRIALS
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ids = df["event_id"].to_numpy(np.int64)
+        types = df["event_type"].astype(str)
+        rows_t, rows_trial, rows_n = [], [], []
+        full = types.groupby(types, sort=False).size()
+        rows_t.extend(full.index.tolist())
+        rows_trial.extend([-1] * len(full))
+        rows_n.extend(full.to_numpy(np.int64).tolist())
+        for t in range(T):
+            sel = (mix32(ids * T + t) & np.uint64(1)).astype(bool)
+            cnt = types[sel].groupby(types[sel], sort=False).size()
+            rows_t.extend(cnt.index.tolist())
+            rows_trial.extend([t] * len(cnt))
+            rows_n.extend(cnt.to_numpy(np.int64).tolist())
+        return pa.table(
+            {"event_type": pa.array(rows_t, pa.string()),
+             "trial": pa.array(rows_trial, pa.int64()),
+             "n": pa.array(rows_n, pa.int64())}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("trial")["n"].sum()
+        boots = np.zeros(T, np.int64)
+        got = m.drop(index=-1, errors="ignore")
+        boots[got.index.to_numpy(np.int64)] = got.to_numpy(np.int64)
+        sum_b = int(boots.sum())
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_full": np.array([m.get(-1, 0)], np.int64),
+                "n_trials": np.array([T], np.int64),
+                "sum_boot": np.array([sum_b], np.int64),
+                "sumsq_boot": np.array([(boots * boots).sum()], np.int64),
+                "mean_boot": np.array([sum_b], np.float64) / T,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _bootstrap_sql() -> str:
+    from .registry import _mix_cols_sql
+
+    T = _BOOT_TRIALS
+    return f"""
+WITH keys AS (
+  SELECT event_type, event_id * {T} + trial AS key, trial
+  FROM events, (SELECT unnest(range({T})) AS trial) t
+),
+h AS ({_mix_cols_sql("keys", "key")}),
+sel AS (
+  SELECT k.event_type, k.trial
+  FROM keys k JOIN h ON h.key = k.key
+  WHERE h.h1 % 2 = 1
+),
+boot AS (SELECT event_type, trial, count(*) AS n FROM sel GROUP BY 1, 2),
+dense AS (
+  SELECT ty.event_type, tr.trial, COALESCE(b.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) ty
+  CROSS JOIN (SELECT unnest(range({T})) AS trial) tr
+  LEFT JOIN boot b USING (event_type, trial)
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(n) AS BIGINT) AS sum_boot,
+         CAST(sum(n * n) AS BIGINT) AS sumsq_boot
+  FROM dense GROUP BY event_type
+),
+totals AS (SELECT event_type, count(*) AS n_full FROM events GROUP BY 1)
+SELECT f.event_type, CAST(f.n_full AS BIGINT) AS n_full,
+       CAST({T} AS BIGINT) AS n_trials,
+       a.sum_boot, a.sumsq_boot,
+       CAST(a.sum_boot AS DOUBLE) / {T} AS mean_boot
+FROM totals f JOIN agg a USING (event_type)
+"""
+
+
+SQL_BOOTSTRAP_TYPE_COUNTS = _bootstrap_sql()
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18727,6 +18830,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "embedding_source_join": (q_embedding_source_join, SQL_EMBEDDING_SOURCE_JOIN),
     "ann_range_search": (q_ann_range_search, SQL_ANN_RANGE_SEARCH),
     "pca_power_topk": (q_pca_power_topk, SQL_PCA_POWER_TOPK),
+    "bootstrap_type_counts": (q_bootstrap_type_counts, SQL_BOOTSTRAP_TYPE_COUNTS),
     "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
     "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
     "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),

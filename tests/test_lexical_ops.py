@@ -310,3 +310,24 @@ def test_pca_power_planted_direction(ray_session, tmp_path):
     want = _duck(tmp_path, SQL_PCA_POWER_TOPK)
     _assert_match(got, want)
     assert got.sort_values("rank")["vec_id"].tolist()[:3] == [4, 11, 25]
+
+
+def test_bootstrap_type_counts_deterministic_half(ray_session, tmp_path):
+    """Exact engine-vs-SQL equality on a tiny table (the trial counts are
+    deterministic functions of event_id), zero-selected trials densify to 0,
+    and the bootstrap mean sits near n_full/2 (p=1/2 resampling)."""
+    from ptt_spider_go_ray.queries import (
+        SQL_BOOTSTRAP_TYPE_COUNTS,
+        q_bootstrap_type_counts,
+    )
+
+    n = 400
+    sf = _events(tmp_path, ["a"] * n + ["b"], [1.0] * (n + 1))
+    got = to_pandas(q_bootstrap_type_counts(sf))
+    want = _duck(tmp_path, SQL_BOOTSTRAP_TYPE_COUNTS)
+    _assert_match(got, want)
+    a = got.set_index("event_type").loc["a"]
+    assert a["n_full"] == n
+    assert 0.4 * n < a["mean_boot"] < 0.6 * n  # p=1/2 resample of 400 rows
+    b = got.set_index("event_type").loc["b"]  # 1-row type: trials are 0 or 1
+    assert 0 <= b["sum_boot"] <= 16 and b["sumsq_boot"] == b["sum_boot"]
