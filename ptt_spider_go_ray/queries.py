@@ -18817,6 +18817,125 @@ FROM totals f JOIN agg a USING (event_type)
 SQL_BOOTSTRAP_TYPE_COUNTS = _bootstrap_sql()
 
 # ---------------------------------------------------------------------------
+# Q: Haar wavelet energy spectrum of each type's daily-value series — the
+# multi-resolution seasonality/anomaly decomposition (energy concentrated at
+# fine levels → bursty/spiky traffic; at coarse levels → slow drift). Every
+# coefficient is EXACT int64: day sums are e2 cents, and the unnormalized
+# Haar transform is pure pairwise add/subtract, so both engines produce
+# bit-identical integer energies. Same ONE type-keyed shuffle shape as
+# cume_dist_vals; the per-type series (≤ _HAAR_P days, asserted) folds on a
+# 64-slot numpy array. Level 0 row = the final approximation coefficient
+# squared (total mass); levels 1.._HAAR_LEVELS = detail energies fine→coarse.
+# ---------------------------------------------------------------------------
+
+_HAAR_P = 64
+_HAAR_LEVELS = 6  # log2(_HAAR_P)
+
+
+def q_haar_energy(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        v = df["value"].to_numpy(np.float64) * 100.0
+        e2 = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"event_type": df["event_type"].astype(str),
+                 "day": df["ts"].dt.floor("D"),
+                 "e2": e2}
+            )
+            .groupby(["event_type", "day"], sort=False)["e2"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {"event_type": pa.array(g["event_type"].astype(str)),
+             "day": pa.array(g["day"]),
+             "s": pa.array(g["e2"].to_numpy(np.int64))}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("day")["s"].sum().sort_index()
+        if len(m) > _HAAR_P:
+            raise ValueError(
+                f"haar_energy: {len(m)} days exceeds the fixed transform "
+                f"length {_HAAR_P}; raise _HAAR_P (and the SQL unroll)"
+            )
+        x = np.zeros(_HAAR_P, np.int64)
+        x[: len(m)] = m.to_numpy(np.int64)
+        levels, energies = [], []
+        for lvl in range(1, _HAAR_LEVELS + 1):
+            d = x[0::2] - x[1::2]
+            levels.append(lvl)
+            energies.append(int((d * d).sum()))
+            x = x[0::2] + x[1::2]
+        levels.append(0)  # final approximation mass
+        energies.append(int(x[0]) ** 2)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(levels),
+                "level": np.array(levels, np.int64),
+                "energy": np.array(energies, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=_COMBINE_BATCH)
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _haar_sql(p: int = _HAAR_P, levels: int = _HAAR_LEVELS) -> str:
+    parts = []
+    sels = []
+    for lvl in range(1, levels + 1):
+        parts.append(f"""
+d{lvl} AS (
+  SELECT event_type, i // 2 AS i,
+         CAST(sum(CASE WHEN i % 2 = 0 THEN val ELSE -val END) AS BIGINT) AS dv
+  FROM a{lvl - 1} GROUP BY 1, 2
+),
+a{lvl} AS MATERIALIZED (
+  SELECT event_type, i // 2 AS i, CAST(sum(val) AS BIGINT) AS val
+  FROM a{lvl - 1} GROUP BY 1, 2
+)""")
+        sels.append(
+            f"SELECT event_type, CAST({lvl} AS BIGINT) AS level, "
+            f"CAST(sum(dv * dv) AS BIGINT) AS energy FROM d{lvl} GROUP BY 1"
+        )
+    sels.append(
+        f"SELECT event_type, CAST(0 AS BIGINT) AS level, "
+        f"CAST(val * val AS BIGINT) AS energy FROM a{levels}"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(value * 100) AS BIGINT) AS e2
+  FROM events
+),
+dsum AS (
+  SELECT event_type, day, CAST(sum(e2) AS BIGINT) AS s FROM e GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+  FROM dsum
+),
+a0 AS MATERIALIZED (
+  SELECT ty.event_type, CAST(pz.i AS BIGINT) AS i, COALESCE(x.s, 0) AS val
+  FROM (SELECT DISTINCT event_type FROM events) ty
+  CROSS JOIN (SELECT unnest(range({p})) AS i) pz
+  LEFT JOIN idx x ON x.event_type = ty.event_type AND x.i = pz.i
+),
+{",".join(parts)}
+{" UNION ALL ".join(sels)}
+"""
+
+
+SQL_HAAR_ENERGY = _haar_sql()
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18831,6 +18950,7 @@ SQL_QUERIES: dict[str, tuple] = {
     "ann_range_search": (q_ann_range_search, SQL_ANN_RANGE_SEARCH),
     "pca_power_topk": (q_pca_power_topk, SQL_PCA_POWER_TOPK),
     "bootstrap_type_counts": (q_bootstrap_type_counts, SQL_BOOTSTRAP_TYPE_COUNTS),
+    "haar_energy": (q_haar_energy, SQL_HAAR_ENERGY),
     "char_trigram_topk": (q_char_trigram_topk, SQL_CHAR_TRIGRAM_TOPK),
     "word_len_hist": (q_word_len_hist, SQL_WORD_LEN_HIST),
     "dedup_suffix": (q_dedup_suffix, SQL_DEDUP_SUFFIX),

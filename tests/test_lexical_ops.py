@@ -331,3 +331,33 @@ def test_bootstrap_type_counts_deterministic_half(ray_session, tmp_path):
     assert 0.4 * n < a["mean_boot"] < 0.6 * n  # p=1/2 resample of 400 rows
     b = got.set_index("event_type").loc["b"]  # 1-row type: trials are 0 or 1
     assert 0 <= b["sum_boot"] <= 16 and b["sumsq_boot"] == b["sum_boot"]
+
+
+def test_haar_energy_impulse_and_flat(ray_session, tmp_path):
+    """A single-day impulse of mass c puts energy c² at EVERY detail level
+    (and c² in the approximation); a two-day constant pair has zero level-1
+    energy. Integer-exact on both engines."""
+    from ptt_spider_go_ray.queries import SQL_HAAR_ENERGY, q_haar_energy
+
+    # type "imp": one event of value 5.0 on day 0 → c = 500 cents
+    # type "flat": value 3.0 on day 0 AND day 1 → level-1 detail = 0
+    types = ["imp", "flat", "flat"]
+    values = [5.0, 3.0, 3.0]
+    sf = _events(tmp_path, types, values)
+    # move flat's second event to the next day
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(tmp_path / "events.parquet").to_pandas()
+    t.loc[2, "ts"] = t.loc[2, "ts"] + np.timedelta64(1, "D")
+    pa_t = pa.Table.from_pandas(t, preserve_index=False)
+    pq.write_table(pa_t, tmp_path / "events.parquet")
+
+    got = to_pandas(q_haar_energy(sf))
+    want = _duck(tmp_path, SQL_HAAR_ENERGY)
+    _assert_match(got, want)
+    imp = got[got["event_type"] == "imp"].set_index("level")["energy"]
+    assert all(imp.loc[lvl] == 500**2 for lvl in range(0, 7))
+    flat = got[got["event_type"] == "flat"].set_index("level")["energy"]
+    assert flat.loc[1] == 0          # equal pair cancels at level 1
+    assert flat.loc[2] == 600**2     # combined mass differs from zero pad
+    assert flat.loc[0] == 600**2
