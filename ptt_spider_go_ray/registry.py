@@ -862,6 +862,107 @@ def _ingest_csv_roundtrip(sf_dir: str):
     return ingest_csv(scratch, schema)
 
 
+_PNG_GALLERY_N = 48
+
+
+def _png_gallery_bytes(i: int) -> bytes:
+    """Deterministic RGB PNG #i (seeded pixels, id-derived dims)."""
+    import numpy as np
+
+    from .functions.png import encode_png
+
+    h = 8 + (i * 7) % 40
+    w = 8 + (i * 13) % 56
+    px = np.random.default_rng(i).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_png(px)
+
+
+def _media_png_gallery(sf_dir: str):
+    """REAL-codec media pipeline: a deterministic PNG gallery is generated
+    DISTRIBUTED (ray.data.range → per-batch stdlib encode), decoded by the
+    ImageDecoder actor pool with the pure-stdlib PngBackend (actual pixels,
+    not hash-derived fakes), and perceptually hashed by PHashStage. Output:
+    (media_ref, n_bytes, width, height, phash_hex). sf_dir is ignored (the
+    gallery is the fixture — same convention as the crawl/media family)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data
+
+    from .stages.multimodal import ImageDecoder, PHashStage
+
+    def gen(t: _pa.Table) -> _pa.Table:
+        ids = [int(x) for x in t["id"].to_pylist()]
+        return _pa.table(
+            {
+                "doc_id": _pa.array([f"g{i}" for i in ids], _pa.string()),
+                "span_idx": _pa.array([0] * len(ids), _pa.int32()),
+                "media_ref": _pa.array(
+                    [f"img-{i:03d}.png" for i in ids], _pa.string()
+                ),
+                "body": _pa.array(
+                    [_png_gallery_bytes(i) for i in ids], _pa.large_binary()
+                ),
+            }
+        )
+
+    media = ray.data.range(_PNG_GALLERY_N).map_batches(
+        gen, batch_format="pyarrow", batch_size=16
+    )
+    meta = media.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"backend": "png"},
+        concurrency=(1, 2),
+        batch_size=16,
+        batch_format="pyarrow",
+    ).select_columns(["media_ref", "n_bytes", "width", "height"]).to_pandas()
+    hashed = media.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"backend": "png"},
+        concurrency=(1, 2),
+        batch_size=16,
+        batch_format="pyarrow",
+    ).to_pandas()  # gallery-sized driver merge (48 rows), like media_phash_dedup
+    hashed["phash_hex"] = [f"{int(h):016x}" for h in hashed["phash"]]
+    out = meta.merge(hashed[["media_ref", "phash_hex"]], on="media_ref")
+    return pd.DataFrame(
+        {
+            "media_ref": out["media_ref"].astype(str),
+            "n_bytes": out["n_bytes"].astype("int64"),
+            "width": out["width"].astype("int64"),
+            "height": out["height"].astype("int64"),
+            "phash_hex": out["phash_hex"].astype(str),
+        }
+    )
+
+
+def _media_png_gallery_oracle_sql() -> str:
+    """DERIVED oracle: plain single-process replay — encode each gallery id,
+    decode with the same stdlib codec, hash — embedded as a VALUES literal.
+    Attests the distributed plumbing (range → gen batches → two actor-pool
+    stages → merge), not the codec arithmetic (the codec itself is pinned by
+    tests/test_png_codec.py round-trip and filter-inversion tests)."""
+    from .stages.multimodal import PngBackend, phash64
+
+    be = PngBackend()
+    rows = []
+    for i in range(_PNG_GALLERY_N):
+        b = _png_gallery_bytes(i)
+        _, w, h = be.decode(b)
+        rows.append(
+            f"('img-{i:03d}.png', {len(b)}, {w}, {h}, "
+            f"'{phash64(be.gray8(b)):016x}')"
+        )
+    return (
+        "SELECT media_ref, CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, "
+        "phash_hex "
+        + _values_from(
+            rows, "t(media_ref, n_bytes, width, height, phash_hex)",
+            ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "VARCHAR"],
+        )
+    )
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -981,6 +1082,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_frame_sample": _media_frame_sample,
     "media_resize_plan": _media_resize_plan,
     "media_phash_dedup": _media_phash_dedup,
+    "media_png_gallery": _media_png_gallery,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1396,6 +1498,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_orc_roundtrip": "SELECT * FROM documents",
     "ingest_feather_roundtrip": "SELECT * FROM embeddings",
     "media_phash_dedup": _phash_dedup_oracle_sql,
+    "media_png_gallery": _media_png_gallery_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

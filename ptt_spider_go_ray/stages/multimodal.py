@@ -1,11 +1,13 @@
 """Multimodal column stages: image/audio treated as opaque ``large_binary``
 columns with typed metadata. The Ray-side plumbing (schemas, actor-pool
 signatures, small batches for large payloads, output layout) is real and
-tested; the actual codec work is STUBBED — the sandbox has no image/audio
-libraries — behind ``DecodeBackend``: the default ``FakeDecodeBackend`` is
-deterministic (derives pseudo-dimensions/features from the bytes), and
-``PillowBackend.__init__`` raises ``NotImplementedError`` unless PIL is
-importable.
+tested. Codec backends, by realism: ``PngBackend`` is a REAL decoder (the
+pure-stdlib PNG codec in functions/png.py — actual pixels drive dims,
+features and phash; see the ★media_png_gallery query); ``FakeDecodeBackend``
+is the deterministic stand-in for formats the sandbox can't decode (dims/
+features hash-derived from bytes); ``PillowBackend``/``SoundfileBackend``
+raise ``NotImplementedError`` unless their wheels appear (probe-gated tests
+pick them up automatically the day they do).
 
 Usage shape (the part that matters at scale)::
 
@@ -58,6 +60,35 @@ class FakeDecodeBackend:
         )
         rng = np.random.default_rng((seed >> 16) & 0xFFFFFFFF)
         return rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+
+
+class PngBackend:
+    """REAL decode branch with zero external wheels: the pure-stdlib PNG
+    codec (functions/png.py — struct+zlib, filters per RFC 2083). Unlike
+    FakeDecodeBackend, dimensions/features/gray8 come from actual pixels,
+    so phash/resize/feature stages run on genuine image content. Raises
+    ValueError on non-PNG payloads (callers pick the backend per corpus)."""
+
+    def decode(self, data: bytes) -> tuple[str, int, int]:
+        from ..functions.png import decode_png
+
+        px = decode_png(data or b"")
+        return "png", int(px.shape[1]), int(px.shape[0])
+
+    def features(self, data: bytes, dim: int = 16) -> np.ndarray:
+        """Normalized luma histogram over ``dim`` equal bins — a real
+        content feature (two encodings of the same pixels agree exactly)."""
+        from ..functions.png import decode_png, luma
+
+        y = luma(decode_png(data or b""))
+        hist, _ = np.histogram(y, bins=dim, range=(0.0, 256.0))
+        n = max(int(hist.sum()), 1)
+        return (hist / n).astype(np.float32)
+
+    def gray8(self, data: bytes) -> np.ndarray:
+        from ..functions.png import decode_png, luma, pool8
+
+        return pool8(luma(decode_png(data or b"")))
 
 
 class PillowBackend:  # pragma: no cover - requires PIL, absent in sandbox
@@ -262,6 +293,8 @@ class ImageDecoder:
     def __init__(self, backend: str = "fake", feature_dim: int = 16):
         if backend == "fake":
             self.backend = FakeDecodeBackend()
+        elif backend == "png":
+            self.backend = PngBackend()
         elif backend == "pillow":
             self.backend = PillowBackend()
         else:
@@ -311,6 +344,8 @@ class PHashStage:
     def __init__(self, backend: str = "fake"):
         if backend == "fake":
             self.backend = FakeDecodeBackend()
+        elif backend == "png":
+            self.backend = PngBackend()
         elif backend == "pillow":
             self.backend = PillowBackend()
         else:
