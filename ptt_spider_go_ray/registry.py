@@ -963,6 +963,129 @@ def _media_png_gallery_oracle_sql() -> str:
     )
 
 
+_WAV_GALLERY_N = 40
+
+
+def _wav_gallery_bytes(i: int) -> bytes:
+    """Deterministic 16-bit PCM WAV #i: a seeded sine (id-derived frequency
+    and amplitude) plus low seeded noise; every 8th clip is stereo with both
+    channels equal (the channel-average must not change the analysis)."""
+    import numpy as np
+
+    from .functions.wav import encode_wav
+
+    rate = 16000
+    n = 800 + (i * 53) % 800
+    t = np.arange(n) / rate
+    freq = 100.0 + 37.0 * i
+    amp = 0.2 + 0.015 * (i % 40)
+    rng = np.random.default_rng(1000 + i)
+    x = amp * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(n)
+    s = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    if i % 8 == 0:
+        s = np.stack([s, s], axis=1)
+    return encode_wav(s, rate)
+
+
+def _media_wav_gallery(sf_dir: str):
+    """REAL-codec audio pipeline: deterministic WAV gallery generated
+    distributed → AudioFeatureStage actor pool with the stdlib WavBackend
+    (header metadata + actual DSP) → integer analysis columns (rms_e6,
+    zero_crossings) from a second streaming pass. sf_dir ignored (gallery
+    is the fixture, crawl/media-family convention)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data
+
+    from .functions.wav import decode_wav, rms_e6, zero_crossings
+    from .stages.multimodal import AudioFeatureStage
+
+    def gen(t: _pa.Table) -> _pa.Table:
+        ids = [int(x) for x in t["id"].to_pylist()]
+        return _pa.table(
+            {
+                "doc_id": _pa.array([f"a{i}" for i in ids], _pa.string()),
+                "span_idx": _pa.array([0] * len(ids), _pa.int32()),
+                "media_ref": _pa.array(
+                    [f"clip-{i:03d}.wav" for i in ids], _pa.string()
+                ),
+                "body": _pa.array(
+                    [_wav_gallery_bytes(i) for i in ids], _pa.large_binary()
+                ),
+            }
+        )
+
+    media = ray.data.range(_WAV_GALLERY_N).map_batches(
+        gen, batch_format="pyarrow", batch_size=16
+    )
+    meta = media.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"backend": "wav"},
+        concurrency=(1, 2),
+        batch_size=16,
+        batch_format="pyarrow",
+    ).select_columns(
+        ["media_ref", "sample_rate", "n_samples", "duration_ms"]
+    ).to_pandas()
+
+    def analysis(t: _pa.Table) -> _pa.Table:
+        refs = t["media_ref"].to_pylist()
+        rms, zc = [], []
+        for b in t["body"].to_pylist():
+            _, x = decode_wav(b or b"")
+            rms.append(rms_e6(x))
+            zc.append(zero_crossings(x))
+        import numpy as np
+
+        return _pa.table(
+            {"media_ref": _pa.array(refs, _pa.string()),
+             "rms_e6": _pa.array(np.array(rms, np.int64)),
+             "zero_crossings": _pa.array(np.array(zc, np.int64))}
+        )
+
+    ana = media.map_batches(analysis, batch_format="pyarrow").to_pandas()
+    out = meta.merge(ana, on="media_ref")  # gallery-sized driver merge
+    return pd.DataFrame(
+        {
+            "media_ref": out["media_ref"].astype(str),
+            "sample_rate": out["sample_rate"].astype("int64"),
+            "n_samples": out["n_samples"].astype("int64"),
+            "duration_ms": out["duration_ms"].astype("int64"),
+            "rms_e6": out["rms_e6"].astype("int64"),
+            "zero_crossings": out["zero_crossings"].astype("int64"),
+        }
+    )
+
+
+def _media_wav_gallery_oracle_sql() -> str:
+    """DERIVED oracle: plain replay of the gallery through the same stdlib
+    codec, embedded as a VALUES literal (attests the distributed plumbing;
+    the codec itself is pinned by tests/test_wav_codec.py)."""
+    from .functions.wav import decode_wav, rms_e6, zero_crossings
+
+    rows = []
+    for i in range(_WAV_GALLERY_N):
+        b = _wav_gallery_bytes(i)
+        rate, x = decode_wav(b)
+        rows.append(
+            f"('clip-{i:03d}.wav', {rate}, {len(x)}, "
+            f"{len(x) * 1000 // rate}, {rms_e6(x)}, {zero_crossings(x)})"
+        )
+    return (
+        "SELECT media_ref, CAST(sample_rate AS BIGINT) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, "
+        "CAST(duration_ms AS BIGINT) AS duration_ms, "
+        "CAST(rms_e6 AS BIGINT) AS rms_e6, "
+        "CAST(zero_crossings AS BIGINT) AS zero_crossings "
+        + _values_from(
+            rows,
+            "t(media_ref, sample_rate, n_samples, duration_ms, rms_e6, "
+            "zero_crossings)",
+            ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+        )
+    )
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -1083,6 +1206,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_resize_plan": _media_resize_plan,
     "media_phash_dedup": _media_phash_dedup,
     "media_png_gallery": _media_png_gallery,
+    "media_wav_gallery": _media_wav_gallery,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1499,6 +1623,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_feather_roundtrip": "SELECT * FROM embeddings",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "media_png_gallery": _media_png_gallery_oracle_sql,
+    "media_wav_gallery": _media_wav_gallery_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

@@ -163,6 +163,30 @@ class FakeAudioBackend:
         return rng.standard_normal(dim).astype(np.float32)
 
 
+class WavBackend:
+    """REAL audio branch with zero external wheels: stdlib RIFF/PCM parsing
+    (functions/wav.py). probe() reads genuine header metadata; features()
+    are actual DSP over the samples — RMS, zero-crossing rate, FFT band
+    energies — so identical audio in different containers (mono vs
+    averaged-stereo of the same signal) yields identical features."""
+
+    def probe(self, data: bytes) -> tuple[int, int]:
+        from ..functions.wav import decode_wav
+
+        rate, x = decode_wav(data or b"")
+        return rate, len(x)
+
+    def features(self, data: bytes, dim: int = 13) -> np.ndarray:
+        from ..functions.wav import band_energies, decode_wav, zero_crossings
+
+        rate, x = decode_wav(data or b"")
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zcr = zero_crossings(x) / max(len(x), 1)
+        return np.concatenate(
+            [np.array([rms, zcr], np.float32), band_energies(x, dim - 2)]
+        ).astype(np.float32)
+
+
 class SoundfileBackend:  # pragma: no cover - requires soundfile, absent here
     def __init__(self):
         try:
@@ -181,6 +205,8 @@ class AudioFeatureStage:
     def __init__(self, backend: str = "fake", feature_dim: int = 13):
         if backend == "fake":
             self.backend = FakeAudioBackend()
+        elif backend == "wav":
+            self.backend = WavBackend()
         elif backend == "soundfile":
             self.backend = SoundfileBackend()
         else:
