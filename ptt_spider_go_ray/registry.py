@@ -1086,6 +1086,118 @@ def _media_wav_gallery_oracle_sql() -> str:
     )
 
 
+_Y4M_GALLERY_N = 24
+
+
+def _y4m_gallery_bytes(i: int) -> bytes:
+    """Deterministic Cmono y4m clip #i: moving-gradient luma frames (pixel
+    (y,x) of frame f = (x + 2y + 3f + i) mod 256), id-derived dims/length/
+    frame rate."""
+    import numpy as np
+
+    from .functions.y4m import encode_y4m
+
+    h = 16 + (i * 5) % 32
+    w = 16 + (i * 11) % 48
+    n = 12 + (i * 7) % 50
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack(
+        [((xx + 2 * yy + 3 * f + i) % 256).astype(np.uint8) for f in range(n)]
+    )
+    fps = [(25, 1), (30, 1), (24, 1), (30000, 1001)][i % 4]
+    return encode_y4m(frames, fps)
+
+
+def _media_y4m_frames(sf_dir: str):
+    """REAL-codec video pipeline: deterministic y4m gallery generated
+    distributed → FrameSampler actor pool with the stdlib y4m parser (frame
+    counts and timestamps from the CONTAINER, features from actual luma) →
+    integer rows (media_ref, frame_idx, ts_ms, luma16_e6 = e6-quantized sum
+    of the pooled 4×4 grid). sf_dir ignored (gallery is the fixture)."""
+    import numpy as np
+    import pyarrow as _pa
+    import ray.data
+
+    from .stages.multimodal import FrameSampler
+
+    def gen(t: _pa.Table) -> _pa.Table:
+        ids = [int(x) for x in t["id"].to_pylist()]
+        return _pa.table(
+            {
+                "doc_id": _pa.array([f"v{i}" for i in ids], _pa.string()),
+                "span_idx": _pa.array([0] * len(ids), _pa.int32()),
+                "media_ref": _pa.array(
+                    [f"vid-{i:03d}.y4m" for i in ids], _pa.string()
+                ),
+                "body": _pa.array(
+                    [_y4m_gallery_bytes(i) for i in ids], _pa.large_binary()
+                ),
+            }
+        )
+
+    frames = (
+        ray.data.range(_Y4M_GALLERY_N)
+        .map_batches(gen, batch_format="pyarrow", batch_size=8)
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"backend": "y4m", "stride": 10,
+                                   "max_frames": 4},
+            concurrency=(1, 2),
+            batch_size=8,
+            batch_format="pyarrow",
+        )
+    )
+
+    def quantize(t: _pa.Table) -> _pa.Table:
+        feats = t["feature"].to_pylist()
+        luma = np.array(
+            [int(round(float(np.sum(f)) * 1e6)) for f in feats], np.int64
+        )
+        return _pa.table(
+            {
+                "media_ref": t["media_ref"],
+                "frame_idx": _pa.compute.cast(t["frame_idx"], _pa.int64()),
+                "ts_ms": _pa.compute.cast(t["ts_ms"], _pa.int64()),
+                "luma16_e6": _pa.array(luma),
+            }
+        )
+
+    return frames.map_batches(quantize, batch_format="pyarrow")
+
+
+def _media_y4m_frames_oracle_sql() -> str:
+    """DERIVED oracle: plain replay — decode each gallery clip, sample the
+    same stride, pool the same grid — as a VALUES literal (attests the
+    distributed fan-out plumbing; the parser is pinned by
+    tests/test_y4m_codec.py)."""
+    import numpy as np
+
+    from .functions.y4m import decode_y4m, pool_grid
+
+    rows = []
+    for i in range(_Y4M_GALLERY_N):
+        num, den, frames = decode_y4m(_y4m_gallery_bytes(i))
+        for k, f in enumerate(range(0, len(frames), 10)):
+            if k >= 4:
+                break
+            # replicate the stage's float32 feature cast before summing
+            v = (pool_grid(frames[f], 4).reshape(-1) / 255.0).astype(
+                np.float32
+            ).astype(np.float64)
+            luma = int(round(float(np.sum(v)) * 1e6))
+            rows.append(
+                f"('vid-{i:03d}.y4m', {f}, {f * 1000 * den // num}, {luma})"
+            )
+    return (
+        "SELECT media_ref, CAST(frame_idx AS BIGINT) AS frame_idx, "
+        "CAST(ts_ms AS BIGINT) AS ts_ms, CAST(luma16_e6 AS BIGINT) AS luma16_e6 "
+        + _values_from(
+            rows, "t(media_ref, frame_idx, ts_ms, luma16_e6)",
+            ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+        )
+    )
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -1207,6 +1319,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_phash_dedup": _media_phash_dedup,
     "media_png_gallery": _media_png_gallery,
     "media_wav_gallery": _media_wav_gallery,
+    "media_y4m_frames": _media_y4m_frames,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1624,6 +1737,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "media_png_gallery": _media_png_gallery_oracle_sql,
     "media_wav_gallery": _media_wav_gallery_oracle_sql,
+    "media_y4m_frames": _media_y4m_frames_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

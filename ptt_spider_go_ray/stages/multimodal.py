@@ -245,11 +245,20 @@ class FrameSampler:
 
     def __init__(self, backend: str = "fake", stride: int = 10,
                  max_frames: int = 8, feature_dim: int = 16, fps: int = 25):
-        if backend != "fake":
+        if backend == "y4m":
+            # REAL branch: stdlib YUV4MPEG2 parsing (functions/y4m.py) —
+            # frame count/timing from the container, features from actual
+            # luma (4×4 pooled grid, so feature_dim must be 16)
+            if feature_dim != 16:
+                raise ValueError("y4m backend pools a 4×4 luma grid "
+                                 "(feature_dim must be 16)")
+        elif backend != "fake":
             raise NotImplementedError(
-                "real frame decoding requires an ffmpeg binding, not "
-                "available in this environment; use the fake backend"
+                "compressed-video decoding requires an ffmpeg binding, not "
+                "available in this environment; use 'y4m' for raw video "
+                "or the fake backend"
             )
+        self.backend = backend
         self.stride = stride
         self.max_frames = max_frames
         self.feature_dim = feature_dim
@@ -264,6 +273,24 @@ class FrameSampler:
         ref_col = "url" if "url" in batch.schema.names else "media_ref"
         for row in batch.to_pylist():
             data = row.get("body") or b""
+            if self.backend == "y4m":
+                from ..functions.y4m import decode_y4m, pool_grid
+
+                num, den, frames = decode_y4m(data)
+                n = len(frames)
+                for k, frame in enumerate(range(0, n, self.stride)):
+                    if k >= self.max_frames:
+                        break
+                    doc_ids.append(row["doc_id"])
+                    span_idxs.append(row["span_idx"])
+                    refs.append(row[ref_col])
+                    fidx.append(frame)
+                    ts.append(frame * 1000 * den // num)  # container timing
+                    feats.append(
+                        (pool_grid(frames[frame], 4).reshape(-1) / 255.0)
+                        .astype(np.float32).tolist()
+                    )
+                continue
             n = self._n_frames(data)
             seed = int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
             for k, frame in enumerate(range(0, n, self.stride)):
