@@ -1198,6 +1198,99 @@ def _media_y4m_frames_oracle_sql() -> str:
     )
 
 
+_PNG_NEARDUP_BASES = 16
+
+
+def _png_neardup_bytes(i: int) -> bytes:
+    """Near-dup PNG gallery: even ids are seeded base images, odd ids are
+    their perceptual near-duplicates — the SAME pixels re-encoded with a
+    single ±1 tweak to one pixel channel (invisible to an average-hash over
+    pooled 8×8 cells, so pHash distance is ~0 while the BYTES differ)."""
+    import numpy as np
+
+    from .functions.png import encode_png
+
+    base = i // 2
+    px = np.random.default_rng(500 + base).integers(
+        0, 256, size=(32, 32, 3), dtype=np.uint8
+    )
+    if i % 2 == 1:
+        px = px.copy()
+        px[3, 5, 1] = np.uint8((int(px[3, 5, 1]) + 1) % 256)
+    return encode_png(px)
+
+
+def _media_png_near_dups(sf_dir: str):
+    """REAL perceptual near-dup detection end-to-end: the gallery's odd ids
+    are pixel-tweaked re-encodings of the even ids (different bytes, same
+    image to an average hash). PHashStage(png) hashes ACTUAL pixels, then
+    the banded pigeonhole pipeline (pipelines/dedup.py::phash_near_dups)
+    finds Hamming≤3 pairs — a property the fake byte-hash backend can never
+    exhibit. Output: (ref_a, ref_b, hamming)."""
+    import pyarrow as _pa
+    import ray.data
+
+    from .pipelines.dedup import phash_near_dups
+    from .stages.multimodal import PHashStage
+
+    n = _PNG_NEARDUP_BASES * 2
+
+    def gen(t: _pa.Table) -> _pa.Table:
+        ids = [int(x) for x in t["id"].to_pylist()]
+        return _pa.table(
+            {
+                "doc_id": _pa.array([f"n{i}" for i in ids], _pa.string()),
+                "span_idx": _pa.array([0] * len(ids), _pa.int32()),
+                "media_ref": _pa.array(
+                    [f"nd-{i:03d}.png" for i in ids], _pa.string()
+                ),
+                "body": _pa.array(
+                    [_png_neardup_bytes(i) for i in ids], _pa.large_binary()
+                ),
+            }
+        )
+
+    hashed = (
+        ray.data.range(n)
+        .map_batches(gen, batch_format="pyarrow", batch_size=16)
+        .map_batches(
+            PHashStage,
+            fn_constructor_kwargs={"backend": "png"},
+            concurrency=(1, 2),
+            batch_size=16,
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    return phash_near_dups(hashed, n_rows=n)
+
+
+def _media_png_near_dups_oracle_sql() -> str:
+    """DERIVED oracle: brute-force O(n²) exact-Hamming scan over the plain
+    single-process decode — no banding, no buckets (pigeonhole guarantees
+    the banded pipeline loses no Hamming≤3 pair, so brute force must match
+    exactly; same adjudication as media_phash_dedup)."""
+    from .stages.dedup import hamming64
+    from .stages.multimodal import PngBackend, phash64
+
+    be = PngBackend()
+    n = _PNG_NEARDUP_BASES * 2
+    refs = [f"nd-{i:03d}.png" for i in range(n)]
+    ph = {r: phash64(be.gray8(_png_neardup_bytes(i)))
+          for i, r in enumerate(refs)}
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = hamming64(ph[refs[i]], ph[refs[j]])
+            if d <= 3:
+                rows.append(f"('{refs[i]}', '{refs[j]}', {d})")
+    return (
+        "SELECT ref_a, ref_b, CAST(hamming AS BIGINT) AS hamming "
+        + _values_from(rows, "t(ref_a, ref_b, hamming)",
+                       ["VARCHAR", "VARCHAR", "BIGINT"])
+    )
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -1320,6 +1413,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_png_gallery": _media_png_gallery,
     "media_wav_gallery": _media_wav_gallery,
     "media_y4m_frames": _media_y4m_frames,
+    "media_png_near_dups": _media_png_near_dups,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1738,6 +1832,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_png_gallery": _media_png_gallery_oracle_sql,
     "media_wav_gallery": _media_wav_gallery_oracle_sql,
     "media_y4m_frames": _media_y4m_frames_oracle_sql,
+    "media_png_near_dups": _media_png_near_dups_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,
