@@ -93,6 +93,78 @@ def _crawl_media_dataset(sf_dir: str):
     return ray.data.from_arrow(_CRAWL_MEMO["media_tbl"])
 
 
+def _crawl_media_dataset_png(sf_dir: str):
+    """Like _crawl_media_dataset but the site serves GENUINE PNG media
+    bodies (SiteSpec.real_png_media), so downstream decode stages exercise
+    the real stdlib codec on crawl output — the full fetch→decode story."""
+    import ray.data
+
+    from .config import Config
+    from .pipelines.crawl import run_crawl
+    from .sources.synthetic import SiteSpec, mock_transport_factory
+
+    if "media_tbl_png" not in _CRAWL_MEMO:
+        spec = SiteSpec(boards={"Beauty": 3}, articles_per_page=5,
+                        real_png_media=True)
+        cfg = Config()
+        cfg.crawler.frontier_shards = 4
+        cfg.crawler.batch_urls = 4096
+        cfg.crawler.parser_count = 4
+        cfg.crawler.robots = False
+        res = run_crawl(
+            cfg,
+            transport_factory=functools.partial(mock_transport_factory, spec),
+            board="Beauty",
+            pages=2,
+            push_threshold=0,
+            fetch_via="tasks",
+        )
+        _CRAWL_MEMO["media_tbl_png"] = res.media.rename_columns(
+            [c if c != "url" else "media_ref" for c in res.media.column_names]
+        )
+    return ray.data.from_arrow(_CRAWL_MEMO["media_tbl_png"])
+
+
+def _crawl_media_decode_png(sf_dir: str):
+    """Crawl (real-PNG site) → ImageDecoder with the REAL stdlib codec:
+    dims from each fetched image's IHDR, features from its pixels."""
+    from .stages.multimodal import ImageDecoder
+
+    return _crawl_media_dataset_png(sf_dir).map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"backend": "png"},
+        concurrency=(1, 2),
+        batch_size=32,
+        batch_format="pyarrow",
+    ).select_columns(["media_ref", "n_bytes", "format", "width", "height"])
+
+
+def _crawl_media_decode_png_oracle_sql() -> str:
+    """DERIVED oracle: the plain crawl oracle discovers the same media URLs
+    (oracle/crawl_oracle.py — heapq BFS, no Ray), each URL's PNG is
+    regenerated by the same deterministic site rule and decoded single-
+    process; embedded as a VALUES literal."""
+    from .oracle.crawl_oracle import oracle_crawl
+    from .sources.synthetic import SiteSpec, SyntheticSite
+    from .stages.multimodal import PngBackend
+
+    site = SyntheticSite(SiteSpec(boards={"Beauty": 3}, articles_per_page=5,
+                                  real_png_media=True))
+    want = oracle_crawl(site, "Beauty", 2, push_threshold=0, fetch_media=True)
+    be = PngBackend()
+    rows = []
+    for url in want["media_fetched"]:
+        body = site.html_for(url)[1] or b""
+        _, w, h = be.decode(body)
+        rows.append(f"('{url}', {len(body)}, 'png', {w}, {h})")
+    return (
+        "SELECT media_ref, CAST(n_bytes AS BIGINT) AS n_bytes, format, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height "
+        + _values_from(rows, "t(media_ref, n_bytes, format, width, height)",
+                       ["VARCHAR", "BIGINT", "VARCHAR", "INT", "INT"])
+    )
+
+
 def _crawl_media_decode(sf_dir: str):
     """Crawl media bytes → multimodal decode stage (stubbed backend)."""
     from .stages.multimodal import ImageDecoder
@@ -1414,6 +1486,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_wav_gallery": _media_wav_gallery,
     "media_y4m_frames": _media_y4m_frames,
     "media_png_near_dups": _media_png_near_dups,
+    "crawl_media_decode_png": _crawl_media_decode_png,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1833,6 +1906,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_wav_gallery": _media_wav_gallery_oracle_sql,
     "media_y4m_frames": _media_y4m_frames_oracle_sql,
     "media_png_near_dups": _media_png_near_dups_oracle_sql,
+    "crawl_media_decode_png": _crawl_media_decode_png_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

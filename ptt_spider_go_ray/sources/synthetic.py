@@ -33,6 +33,10 @@ class SiteSpec:
     oversize: set[str] = field(default_factory=set)
     robots_disallow: list[str] = field(default_factory=list)  # path prefixes
     robots_crawl_delay: float | None = None  # Crawl-delay line (seconds)
+    real_png_media: bool = False  # media bodies are genuine PNGs (stdlib
+    # codec) instead of tagged filler bytes — lets crawl → decode pipelines
+    # exercise the REAL PngBackend end-to-end; off by default so existing
+    # size-sensitive oracles (50 MB cap tests, byte counts) are untouched
 
 
 def mock_transport_factory(spec: "SiteSpec | None" = None, latency_s: float = 0.0,
@@ -102,6 +106,17 @@ class SyntheticSite:
 
     def _media_bytes(self, url: str) -> bytes:
         h = _h(url)
+        if self.spec.real_png_media:
+            import numpy as np
+
+            from ..functions.png import encode_png
+
+            hh = 8 + h % 24
+            ww = 8 + (h >> 8) % 24
+            px = np.random.default_rng(h % (1 << 32)).integers(
+                0, 256, size=(hh, ww, 3), dtype=np.uint8
+            )
+            return encode_png(px)
         return (url + "|").encode() + bytes([h % 251]) * (100 + h % 900)
 
     def _board_page(self, board: str, page: int, max_page: int) -> str:
