@@ -1363,6 +1363,103 @@ def _media_png_near_dups_oracle_sql() -> str:
     )
 
 
+_ROUTER_GALLERY_N = 36
+
+
+def _router_gallery_bytes(i: int) -> bytes:
+    """Mixed-media gallery row #i: cycles PNG / WAV / y4m / filler so the
+    magic-byte router has all kinds to dispatch."""
+    k = i % 4
+    if k == 0:
+        return _png_gallery_bytes(i)
+    if k == 1:
+        return _wav_gallery_bytes(i)
+    if k == 2:
+        return _y4m_gallery_bytes(i % _Y4M_GALLERY_N)
+    return b"\x00filler|" + bytes([i % 251]) * (50 + i * 3)
+
+
+def _media_router(sf_dir: str):
+    """Mixed-corpus ingestion dispatch: sniff each payload's magic bytes
+    (stages/multimodal.py::sniff_media_batch — the step that routes rows to
+    the right decode stage) and fold per-kind counts + byte totals. One
+    streaming map + a kind-keyed aggregate; bodies never leave the map."""
+    import pyarrow as _pa
+    import ray.data
+
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.multimodal import sniff_media_batch
+
+    def gen(t: _pa.Table) -> _pa.Table:
+        ids = [int(x) for x in t["id"].to_pylist()]
+        bodies = [_router_gallery_bytes(i) for i in ids]
+        return _pa.table(
+            {
+                "media_ref": _pa.array(
+                    [f"mix-{i:03d}" for i in ids], _pa.string()
+                ),
+                "body": _pa.array(bodies, _pa.large_binary()),
+            }
+        )
+
+    def project(t: _pa.Table) -> _pa.Table:
+        import numpy as np
+
+        return _pa.table(
+            {
+                "kind": t["kind"],
+                "n_bytes": _pa.array(
+                    np.array([len(b or b"") for b in t["body"].to_pylist()],
+                             np.int64)
+                ),
+            }
+        )
+
+    return (
+        ray.data.range(_ROUTER_GALLERY_N)
+        .map_batches(gen, batch_format="pyarrow", batch_size=12)
+        .map_batches(sniff_media_batch, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Count(alias_name="n"), Sum("n_bytes", alias_name="total_bytes"))
+        .map_batches(
+            lambda t: _pa.table(
+                {
+                    "kind": t["kind"],
+                    "n": _pa.compute.cast(t["n"], _pa.int64()),
+                    "total_bytes": _pa.compute.cast(
+                        t["total_bytes"], _pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _media_router_oracle_sql() -> str:
+    """DERIVED oracle: plain replay — generate each gallery payload, sniff
+    it single-process, fold in Python — as a VALUES literal."""
+    from collections import defaultdict
+
+    from .stages.multimodal import sniff_kind
+
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for i in range(_ROUTER_GALLERY_N):
+        b = _router_gallery_bytes(i)
+        a = agg[sniff_kind(b)]
+        a[0] += 1
+        a[1] += len(b)
+    rows = [f"('{k}', {v[0]}, {v[1]})" for k, v in sorted(agg.items())]
+    return (
+        "SELECT kind, CAST(n AS BIGINT) AS n, "
+        "CAST(total_bytes AS BIGINT) AS total_bytes "
+        + _values_from(rows, "t(kind, n, total_bytes)",
+                       ["VARCHAR", "BIGINT", "BIGINT"])
+    )
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -1487,6 +1584,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "media_y4m_frames": _media_y4m_frames,
     "media_png_near_dups": _media_png_near_dups,
     "crawl_media_decode_png": _crawl_media_decode_png,
+    "media_router": _media_router,
     "crawl_layout": _crawl_layout,
     "dedup_embedding_cosine": _dedup_embedding,
     "lang_id": _lang_id,
@@ -1907,6 +2005,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "media_y4m_frames": _media_y4m_frames_oracle_sql,
     "media_png_near_dups": _media_png_near_dups_oracle_sql,
     "crawl_media_decode_png": _crawl_media_decode_png_oracle_sql,
+    "media_router": _media_router_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,

@@ -146,6 +146,42 @@ RESIZE_SCHEMA = pa.schema(
     ]
 )
 
+# magic-byte prefixes → media kind (the router table for mixed binary
+# corpora; first match wins, "unknown" otherwise)
+_MAGIC_KINDS: tuple[tuple[bytes, str], ...] = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "wav"),         # refined to webp below when the form is WEBP
+    (b"YUV4MPEG2", "y4m"),
+    (b"%PDF", "pdf"),
+    (b"PK\x03\x04", "zip"),
+)
+
+
+def sniff_kind(data: bytes) -> str:
+    """Classify a binary payload by magic bytes — the dispatch step of a
+    mixed-media ingestion pipeline (route each row to its decode stage)."""
+    b = data or b""
+    for magic, kind in _MAGIC_KINDS:
+        if b.startswith(magic):
+            if kind == "wav":
+                form = b[8:12]
+                if form == b"WEBP":
+                    return "webp"
+                if form != b"WAVE":
+                    return "riff-other"
+            return kind
+    return "unknown"
+
+
+def sniff_media_batch(t: pa.Table) -> pa.Table:
+    """Vectorized-enough router map: adds a ``kind`` column from each body's
+    magic bytes (bodies stay untouched — zero-copy passthrough columns)."""
+    kinds = [sniff_kind(b) for b in (t["body"].to_pylist())]
+    return t.append_column("kind", pa.array(kinds, pa.string()))
+
 
 class FakeAudioBackend:
     """Deterministic stand-in for an audio codec: sample-rate/length from a

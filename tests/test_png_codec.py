@@ -144,3 +144,24 @@ def test_image_decoder_stage_with_png_backend(ray_session):
 
     ph = PHashStage(backend="png")(batch)
     assert len(ph) == 3 and all(isinstance(x, int) for x in ph["phash"].to_pylist())
+
+
+def test_sniff_kind_magic_table():
+    from ptt_spider_go_ray.functions.wav import encode_wav
+    from ptt_spider_go_ray.functions.y4m import encode_y4m
+    from ptt_spider_go_ray.stages.multimodal import sniff_kind
+
+    png = encode_png(_rng().integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    wav = encode_wav(np.zeros(16, np.int16))
+    y4m = encode_y4m(np.zeros((1, 4, 4), np.uint8))
+    assert sniff_kind(png) == "png"
+    assert sniff_kind(wav) == "wav"
+    assert sniff_kind(y4m) == "y4m"
+    assert sniff_kind(b"\xff\xd8\xff\xe0 jfif") == "jpeg"
+    assert sniff_kind(b"GIF89a...") == "gif"
+    assert sniff_kind(b"RIFF....WEBP") == "webp"
+    assert sniff_kind(b"RIFF....AVI ") == "riff-other"
+    assert sniff_kind(b"%PDF-1.7") == "pdf"
+    assert sniff_kind(b"PK\x03\x04zipzip") == "zip"
+    assert sniff_kind(b"") == "unknown"
+    assert sniff_kind(b"\x00filler|xxx") == "unknown"
