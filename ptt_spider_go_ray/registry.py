@@ -1534,6 +1534,24 @@ def _ingest_feather_roundtrip(sf_dir: str):
     return ingest_feather(scratch, schema)
 
 
+def _ingest_wds_roundtrip(sf_dir: str):
+    """documents → WebDataset tar shards (the standard LLM-training-data
+    sample container: <key>.txt + <key>.json members per sample) →
+    read_binary_files + tarfile re-assembly → harmonize. Oracle: the
+    original table — the shard boundary must be value-invisible."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import canonical_schema, export_wds, ingest_wds
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/documents_wds_{tag}"
+    schema = canonical_schema(sf_dir, "documents")
+    export_wds(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), scratch)
+    return ingest_wds(scratch, schema)
+
+
 def _partitioned_write_roundtrip(sf_dir: str):
     """documents → hive-partitioned parquet by source with partition-level
     _SUCCESS resume (sources/ingest.py::export_partitioned; the export runs
@@ -1570,6 +1588,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ingest_csv_roundtrip": _ingest_csv_roundtrip,
     "ingest_orc_roundtrip": _ingest_orc_roundtrip,
     "ingest_feather_roundtrip": _ingest_feather_roundtrip,
+    "ingest_wds_roundtrip": _ingest_wds_roundtrip,
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "flagship_spans": _flagship_spans,
     "explode_media": _explode_media,
@@ -1999,6 +2018,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_csv_roundtrip": "SELECT * FROM events",
     "ingest_orc_roundtrip": "SELECT * FROM documents",
     "ingest_feather_roundtrip": "SELECT * FROM embeddings",
+    "ingest_wds_roundtrip": "SELECT * FROM documents",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "media_png_gallery": _media_png_gallery_oracle_sql,
     "media_wav_gallery": _media_wav_gallery_oracle_sql,

@@ -153,6 +153,78 @@ def ingest_feather(path: str, schema: pa.Schema):
     return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
 
 
+def export_wds(ds, out_dir: str) -> None:
+    """WebDataset-style tar sink — THE standard LLM-training-data shard
+    container (tar of per-sample member files): each block becomes one
+    ``.tar`` shard whose members are ``<doc_id>.txt`` (the text bytes) and
+    ``<doc_id>.json`` (the remaining columns as metadata), keyed so a
+    sequential reader sees each sample's files adjacently. Worker-side sink
+    (same contract as export_orc)."""
+    import io
+    import json
+    import os
+    import tarfile
+    import uuid
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in t.to_pylist():
+                key = f"{int(row['doc_id']):012d}"
+                txt = (row.get("text") or "").encode("utf-8")
+                meta = {k: v for k, v in row.items()
+                        if k not in ("doc_id", "text")}
+                mj = json.dumps(meta, sort_keys=True,
+                                ensure_ascii=False).encode("utf-8")
+                for name, body in ((f"{key}.txt", txt), (f"{key}.json", mj)):
+                    info = tarfile.TarInfo(name)
+                    info.size = len(body)
+                    info.mtime = 0  # deterministic shards
+                    tar.addfile(info, io.BytesIO(body))
+        with open(f"{out_dir}/{uuid.uuid4().hex}.tar", "wb") as f:
+            f.write(buf.getvalue())
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write, batch_format="pyarrow", batch_size=None).sum("n")
+
+
+def ingest_wds(path: str, schema: pa.Schema):
+    """WebDataset tar shards → Dataset: read_binary_files shards per tar,
+    each batch re-assembles (key → {txt, json}) members into rows, then the
+    harmonize cast restores the canonical footer schema."""
+    import io
+    import json
+    import tarfile
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(t: pa.Table) -> pa.Table:
+        rows = []
+        for b in t["bytes"]:
+            samples: dict[str, dict] = {}
+            with tarfile.open(fileobj=io.BytesIO(b.as_py())) as tar:
+                for m in tar.getmembers():
+                    key, _, ext = m.name.partition(".")
+                    body = tar.extractfile(m).read()
+                    samples.setdefault(key, {})[ext] = body
+            for key, parts in sorted(samples.items()):
+                row = {"doc_id": int(key),
+                       "text": parts.get("txt", b"").decode("utf-8")}
+                row.update(json.loads(parts.get("json", b"{}")))
+                rows.append(row)
+        if not rows:
+            return schema.empty_table()
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        return pa.table(cols)
+
+    return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
+
+
 def write_canonical(ds, out_dir: str) -> None:
     """Partitioned parquet sink (one file per block — resumable layout)."""
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -285,3 +285,54 @@ def test_feather_roundtrip_bit_exact_floats(ray_session, tmp_path):
     back = back.sort_values("vec_id").reset_index(drop=True)
     got = np.stack(back["embedding"].to_numpy()).astype(np.float32)
     assert got.tobytes() == vecs.tobytes()
+
+
+def test_wds_roundtrip_unicode_and_empty(ray_session, tmp_path):
+    """WebDataset tar boundary: CJK text, empty text, and JSON-null lang
+    survive; members are emitted key-adjacent (sample files side by side,
+    the property sequential WebDataset readers rely on)."""
+    import io
+    import tarfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ptt_spider_go_ray.sources.ingest import export_wds, ingest_wds
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+    texts = ["中文內容 with mixed ascii", "", "plain"]
+    src = pa.table(
+        {
+            "doc_id": pa.array([3, 7, 11], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["zh", None, "en"], pa.string()),
+            "source": pa.array(["web"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    srcp = str(tmp_path / "src.parquet")
+    pq.write_table(src, srcp)
+    out = str(tmp_path / "wds")
+
+    export_wds(ray.data.read_parquet(srcp), out)
+    import glob
+
+    shards = glob.glob(f"{out}/*.tar")
+    assert shards
+    names = []
+    for s in shards:
+        with tarfile.open(s) as tar:
+            names.extend(m.name for m in tar.getmembers())
+    # per-sample adjacency: each key's .json immediately follows its .txt
+    for i in range(0, len(names), 2):
+        assert names[i].split(".")[0] == names[i + 1].split(".")[0]
+
+    back = ingest_wds(out, schema).to_pandas().sort_values("doc_id")
+    orig = src.to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        back.reset_index(drop=True), orig.reset_index(drop=True)
+    )
