@@ -86,6 +86,38 @@ def compression_ratio(sf_dir: str):
     return ds.map_batches(ratio, batch_format="pandas")
 
 
+def compression_ensemble(sf_dir: str):
+    """Per-document compressed sizes under three stdlib codecs (zlib-6,
+    bz2-9, lzma preset 1) — the multi-estimator upper bound on entropy that
+    single-codec ratios misjudge (LZ77 vs BWT vs LZMA window effects).
+    Streaming map_batches, no shuffle; all outputs exact ints."""
+    import bz2
+    import lzma
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [(t or "").encode("utf-8") for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_raw_bytes": np.array([len(b) for b in raw], np.int64),
+                "n_zlib": np.array(
+                    [len(zlib.compress(b, 6)) for b in raw], np.int64
+                ),
+                "n_bz2": np.array(
+                    [len(bz2.compress(b, 9)) for b in raw], np.int64
+                ),
+                "n_lzma": np.array(
+                    [len(lzma.compress(b, preset=1)) for b in raw], np.int64
+                ),
+            }
+        )
+
+    return ds.map_batches(sizes, batch_format="pandas")
+
+
 def token_counts_bpe(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 

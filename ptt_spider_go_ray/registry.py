@@ -1460,6 +1460,48 @@ def _media_router_oracle_sql() -> str:
     )
 
 
+def _compression_ensemble(sf_dir: str):
+    from .pipelines.textanalysis import compression_ensemble
+
+    return compression_ensemble(sf_dir)
+
+
+def _compression_ensemble_oracle_sql() -> str:
+    """DERIVED oracle, md5(text)-keyed across all three scales (the
+    _compression_ratio_oracle_sql pattern) — zlib/bz2/lzma attested by an
+    independent plain replay; byte length stays on the SQL side."""
+    import bz2
+    import hashlib
+    import lzma
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    rows: dict[str, tuple[int, int, int]] = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )
+        for txt in t["text"].to_pylist():
+            b = (txt or "").encode("utf-8")
+            m = hashlib.md5(b).hexdigest()
+            if m not in rows:
+                rows[m] = (len(zlib.compress(b, 6)), len(bz2.compress(b, 9)),
+                           len(lzma.compress(b, preset=1)))
+    vals = ", ".join(
+        f"('{m}', {z}, {bz}, {lz})" for m, (z, bz, lz) in sorted(rows.items())
+    )
+    return f"""
+WITH v(text_md5, n_zlib, n_bz2, n_lzma) AS (VALUES {vals}),
+d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+SELECT d.doc_id, CAST(strlen(t) AS BIGINT) AS n_raw_bytes,
+       CAST(v.n_zlib AS BIGINT) AS n_zlib,
+       CAST(v.n_bz2 AS BIGINT) AS n_bz2,
+       CAST(v.n_lzma AS BIGINT) AS n_lzma
+FROM d JOIN v ON md5(t) = v.text_md5
+"""
+
+
 def _compression_ratio_oracle_sql() -> str:
     """DERIVED oracle for compression_ratio (zlib has no SQL form): the
     per-text compressed size is computed by an independent plain-Python zlib
@@ -1611,6 +1653,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "quality_scores": _quality_scores,
     "token_counts_bpe": _token_counts,
     "compression_ratio": _compression_ratio,
+    "compression_ensemble": _compression_ensemble,
     "fingerprints": _fingerprints,
     "approx_distinct_users": _approx_distinct_users,
     "approx_quantiles_sketch": _approx_quantiles_sketch,
@@ -2027,6 +2070,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "crawl_media_decode_png": _crawl_media_decode_png_oracle_sql,
     "media_router": _media_router_oracle_sql,
     "compression_ratio": _compression_ratio_oracle_sql,
+    "compression_ensemble": _compression_ensemble_oracle_sql,
     "crawl_layout": _crawl_layout_oracle_sql,
     "media_resize_plan": _media_resize_plan_oracle_sql,
     "crawl_board": _crawl_board_oracle_sql,
