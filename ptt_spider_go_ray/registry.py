@@ -1594,6 +1594,29 @@ def _ingest_wds_roundtrip(sf_dir: str):
     return ingest_wds(scratch, schema)
 
 
+def _ingest_jsonl_gz_roundtrip(sf_dir: str):
+    """documents → gzip-compressed JSONL shards (the CommonCrawl-style
+    .jsonl.gz text container) → gunzip + parse → harmonize. Oracle: the
+    original table."""
+    import os
+
+    import ray.data
+
+    from .sources.ingest import (
+        canonical_schema,
+        export_jsonl_gz,
+        ingest_jsonl_gz,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    scratch = f"/tmp/ptt_ingest/documents_jsonlgz_{tag}"
+    schema = canonical_schema(sf_dir, "documents")
+    export_jsonl_gz(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), scratch
+    )
+    return ingest_jsonl_gz(scratch, schema)
+
+
 def _partitioned_write_roundtrip(sf_dir: str):
     """documents → hive-partitioned parquet by source with partition-level
     _SUCCESS resume (sources/ingest.py::export_partitioned; the export runs
@@ -1631,6 +1654,7 @@ EXTRA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ingest_orc_roundtrip": _ingest_orc_roundtrip,
     "ingest_feather_roundtrip": _ingest_feather_roundtrip,
     "ingest_wds_roundtrip": _ingest_wds_roundtrip,
+    "ingest_jsonl_gz_roundtrip": _ingest_jsonl_gz_roundtrip,
     "partitioned_write_roundtrip": _partitioned_write_roundtrip,
     "flagship_spans": _flagship_spans,
     "explode_media": _explode_media,
@@ -2062,6 +2086,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "ingest_orc_roundtrip": "SELECT * FROM documents",
     "ingest_feather_roundtrip": "SELECT * FROM embeddings",
     "ingest_wds_roundtrip": "SELECT * FROM documents",
+    "ingest_jsonl_gz_roundtrip": "SELECT * FROM documents",
     "media_phash_dedup": _phash_dedup_oracle_sql,
     "media_png_gallery": _media_png_gallery_oracle_sql,
     "media_wav_gallery": _media_wav_gallery_oracle_sql,

@@ -225,6 +225,61 @@ def ingest_wds(path: str, schema: pa.Schema):
     return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
 
 
+def export_jsonl_gz(ds, out_dir: str) -> None:
+    """Gzip-compressed JSONL shards — the CommonCrawl-style text-corpus
+    container (.jsonl.gz, one shard per block). Worker-side sink; mtime=0
+    in the gzip header keeps shards byte-deterministic."""
+    import gzip
+    import json
+    import os
+    import uuid
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(t: pa.Table) -> pa.Table:
+        lines = "".join(
+            json.dumps(row, sort_keys=True, ensure_ascii=False) + "\n"
+            for row in t.to_pylist()
+        ).encode("utf-8")
+        with open(f"{out_dir}/{uuid.uuid4().hex}.jsonl.gz", "wb") as f:
+            f.write(gzip.compress(lines, 6, mtime=0))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(write, batch_format="pyarrow", batch_size=None).sum("n")
+
+
+def ingest_jsonl_gz(path: str, schema: pa.Schema):
+    """.jsonl.gz shards → Dataset: read_binary_files shards per file, each
+    batch gunzips + parses its lines, then the harmonize cast restores the
+    canonical footer schema."""
+    import gzip
+    import json
+
+    import ray.data
+
+    ds = ray.data.read_binary_files(path)
+
+    def decode(t: pa.Table) -> pa.Table:
+        rows = []
+        for b in t["bytes"]:
+            raw = b.as_py()
+            try:  # some readers auto-gunzip by extension — accept both
+                text = gzip.decompress(raw).decode("utf-8")
+            except (OSError, gzip.BadGzipFile):
+                text = raw.decode("utf-8")
+            for line in text.splitlines():
+                if line:
+                    rows.append(json.loads(line))
+        if not rows:
+            return schema.empty_table()
+        return pa.table(
+            {f.name: [r.get(f.name) for r in rows] for f in schema}
+        )
+
+    return harmonize(ds.map_batches(decode, batch_format="pyarrow"), schema)
+
+
 def write_canonical(ds, out_dir: str) -> None:
     """Partitioned parquet sink (one file per block — resumable layout)."""
     shutil.rmtree(out_dir, ignore_errors=True)
