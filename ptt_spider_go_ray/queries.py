@@ -18867,10 +18867,19 @@ def q_haar_energy(sf_dir: str):
         for lvl in range(1, _HAAR_LEVELS + 1):
             d = x[0::2] - x[1::2]
             levels.append(lvl)
-            energies.append(int((d * d).sum()))
+            # Python-int accumulation: numpy int64 would WRAP SILENTLY on
+            # coarse-level energies once total mass² nears 2^63 (caught by
+            # the 10M-row stress); ≤32 terms, so the cost is nil
+            energies.append(sum(int(v) * int(v) for v in d))
             x = x[0::2] + x[1::2]
-        levels.append(0)  # final approximation mass
+        levels.append(0)  # final approximation mass, squared
         energies.append(int(x[0]) ** 2)
+        if any(e > (1 << 63) - 1 for e in energies):
+            raise ValueError(
+                "haar_energy: an energy exceeds int64 (total corpus mass² "
+                f"≥ 2^63 for type {g['event_type'].iloc[0]!r}); re-quantize "
+                "the day sums coarser than cents before the transform"
+            )
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]] * len(levels),

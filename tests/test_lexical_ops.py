@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from tests.test_queries_oracle import canon, to_pandas
 
@@ -361,3 +362,15 @@ def test_haar_energy_impulse_and_flat(ray_session, tmp_path):
     assert flat.loc[1] == 0          # equal pair cancels at level 1
     assert flat.loc[2] == 600**2     # combined mass differs from zero pad
     assert flat.loc[0] == 600**2
+
+
+def test_haar_energy_overflow_guard_is_loud(ray_session, tmp_path):
+    """A type whose total mass² exceeds int64 must raise the clear
+    re-quantize error — never wrap silently (numpy int64 would; the
+    Python-int accumulation + guard make it loud)."""
+    # one day with mass 4e9 dollars = 4e11 cents → mass² = 1.6e23 > 2^63
+    sf = _events(tmp_path, ["big"] * 4, [1e9] * 4)
+    from ptt_spider_go_ray.queries import q_haar_energy
+
+    with pytest.raises(Exception, match="re-quantize"):
+        q_haar_energy(sf).to_pandas()
