@@ -174,9 +174,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--pages", type=int, default=CRAWL_PAGES)
     ap.add_argument("--latency", type=float, default=CRAWL_LATENCY_S)
-    # batch 8 balances per-task overhead against fetch-latency overlap on
-    # the mock-latency workload (round-2 sweep: 6/8/12/16 → 167/197/171/141 p/s)
-    ap.add_argument("--batch", type=int, default=8)
+    # batch 6 balances per-task overhead against fetch-latency overlap on
+    # the mock-latency workload (2026-08-20 sweep: 5/6/7/8/10/12 →
+    # 216/214-222/200/194/185/195 p/s; the round-2 sweep preferred 8 —
+    # re-sweep when the box changes)
+    ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--scale-levels", default="4,16",
                     help="comma-separated num_cpus pair for --scaling (N,4N)")
     ap.add_argument("--pool-ab", action="store_true",
