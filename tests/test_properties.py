@@ -253,3 +253,57 @@ def test_boundary_ends_are_first_and_last_shingle(tokens):
 
     assert int(sfp[0]) == sh(*tokens[:3])
     assert int(sfp[-1]) == sh(*tokens[-3:])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20), w=st.integers(1, 20),
+    ch=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """encode→decode is the identity for every supported shape."""
+    import numpy as np
+
+    from ptt_spider_go_ray.functions.png import decode_png, encode_png
+
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    px = np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == px.shape and (out == px).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 2000), rate=st.sampled_from([8000, 16000, 44100]),
+    stereo=st.booleans(), seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, stereo, seed):
+    """encode→decode preserves sample count, rate, and (mono) sample values
+    to the 1/32768 quantization exactly."""
+    import numpy as np
+
+    from ptt_spider_go_ray.functions.wav import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype(np.int16)
+    data = np.stack([s, s], axis=1) if stereo else s
+    got_rate, x = decode_wav(encode_wav(data, rate))
+    assert got_rate == rate and len(x) == n
+    assert np.allclose(x * 32768.0, s.astype(np.float64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 12), h=st.integers(1, 16), w=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_property(n, h, w, seed):
+    import numpy as np
+
+    from ptt_spider_go_ray.functions.y4m import decode_y4m, encode_y4m
+
+    frames = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w), dtype=np.uint8
+    )
+    num, den, out = decode_y4m(encode_y4m(frames, (24, 1)))
+    assert (num, den) == (24, 1)
+    assert out.shape == frames.shape and (out == frames).all()
