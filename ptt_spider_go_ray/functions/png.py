@@ -73,6 +73,8 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8:pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("truncated PNG IHDR")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.append(body)
@@ -88,7 +90,10 @@ def decode_png(data: bytes) -> np.ndarray:
             "gray/RGB/RGBA, non-interlaced"
         )
     ch = _CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG payload length mismatch")

@@ -10,6 +10,7 @@ FFT band energies over the mono signal.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -41,7 +42,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             ch = w.getnchannels()
             rate = w.getframerate()
             raw = w.readframes(w.getnframes())
-    except (wave.Error, EOFError) as e:  # EOFError: truncated/empty header
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # EOFError/RuntimeError/struct.error: the stdlib wave/chunk modules
+        # leak these on truncated or bit-flipped headers (found by fuzzing)
         raise ValueError(f"not a PCM WAV: {e}") from e
     x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
     if ch > 1:

@@ -307,3 +307,37 @@ def test_y4m_roundtrip_property(n, h, w, seed):
     num, den, out = decode_y4m(encode_y4m(frames, (24, 1)))
     assert (num, den) == (24, 1)
     assert out.shape == frames.shape and (out == frames).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), kind=st.sampled_from(["png", "wav", "y4m"]))
+def test_codec_fuzz_fails_only_with_valueerror(seed, kind):
+    """Garbage, truncations, and bit-flips of valid files must either decode
+    or raise ValueError — never leak struct.error / RuntimeError / EOFError
+    from stdlib internals (each leak here was found by fuzzing and fixed)."""
+    import numpy as np
+
+    from ptt_spider_go_ray.functions.png import decode_png, encode_png
+    from ptt_spider_go_ray.functions.wav import decode_wav, encode_wav
+    from ptt_spider_go_ray.functions.y4m import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    enc, dec = {
+        "png": (lambda: encode_png(
+            rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)), decode_png),
+        "wav": (lambda: encode_wav(
+            rng.integers(-500, 500, size=40).astype(np.int16)), decode_wav),
+        "y4m": (lambda: encode_y4m(
+            rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)), decode_y4m),
+    }[kind]
+    v = enc()
+    cases = [bytes(rng.integers(0, 256, size=60, dtype=np.uint8)),
+             v[: int(rng.integers(0, len(v)))]]
+    b = bytearray(v)
+    b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+    cases.append(bytes(b))
+    for c in cases:
+        try:
+            dec(c)
+        except ValueError:
+            pass
