@@ -160,6 +160,10 @@ def init_ray(num_cpus: int) -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep stdout pure for the one-JSON-line contract: without this,
+            # worker log replication occasionally interleaves "(MapBatches
+            # ...)" lines into the driver's stdout mid-print
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
