@@ -130,7 +130,8 @@ def main() -> int:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)  # one-JSON-line stdout contract
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
